@@ -1,0 +1,254 @@
+"""`st_*` scalar geometry functions as Arrow-batched pandas UDFs.
+
+Spark-side face of the numpy geometry core (SURVEY.md §2.6). Every function
+takes/returns whole Arrow batches (pandas Series) — the "vectorized
+pandas/Arrow UDFs, no per-row Python" contract of `BASELINE.json
+input_hint`: the DataFrame layer never sees a Python row; decode happens
+once per batch via the WKB codec.
+
+Reference semantics being reproduced (citations into /root/reference):
+centroid `prclz/_complexity.py:104`; area/shoelace `prclz/topology.py:144-168`;
+distance `prclz/_parcels.py:130`; intersects/contains `prclz/_parcels.py:41`,
+`prclz/reblock/_reblock.py:66`; explode `prclz/_parcels.py:86`; WKT io
+`prclz/utils.py:56`; Mercator 4326↔3395 `prclz/_parcels.py:34-35,48`.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+)
+
+from .. import cells as C
+from .. import geom as G
+
+from pyspark.sql.types import StructField, StructType
+
+_BBOX = StructType(
+    [
+        StructField("xmin", DoubleType()),
+        StructField("ymin", DoubleType()),
+        StructField("xmax", DoubleType()),
+        StructField("ymax", DoubleType()),
+    ]
+)
+
+
+@pandas_udf(BinaryType())
+def st_geomfromwkt(s: pd.Series) -> pd.Series:
+    return s.map(lambda w: G.wkb_dumps(G.wkt_loads(w)) if w is not None else None)
+
+
+@pandas_udf(StringType())
+def st_aswkt(s: pd.Series) -> pd.Series:
+    return s.map(lambda b: G.wkt_dumps(G.wkb_loads(bytes(b))) if b is not None else None)
+
+
+@pandas_udf(BinaryType())
+def st_point(x: pd.Series, y: pd.Series) -> pd.Series:
+    return pd.Series([G.wkb_dumps(G.point(a, b)) for a, b in zip(x, y)])
+
+
+@pandas_udf(BinaryType())
+def st_centroid(s: pd.Series) -> pd.Series:
+    def f(b):
+        if b is None:
+            return None
+        c = G.centroid(G.wkb_loads(bytes(b)))
+        return G.wkb_dumps(G.point(c[0], c[1]))
+
+    return s.map(f)
+
+
+@pandas_udf(DoubleType())
+def st_x(s: pd.Series) -> pd.Series:
+    return s.map(lambda b: float(G.wkb_loads(bytes(b)).data[0]) if b is not None else None)
+
+
+@pandas_udf(DoubleType())
+def st_y(s: pd.Series) -> pd.Series:
+    return s.map(lambda b: float(G.wkb_loads(bytes(b)).data[1]) if b is not None else None)
+
+
+@pandas_udf(DoubleType())
+def st_area(s: pd.Series) -> pd.Series:
+    return s.map(lambda b: G.area(G.wkb_loads(bytes(b))) if b is not None else None)
+
+
+@pandas_udf(DoubleType())
+def st_length(s: pd.Series) -> pd.Series:
+    return s.map(lambda b: G.length(G.wkb_loads(bytes(b))) if b is not None else None)
+
+
+@pandas_udf(StringType())
+def st_geometrytype(s: pd.Series) -> pd.Series:
+    return s.map(lambda b: G.wkb_loads(bytes(b)).type_name if b is not None else None)
+
+
+@pandas_udf(_BBOX)
+def st_bounds(s: pd.Series) -> pd.DataFrame:
+    rows = []
+    for b in s:
+        if b is None:
+            rows.append((None, None, None, None))
+        else:
+            rows.append(G.bounds(G.wkb_loads(bytes(b))))
+    return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax"])
+
+
+@pandas_udf(BooleanType())
+def st_intersects(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            G.intersects(G.wkb_loads(bytes(x)), G.wkb_loads(bytes(y)))
+            if x is not None and y is not None
+            else None
+            for x, y in zip(a, b)
+        ]
+    )
+
+
+@pandas_udf(BooleanType())
+def st_contains(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            G.contains(G.wkb_loads(bytes(x)), G.wkb_loads(bytes(y)))
+            if x is not None and y is not None
+            else None
+            for x, y in zip(a, b)
+        ]
+    )
+
+
+@pandas_udf(BooleanType())
+def st_contains_xy(a: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
+    """Polygon-contains-point with scalar coords — the PIP refine predicate
+    (J4, `prclz/_complexity.py:107`). Cheaper than st_contains(point_wkb)."""
+    out = []
+    cache: dict[bytes, G.Geom] = {}
+    for pb, px, py in zip(a, x, y):
+        if pb is None or px is None:
+            out.append(None)
+            continue
+        key = bytes(pb)
+        g = cache.get(key)
+        if g is None:
+            g = cache[key] = G.wkb_loads(key)
+        out.append(G.contains_point(g, float(px), float(py)))
+    return pd.Series(out)
+
+
+@pandas_udf(DoubleType())
+def st_distance(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            G.distance(G.wkb_loads(bytes(x)), G.wkb_loads(bytes(y)))
+            if x is not None and y is not None
+            else None
+            for x, y in zip(a, b)
+        ]
+    )
+
+
+@pandas_udf(ArrayType(BinaryType()))
+def st_dump(s: pd.Series) -> pd.Series:
+    """Multipart → array of single parts; pair with F.explode (F5)."""
+    return s.map(
+        lambda b: [G.wkb_dumps(p) for p in G.explode(G.wkb_loads(bytes(b)))] if b is not None else None
+    )
+
+
+@pandas_udf(BinaryType())
+def st_envelope(s: pd.Series) -> pd.Series:
+    def f(b):
+        if b is None:
+            return None
+        xmin, ymin, xmax, ymax = G.bounds(G.wkb_loads(bytes(b)))
+        return G.wkb_dumps(G.box(xmin, ymin, xmax, ymax))
+
+    return s.map(f)
+
+
+@pandas_udf(BinaryType())
+def st_convexhull(s: pd.Series) -> pd.Series:
+    def f(b):
+        if b is None:
+            return None
+        import numpy as np
+
+        pts = np.vstack(G._all_coords(G.wkb_loads(bytes(b))))
+        ring = G.convex_hull(pts)
+        if len(ring) < 4:
+            return G.wkb_dumps(G.linestring(ring)) if len(ring) > 1 else G.wkb_dumps(G.point(*ring[0]))
+        return G.wkb_dumps(G.Geom(G.POLYGON, [ring]))
+
+    return s.map(f)
+
+
+@pandas_udf(BinaryType())
+def st_transform_merc(s: pd.Series) -> pd.Series:
+    """EPSG:4326 → EPSG:3395 (world Mercator), pure numpy."""
+    def f(b):
+        if b is None:
+            return None
+        g = G.wkb_loads(bytes(b))
+        return G.wkb_dumps(_map_coords(g, G.mercator_fwd))
+
+    return s.map(f)
+
+
+@pandas_udf(BinaryType())
+def st_transform_merc_inv(s: pd.Series) -> pd.Series:
+    def f(b):
+        if b is None:
+            return None
+        g = G.wkb_loads(bytes(b))
+        return G.wkb_dumps(_map_coords(g, G.mercator_inv))
+
+    return s.map(f)
+
+
+def _map_coords(g: G.Geom, fn) -> G.Geom:
+    k = g.kind
+    if k in (G.POINT,):
+        return G.Geom(k, fn(g.data.reshape(1, 2))[0])
+    if k in (G.LINESTRING, G.MULTIPOINT):
+        return G.Geom(k, fn(g.data))
+    if k in (G.POLYGON, G.MULTILINESTRING):
+        return G.Geom(k, [fn(r) for r in g.data])
+    return G.Geom(k, [[fn(r) for r in rings] for rings in g.data])
+
+
+# --- cell index functions (axis-A core, SURVEY.md §7 step 2) ---------------
+
+
+def st_cells(res: int):
+    """cover(geometry, res) → ARRAY<BIGINT> — build-side cover cells (J1)."""
+
+    @pandas_udf(ArrayType(LongType()))
+    def _f(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda b: [int(c) for c in C.cover(G.wkb_loads(bytes(b)), res)] if b is not None else None
+        )
+
+    return _f
+
+
+def st_cell_point(res: int):
+    """cell_of(x, y) → BIGINT — probe-side single cell (J4 fast path)."""
+
+    @pandas_udf(LongType())
+    def _f(x: pd.Series, y: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series(C.cell_of_xy(np.asarray(x, dtype=float), np.asarray(y, dtype=float), res))
+
+    return _f

@@ -1,0 +1,694 @@
+"""Pure-numpy geometry core: types, WKB/WKT codecs, measures, predicates.
+
+From-scratch replacement for the shapely object model used throughout the
+reference (`prclz/topology.py`, `prclz/_complexity.py`, `prclz/_parcels.py`):
+no GEOS available in this environment, so every primitive is implemented on
+numpy float64 arrays. Geometry travels through Spark as WKB ``BinaryType``
+columns; these codecs are the only (de)serialization boundary, invoked inside
+Arrow-batched pandas UDFs (never per-row Python at the DataFrame level).
+
+Representation
+--------------
+A geometry is a ``Geom(kind, data)`` where ``kind`` is the WKB geometry type
+id and ``data`` is:
+
+========  =================  =======================================
+kind      name               data
+========  =================  =======================================
+1         Point              ``(2,)`` float64 array
+2         LineString         ``(n,2)`` float64 array
+3         Polygon            list of ``(n,2)`` rings (first = outer,
+                             closed: last vertex == first)
+4         MultiPoint         ``(n,2)`` float64 array
+5         MultiLineString    list of ``(n,2)`` arrays
+6         MultiPolygon       list of polygon ring-lists
+========  =================  =======================================
+
+WKB subset: little-endian, 2-D, geometry types 1-7 (GeometryCollection is
+parsed but rarely produced).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+POINT, LINESTRING, POLYGON, MULTIPOINT, MULTILINESTRING, MULTIPOLYGON = 1, 2, 3, 4, 5, 6
+
+_KIND_NAMES = {
+    1: "POINT",
+    2: "LINESTRING",
+    3: "POLYGON",
+    4: "MULTIPOINT",
+    5: "MULTILINESTRING",
+    6: "MULTIPOLYGON",
+}
+_NAME_KINDS = {v: k for k, v in _KIND_NAMES.items()}
+
+
+@dataclass
+class Geom:
+    kind: int
+    data: object
+
+    @property
+    def type_name(self) -> str:
+        return _KIND_NAMES[self.kind]
+
+    def __eq__(self, other) -> bool:  # structural equality (exact floats)
+        if not isinstance(other, Geom) or self.kind != other.kind:
+            return False
+        a, b = self.data, other.data
+        if isinstance(a, np.ndarray):
+            return isinstance(b, np.ndarray) and a.shape == b.shape and bool(np.array_equal(a, b))
+        if len(a) != len(b):
+            return False
+        for pa, pb in zip(a, b):
+            if isinstance(pa, np.ndarray):
+                if not np.array_equal(pa, pb):
+                    return False
+            else:
+                if len(pa) != len(pb) or any(not np.array_equal(ra, rb) for ra, rb in zip(pa, pb)):
+                    return False
+        return True
+
+
+def point(x: float, y: float) -> Geom:
+    return Geom(POINT, np.array([x, y], dtype=np.float64))
+
+
+def linestring(coords) -> Geom:
+    return Geom(LINESTRING, np.asarray(coords, dtype=np.float64).reshape(-1, 2))
+
+
+def _close_ring(ring: np.ndarray) -> np.ndarray:
+    ring = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+    if len(ring) and not np.array_equal(ring[0], ring[-1]):
+        ring = np.vstack([ring, ring[:1]])
+    return ring
+
+
+def polygon(shell, holes=()) -> Geom:
+    rings = [_close_ring(shell)] + [_close_ring(h) for h in holes]
+    return Geom(POLYGON, rings)
+
+
+def multipoint(coords) -> Geom:
+    return Geom(MULTIPOINT, np.asarray(coords, dtype=np.float64).reshape(-1, 2))
+
+
+def multilinestring(lines) -> Geom:
+    return Geom(MULTILINESTRING, [np.asarray(l, dtype=np.float64).reshape(-1, 2) for l in lines])
+
+
+def multipolygon(polys) -> Geom:
+    """polys: list of ring-lists or list of Polygon Geoms."""
+    out = []
+    for p in polys:
+        if isinstance(p, Geom):
+            out.append(p.data)
+        else:
+            out.append([_close_ring(r) for r in p])
+    return Geom(MULTIPOLYGON, out)
+
+
+def box(xmin: float, ymin: float, xmax: float, ymax: float) -> Geom:
+    return polygon([(xmin, ymin), (xmax, ymin), (xmax, ymax), (xmin, ymax), (xmin, ymin)])
+
+
+# ---------------------------------------------------------------------------
+# WKB codec (little-endian 2-D subset)
+# ---------------------------------------------------------------------------
+
+def _wkb_coords(arr: np.ndarray) -> bytes:
+    return struct.pack("<I", len(arr)) + np.ascontiguousarray(arr, dtype="<f8").tobytes()
+
+
+def wkb_dumps(g: Geom) -> bytes:
+    k = g.kind
+    head = struct.pack("<BI", 1, k)
+    if k == POINT:
+        return head + np.asarray(g.data, dtype="<f8").tobytes()
+    if k in (LINESTRING, MULTIPOINT):
+        if k == MULTIPOINT:  # stored flat; WKB nests points
+            pts = g.data
+            body = struct.pack("<I", len(pts)) + b"".join(
+                struct.pack("<BI", 1, POINT) + np.asarray(p, dtype="<f8").tobytes() for p in pts
+            )
+            return head + body
+        return head + _wkb_coords(g.data)
+    if k == POLYGON:
+        return head + struct.pack("<I", len(g.data)) + b"".join(_wkb_coords(r) for r in g.data)
+    if k == MULTILINESTRING:
+        return head + struct.pack("<I", len(g.data)) + b"".join(
+            struct.pack("<BI", 1, LINESTRING) + _wkb_coords(l) for l in g.data
+        )
+    if k == MULTIPOLYGON:
+        parts = []
+        for rings in g.data:
+            parts.append(
+                struct.pack("<BII", 1, POLYGON, len(rings)) + b"".join(_wkb_coords(r) for r in rings)
+            )
+        return head + struct.pack("<I", len(g.data)) + b"".join(parts)
+    raise ValueError(f"unsupported kind {k}")
+
+
+def _read_coords(buf: memoryview, off: int):
+    (n,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    arr = np.frombuffer(buf, dtype="<f8", count=2 * n, offset=off).reshape(n, 2).copy()
+    return arr, off + 16 * n
+
+
+def _wkb_load(buf: memoryview, off: int):
+    byte_order, k = struct.unpack_from("<BI", buf, off)
+    assert byte_order == 1, "big-endian WKB not supported"
+    k &= 0xFF  # strip any SRID/dimension flag bits
+    off += 5
+    if k == POINT:
+        arr = np.frombuffer(buf, dtype="<f8", count=2, offset=off).copy()
+        return Geom(POINT, arr), off + 16
+    if k == LINESTRING:
+        arr, off = _read_coords(buf, off)
+        return Geom(LINESTRING, arr), off
+    if k == POLYGON:
+        (nr,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        rings = []
+        for _ in range(nr):
+            r, off = _read_coords(buf, off)
+            rings.append(r)
+        return Geom(POLYGON, rings), off
+    if k in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, 7):
+        (np_,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        subs = []
+        for _ in range(np_):
+            sub, off = _wkb_load(buf, off)
+            subs.append(sub)
+        if k == MULTIPOINT:
+            return Geom(MULTIPOINT, np.array([s.data for s in subs]).reshape(-1, 2)), off
+        if k == MULTILINESTRING:
+            return Geom(MULTILINESTRING, [s.data for s in subs]), off
+        return Geom(MULTIPOLYGON, [s.data for s in subs]), off
+    raise ValueError(f"unsupported WKB type {k}")
+
+
+def wkb_loads(b: bytes) -> Geom:
+    g, _ = _wkb_load(memoryview(b), 0)
+    return g
+
+
+# ---------------------------------------------------------------------------
+# WKT codec (fixture boundary format, `prclz/utils.py:45-61` convention)
+# ---------------------------------------------------------------------------
+
+def _fmt_xy(p) -> str:
+    return f"{p[0]:.10g} {p[1]:.10g}"
+
+
+def _fmt_seq(arr) -> str:
+    return "(" + ", ".join(_fmt_xy(p) for p in arr) + ")"
+
+
+def wkt_dumps(g: Geom) -> str:
+    k = g.kind
+    if k == POINT:
+        return f"POINT ({_fmt_xy(g.data)})"
+    if k == LINESTRING:
+        return f"LINESTRING {_fmt_seq(g.data)}"
+    if k == POLYGON:
+        return "POLYGON (" + ", ".join(_fmt_seq(r) for r in g.data) + ")"
+    if k == MULTIPOINT:
+        return "MULTIPOINT (" + ", ".join(f"({_fmt_xy(p)})" for p in g.data) + ")"
+    if k == MULTILINESTRING:
+        return "MULTILINESTRING (" + ", ".join(_fmt_seq(l) for l in g.data) + ")"
+    if k == MULTIPOLYGON:
+        return "MULTIPOLYGON (" + ", ".join(
+            "(" + ", ".join(_fmt_seq(r) for r in rings) + ")" for rings in g.data
+        ) + ")"
+    raise ValueError(f"unsupported kind {k}")
+
+
+def _parse_nested(s: str):
+    """Parse the parenthesized coord structure of a WKT body into nested lists."""
+    s = s.strip()
+    if not s.startswith("("):
+        # bare coordinate pair(s)
+        return [float(t) for t in s.replace(",", " ").split()]
+    out, i = [], 1
+    depth_start = None
+    depth = 0
+    buf_start = 1
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c == "(":
+            if depth == 0:
+                depth_start = i
+            depth += 1
+        elif c == ")":
+            if depth == 0:
+                # end of this level: trailing scalar chunk
+                chunk = s[buf_start:i].strip(" ,")
+                if chunk:
+                    for part in chunk.split(","):
+                        part = part.strip()
+                        if part:
+                            out.append([float(t) for t in part.split()])
+                return out
+            depth -= 1
+            if depth == 0:
+                out.append(_parse_nested(s[depth_start : i + 1]))
+                buf_start = i + 1
+        elif depth == 0 and c == ",":
+            chunk = s[buf_start:i].strip(" ,")
+            if chunk:
+                out.append([float(t) for t in chunk.split()])
+            buf_start = i + 1
+        i += 1
+    raise ValueError("unbalanced WKT parens")
+
+
+def wkt_loads(s: str) -> Geom:
+    s = s.strip()
+    head = s.split("(", 1)[0].strip().upper().replace(" Z", "")
+    if "EMPTY" in s.upper():
+        kind = _NAME_KINDS[head]
+        if kind in (POINT, LINESTRING, MULTIPOINT):
+            return Geom(kind, np.zeros((0, 2)))
+        return Geom(kind, [])
+    body = s[s.index("(") :]
+    nested = _parse_nested(body)
+    if head == "POINT":
+        return Geom(POINT, np.asarray(nested[0] if isinstance(nested[0], list) else nested, dtype=np.float64).reshape(2))
+    if head == "LINESTRING":
+        return Geom(LINESTRING, np.asarray(nested, dtype=np.float64).reshape(-1, 2))
+    if head == "POLYGON":
+        return Geom(POLYGON, [_close_ring(np.asarray(r, dtype=np.float64)) for r in nested])
+    if head == "MULTIPOINT":
+        pts = [p[0] if (isinstance(p, list) and isinstance(p[0], list)) else p for p in nested]
+        return Geom(MULTIPOINT, np.asarray(pts, dtype=np.float64).reshape(-1, 2))
+    if head == "MULTILINESTRING":
+        return Geom(MULTILINESTRING, [np.asarray(l, dtype=np.float64).reshape(-1, 2) for l in nested])
+    if head == "MULTIPOLYGON":
+        return Geom(
+            MULTIPOLYGON,
+            [[_close_ring(np.asarray(r, dtype=np.float64)) for r in poly] for poly in nested],
+        )
+    raise ValueError(f"cannot parse WKT: {s[:60]}")
+
+
+# ---------------------------------------------------------------------------
+# Measures
+# ---------------------------------------------------------------------------
+
+def _ring_area(ring: np.ndarray) -> float:
+    """Signed shoelace area (matches `prclz/topology.py:144-168`)."""
+    x, y = ring[:, 0], ring[:, 1]
+    return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+
+
+def area(g: Geom) -> float:
+    if g.kind == POLYGON:
+        return abs(_ring_area(g.data[0])) - sum(abs(_ring_area(r)) for r in g.data[1:])
+    if g.kind == MULTIPOLYGON:
+        return sum(area(Geom(POLYGON, rings)) for rings in g.data)
+    return 0.0
+
+
+def length(g: Geom) -> float:
+    def _l(arr):
+        d = np.diff(arr, axis=0)
+        return float(np.sum(np.hypot(d[:, 0], d[:, 1])))
+
+    if g.kind == LINESTRING:
+        return _l(g.data)
+    if g.kind == MULTILINESTRING:
+        return sum(_l(l) for l in g.data)
+    if g.kind == POLYGON:
+        return sum(_l(r) for r in g.data)
+    if g.kind == MULTIPOLYGON:
+        return sum(sum(_l(r) for r in rings) for rings in g.data)
+    return 0.0
+
+
+def centroid(g: Geom) -> np.ndarray:
+    """Area centroid for polygons (shoelace, `prclz/topology.py:150-168`),
+    length-weighted for lines, mean for points."""
+    if g.kind == POINT:
+        return np.asarray(g.data, dtype=np.float64)
+    if g.kind == MULTIPOINT:
+        return g.data.mean(axis=0)
+    if g.kind in (LINESTRING, MULTILINESTRING):
+        lines = [g.data] if g.kind == LINESTRING else g.data
+        tot_w, acc = 0.0, np.zeros(2)
+        for arr in lines:
+            d = np.diff(arr, axis=0)
+            w = np.hypot(d[:, 0], d[:, 1])
+            mid = 0.5 * (arr[:-1] + arr[1:])
+            acc += (w[:, None] * mid).sum(axis=0)
+            tot_w += w.sum()
+        if tot_w == 0:
+            return np.mean(np.vstack(lines), axis=0)
+        return acc / tot_w
+    if g.kind in (POLYGON, MULTIPOLYGON):
+        polys = [g.data] if g.kind == POLYGON else g.data
+        tot_a, acc = 0.0, np.zeros(2)
+        for rings in polys:
+            for i, r in enumerate(rings):
+                x, y = r[:-1, 0], r[:-1, 1]
+                x1, y1 = r[1:, 0], r[1:, 1]
+                cross = x * y1 - x1 * y
+                a = 0.5 * cross.sum()
+                if a == 0:
+                    continue
+                cx = np.sum((x + x1) * cross) / (6 * a)
+                cy = np.sum((y + y1) * cross) / (6 * a)
+                sign = 1.0 if i == 0 else -1.0
+                acc += sign * abs(a) * np.array([cx, cy])
+                tot_a += sign * abs(a)
+        if tot_a == 0:
+            return np.mean(np.vstack([r for rings in polys for r in rings]), axis=0)
+        return acc / tot_a
+    raise ValueError(f"centroid of kind {g.kind}")
+
+
+def bounds(g: Geom) -> tuple:
+    arrs = _all_coords(g)
+    allc = np.vstack(arrs)
+    return (
+        float(allc[:, 0].min()),
+        float(allc[:, 1].min()),
+        float(allc[:, 0].max()),
+        float(allc[:, 1].max()),
+    )
+
+
+def _all_coords(g: Geom):
+    k = g.kind
+    if k == POINT:
+        return [np.asarray(g.data).reshape(1, 2)]
+    if k in (LINESTRING, MULTIPOINT):
+        return [g.data]
+    if k in (POLYGON, MULTILINESTRING):
+        return list(g.data)
+    if k == MULTIPOLYGON:
+        return [r for rings in g.data for r in rings]
+    return []
+
+
+# ---------------------------------------------------------------------------
+# Predicates
+# ---------------------------------------------------------------------------
+
+def point_in_ring(px: float, py: float, ring: np.ndarray) -> bool:
+    """Ray casting; boundary counts as inside."""
+    x0, y0 = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    # on-boundary check
+    dx, dy = x1 - x0, y1 - y0
+    cross = (px - x0) * dy - (py - y0) * dx
+    dot = (px - x0) * dx + (py - y0) * dy
+    seg_len2 = dx * dx + dy * dy
+    on = (np.abs(cross) < 1e-12) & (dot >= -1e-12) & (dot <= seg_len2 + 1e-12)
+    if bool(on.any()):
+        return True
+    cond = (y0 > py) != (y1 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x0 + (py - y0) * dx / dy
+    hits = cond & (px < xint)
+    return bool(np.count_nonzero(hits) % 2 == 1)
+
+
+def point_in_polygon(px: float, py: float, rings) -> bool:
+    if not point_in_ring(px, py, rings[0]):
+        return False
+    for hole in rings[1:]:
+        if point_in_ring(px, py, hole) and not _point_on_ring(px, py, hole):
+            return False
+    return True
+
+
+def _point_on_ring(px, py, ring) -> bool:
+    x0, y0 = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    dx, dy = x1 - x0, y1 - y0
+    cross = (px - x0) * dy - (py - y0) * dx
+    dot = (px - x0) * dx + (py - y0) * dy
+    seg_len2 = dx * dx + dy * dy
+    return bool((((np.abs(cross) < 1e-12) & (dot >= -1e-12) & (dot <= seg_len2 + 1e-12))).any())
+
+
+def contains_point(g: Geom, px: float, py: float) -> bool:
+    if g.kind == POLYGON:
+        return point_in_polygon(px, py, g.data)
+    if g.kind == MULTIPOLYGON:
+        return any(point_in_polygon(px, py, rings) for rings in g.data)
+    raise ValueError("contains_point needs polygonal geometry")
+
+
+def _segments(g: Geom) -> np.ndarray:
+    """All segments as (m, 4) array [x0,y0,x1,y1]."""
+    segs = []
+    for arr in _all_coords(g):
+        if len(arr) >= 2:
+            segs.append(np.hstack([arr[:-1], arr[1:]]))
+    if not segs:
+        return np.zeros((0, 4))
+    return np.vstack(segs)
+
+
+def segments_intersect(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise (broadcast) proper-or-touching segment intersection test.
+
+    a: (m,4), b: (n,4) → (m,n) bool. Vectorized orientation tests.
+    """
+    ax0, ay0, ax1, ay1 = (a[:, i][:, None] for i in range(4))
+    bx0, by0, bx1, by1 = (b[:, i][None, :] for i in range(4))
+
+    def orient(px, py, qx, qy, rx, ry):
+        return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+    d1 = orient(ax0, ay0, ax1, ay1, bx0, by0)
+    d2 = orient(ax0, ay0, ax1, ay1, bx1, by1)
+    d3 = orient(bx0, by0, bx1, by1, ax0, ay0)
+    d4 = orient(bx0, by0, bx1, by1, ax1, ay1)
+    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)) & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
+
+    def on_seg(px, py, qx, qy, rx, ry, d):
+        return (
+            (d == 0)
+            & (np.minimum(px, qx) - 1e-15 <= rx)
+            & (rx <= np.maximum(px, qx) + 1e-15)
+            & (np.minimum(py, qy) - 1e-15 <= ry)
+            & (ry <= np.maximum(py, qy) + 1e-15)
+        )
+
+    touch = (
+        on_seg(ax0, ay0, ax1, ay1, bx0, by0, d1)
+        | on_seg(ax0, ay0, ax1, ay1, bx1, by1, d2)
+        | on_seg(bx0, by0, bx1, by1, ax0, ay0, d3)
+        | on_seg(bx0, by0, bx1, by1, ax1, ay1, d4)
+    )
+    return proper | touch
+
+
+def intersects(a: Geom, b: Geom) -> bool:
+    """DE-9IM `intersects` over the supported kinds (bbox → vertex-in →
+    edge-cross). Semantics match geopandas `sjoin(op='intersects')` usage at
+    `prclz/etl/_split_buildings.py:58`, `prclz/_parcels.py:88`."""
+    axmin, aymin, axmax, aymax = bounds(a)
+    bxmin, bymin, bxmax, bymax = bounds(b)
+    if axmin > bxmax or bxmin > axmax or aymin > bymax or bymin > aymax:
+        return False
+    if a.kind == POINT:
+        return _geom_covers_point(b, a.data[0], a.data[1]) if b.kind in (POLYGON, MULTIPOLYGON) else _point_touches(b, a)
+    if b.kind == POINT:
+        return _geom_covers_point(a, b.data[0], b.data[1]) if a.kind in (POLYGON, MULTIPOLYGON) else _point_touches(a, b)
+    sa, sb = _segments(a), _segments(b)
+    if len(sa) and len(sb) and bool(segments_intersect(sa, sb).any()):
+        return True
+    # containment: any vertex of one inside the other
+    if a.kind in (POLYGON, MULTIPOLYGON):
+        for arr in _all_coords(b):
+            if contains_point(a, arr[0, 0], arr[0, 1]):
+                return True
+    if b.kind in (POLYGON, MULTIPOLYGON):
+        for arr in _all_coords(a):
+            if contains_point(b, arr[0, 0], arr[0, 1]):
+                return True
+    return False
+
+
+def _point_touches(g: Geom, p: Geom) -> bool:
+    px, py = p.data
+    for arr in _all_coords(g):
+        if len(arr) == 1:
+            if arr[0, 0] == px and arr[0, 1] == py:
+                return True
+        elif _point_on_ring(px, py, arr if np.array_equal(arr[0], arr[-1]) else np.vstack([arr, arr[:1]])):
+            # _point_on_ring works on any polyline; avoid fake closing segment
+            segs = np.hstack([arr[:-1], arr[1:]])
+            dx = segs[:, 2] - segs[:, 0]
+            dy = segs[:, 3] - segs[:, 1]
+            cross = (px - segs[:, 0]) * dy - (py - segs[:, 1]) * dx
+            dot = (px - segs[:, 0]) * dx + (py - segs[:, 1]) * dy
+            l2 = dx * dx + dy * dy
+            if bool(((np.abs(cross) < 1e-12) & (dot >= -1e-12) & (dot <= l2 + 1e-12)).any()):
+                return True
+    return False
+
+
+def _geom_covers_point(g: Geom, px, py) -> bool:
+    return contains_point(g, px, py)
+
+
+def contains(a: Geom, b: Geom) -> bool:
+    """a contains b (closed semantics: boundary points count). Used for the
+    parcel⊇building QC check (`prclz/_parcels.py:231-237`)."""
+    if a.kind not in (POLYGON, MULTIPOLYGON):
+        return False
+    for arr in _all_coords(b):
+        for p in arr:
+            if not contains_point(a, p[0], p[1]):
+                return False
+    # no boundary crossing that exits: if all vertices inside and no proper edge
+    # crossings with shell, containment holds for our simple fixtures
+    sa, sb = _segments(a), _segments(b)
+    if len(sa) and len(sb):
+        inter = segments_intersect(sa, sb)
+        if bool(inter.any()):
+            # allow touching (shared boundary) but not proper crossing; approximate
+            # by testing midpoints of b's segments
+            mids = 0.5 * (sb[:, :2] + sb[:, 2:])
+            for m in mids:
+                if not contains_point(a, m[0], m[1]):
+                    return False
+    return True
+
+
+def distance(a: Geom, b: Geom) -> float:
+    """Min Euclidean distance between the two geometries' segment/point sets."""
+    pa = np.vstack(_all_coords(a))
+    pb = np.vstack(_all_coords(b))
+    sa, sb = _segments(a), _segments(b)
+    if len(sa) and len(sb) and bool(segments_intersect(sa, sb).any()):
+        return 0.0
+    if a.kind in (POLYGON, MULTIPOLYGON) and any(contains_point(a, p[0], p[1]) for p in pb[:1]):
+        return 0.0
+    if b.kind in (POLYGON, MULTIPOLYGON) and any(contains_point(b, p[0], p[1]) for p in pa[:1]):
+        return 0.0
+    d = np.inf
+    if len(sb):
+        d = min(d, float(_pts_to_segs(pa, sb).min()))
+    if len(sa):
+        d = min(d, float(_pts_to_segs(pb, sa).min()))
+    if not len(sa) and not len(sb):
+        dd = pa[:, None, :] - pb[None, :, :]
+        d = float(np.sqrt((dd ** 2).sum(-1)).min())
+    return d
+
+
+def _pts_to_segs(pts: np.ndarray, segs: np.ndarray) -> np.ndarray:
+    """(p, s) matrix of point-to-segment distances (vectorized projection,
+    reimplementing `prclz/reblock/_reblock_graph.py:95-181`)."""
+    p = pts[:, None, :]
+    a = segs[None, :, :2]
+    b = segs[None, :, 2:]
+    ab = b - a
+    l2 = (ab ** 2).sum(-1)
+    l2 = np.where(l2 == 0, 1e-300, l2)
+    t = np.clip(((p - a) * ab).sum(-1) / l2, 0.0, 1.0)
+    proj = a + t[..., None] * ab
+    return np.sqrt(((p - proj) ** 2).sum(-1))
+
+
+def nearest_point_on(g: Geom, px: float, py: float):
+    """Closest point of g to (px,py) — `shapely.ops.nearest_points` analogue
+    (`prclz/reblock/_reblock.py:125-130`)."""
+    segs = _segments(g)
+    if not len(segs):
+        pts = np.vstack(_all_coords(g))
+        i = int(np.argmin(((pts - [px, py]) ** 2).sum(1)))
+        return pts[i]
+    d = _pts_to_segs(np.array([[px, py]]), segs)[0]
+    i = int(np.argmin(d))
+    a, b = segs[i, :2], segs[i, 2:]
+    ab = b - a
+    l2 = float((ab ** 2).sum()) or 1e-300
+    t = float(np.clip(np.dot([px, py] - a, ab) / l2, 0.0, 1.0))
+    return a + t * ab
+
+
+def explode(g: Geom):
+    """Multipart → list of single-part Geoms (`prclz/_parcels.py:86`)."""
+    if g.kind == MULTIPOLYGON:
+        return [Geom(POLYGON, rings) for rings in g.data]
+    if g.kind == MULTILINESTRING:
+        return [Geom(LINESTRING, l) for l in g.data]
+    if g.kind == MULTIPOINT:
+        return [Geom(POINT, p.copy()) for p in g.data]
+    return [g]
+
+
+def convex_hull(pts: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain; returns closed ring CCW."""
+    pts = np.unique(np.asarray(pts, dtype=np.float64).reshape(-1, 2), axis=0)
+    if len(pts) <= 2:
+        return pts
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    pts = pts[order]
+
+    def half(seq):
+        out = []
+        for p in seq:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    ring = np.vstack(lower[:-1] + upper[:-1] + [lower[0]])
+    return ring
+
+
+# ---------------------------------------------------------------------------
+# Mercator transform (EPSG:4326 ↔ 3395), `prclz/_parcels.py:34-35,48`
+# ---------------------------------------------------------------------------
+
+_A = 6378137.0
+_E = 0.081819190842621486
+
+
+def mercator_fwd(lonlat: np.ndarray) -> np.ndarray:
+    lon = np.radians(lonlat[..., 0])
+    lat = np.radians(lonlat[..., 1])
+    x = _A * lon
+    es = _E * np.sin(lat)
+    y = _A * np.log(np.tan(np.pi / 4 + lat / 2) * ((1 - es) / (1 + es)) ** (_E / 2))
+    return np.stack([x, y], axis=-1)
+
+
+def mercator_inv(xy: np.ndarray) -> np.ndarray:
+    lon = xy[..., 0] / _A
+    t = np.exp(-xy[..., 1] / _A)
+    lat = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(8):  # fixed-point iteration for ellipsoidal latitude
+        es = _E * np.sin(lat)
+        lat = np.pi / 2 - 2 * np.arctan(t * ((1 - es) / (1 + es)) ** (_E / 2))
+    return np.stack([np.degrees(lon), np.degrees(lat)], axis=-1)
+
+
+def haversine_m(lon0, lat0, lon1, lat1):
+    """Geodesic distance in meters (`prclz/reblock/_reblock_graph.py:76-82`)."""
+    r = 6371008.8
+    p0, p1 = math.radians(lat0), math.radians(lat1)
+    dp = p1 - p0
+    dl = math.radians(lon1 - lon0)
+    a = math.sin(dp / 2) ** 2 + math.cos(p0) * math.cos(p1) * math.sin(dl / 2) ** 2
+    return 2 * r * math.asin(math.sqrt(a))
