@@ -1,0 +1,609 @@
+"""Planar-graph kernels: noding, face tracing, weak dual, Voronoi, clipping.
+
+Per-block computational geometry that runs INSIDE `applyInPandas` groups —
+never at DataFrame granularity. Reimplements, from scratch on
+numpy + networkx (no shapely/GEOS, no rtree, no pytess in this environment),
+the semantics of:
+
+* `PlanarGraph.from_polygons`     — /root/reference/prclz/topology.py:189-212
+* `PlanarGraph.get_embedding`     — topology.py:305-313 (atan2(dx, dy) order)
+* `PlanarGraph.trace_faces`       — topology.py:315-354 ("Algorithm from
+                                    SAGE": walk directed half-edges via the
+                                    rotation system; largest face = outer)
+* `PlanarGraph.weak_dual`         — topology.py:356-375. NOTE: the
+  reference's adjacency test is `shared undirected edge OR (intersects ∧
+  touches ∧ intersection ≠ Point)` between edge segments; for straight
+  segments the second disjunct is unsatisfiable (a non-point intersection of
+  two segments implies overlapping interiors, so `touches` is False), so the
+  effective semantics — reproduced here — is: two faces are adjacent iff
+  they share an identical undirected edge; and every face is adjacent to
+  itself (the rtree `nearest` candidate list includes the query face), so
+  every dual node carries a self-loop. Both details matter for the
+  weak-dual sequence length.
+* Voronoi s0 approximation        — /root/reference/prclz/_complexity.py:16-45
+  (pytess.voronoi → keep non-boundary anchors with >2 vertices → intersect
+  with block → on multi-part keep the part containing the anchor)
+* weak-dual sequence / k-index    — _complexity.py:57-68
+  (k = len(sequence) - 1)
+
+Voronoi here is exact half-plane clipping (each anchor's cell = bounding box
+clipped by the perpendicular bisector against every other anchor) — O(n²)
+per block, deterministic, and convex by construction; pytess's
+Fortune-sweep output for the same sites is the same diagram.
+"""
+
+from __future__ import annotations
+
+import math
+from itertools import chain
+
+import networkx as nx
+import numpy as np
+
+QUANTUM = 1e-9  # coordinate snap for node identity during noding
+
+
+# ---------------------------------------------------------------------------
+# Noding: split segments at their intersection points
+# ---------------------------------------------------------------------------
+
+def _snap(v: float) -> float:
+    return round(v / QUANTUM) * QUANTUM
+
+
+def node_segments(segs: np.ndarray) -> list:
+    """segs (m,4) → list of (x0,y0,x1,y1) pieces split at all crossings.
+
+    The arrangement step that `shapely.ops.polygonize` performs implicitly
+    for the reference (`prclz/blocks/_methods.py:85`)."""
+    m = len(segs)
+    if m == 0:
+        return []
+    cuts: list[list[float]] = [[] for _ in range(m)]
+    p = segs[:, :2]
+    q = segs[:, 2:]
+    d = q - p
+    for i in range(m):
+        # vectorized intersection of segment i against j>i
+        js = np.arange(i + 1, m)
+        if not len(js):
+            continue
+        ri = d[i]
+        rj = d[js]
+        denom = ri[0] * rj[:, 1] - ri[1] * rj[:, 0]
+        dp = p[js] - p[i]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (dp[:, 0] * rj[:, 1] - dp[:, 1] * rj[:, 0]) / denom
+            u = (dp[:, 0] * ri[1] - dp[:, 1] * ri[0]) / denom
+        ok = (denom != 0) & (t >= -1e-12) & (t <= 1 + 1e-12) & (u >= -1e-12) & (u <= 1 + 1e-12)
+        for idx, j in enumerate(js):
+            if not ok[idx]:
+                # collinear overlap: cut at each other's endpoints projected
+                if denom[idx] == 0 and (dp[idx, 0] * ri[1] - dp[idx, 1] * ri[0]) == 0:
+                    li2 = float(ri @ ri)
+                    lj2 = float(rj[idx] @ rj[idx])
+                    if li2 > 0:
+                        for pt in (p[j], q[j]):
+                            tt = float((pt - p[i]) @ ri) / li2
+                            if 1e-12 < tt < 1 - 1e-12:
+                                cuts[i].append(tt)
+                    if lj2 > 0:
+                        for pt in (p[i], q[i]):
+                            uu = float((pt - p[j]) @ rj[idx]) / lj2
+                            if 1e-12 < uu < 1 - 1e-12:
+                                cuts[j].append(uu)
+                continue
+            tt = float(np.clip(t[idx], 0, 1))
+            uu = float(np.clip(u[idx], 0, 1))
+            if 1e-12 < tt < 1 - 1e-12:
+                cuts[i].append(tt)
+            if 1e-12 < uu < 1 - 1e-12:
+                cuts[j].append(uu)
+    pieces = []
+    for i in range(m):
+        ts = sorted(set([0.0, 1.0] + cuts[i]))
+        for a, b in zip(ts[:-1], ts[1:]):
+            x0, y0 = p[i] + a * d[i]
+            x1, y1 = p[i] + b * d[i]
+            x0, y0, x1, y1 = _snap(x0), _snap(y0), _snap(x1), _snap(y1)
+            if (x0, y0) != (x1, y1):
+                pieces.append((x0, y0, x1, y1))
+    return pieces
+
+
+# ---------------------------------------------------------------------------
+# Planar graph + rotation-system face tracing
+# ---------------------------------------------------------------------------
+
+def graph_from_segments(pieces) -> nx.Graph:
+    g = nx.Graph()
+    for x0, y0, x1, y1 in pieces:
+        a, b = (x0, y0), (x1, y1)
+        if a != b:
+            g.add_edge(a, b)
+    return g
+
+
+SNAP = 1e-8  # ~1 mm in degrees: merges vertices that pytess/GEOS would share
+             # exactly but our per-cell half-plane clipping computes twice
+
+
+def _cluster_vertices(pts: np.ndarray, eps: float) -> np.ndarray:
+    """Union-find over eps-close vertices → index of representative per row.
+    Grid-bucket candidate generation (checking the 3×3 neighborhood) makes
+    it O(n) and free of round()-boundary artifacts."""
+    n = len(pts)
+    parent = np.arange(n)
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    buckets: dict[tuple, list] = {}
+    keys = np.floor(pts / eps).astype(np.int64)
+    for i, (kx, ky) in enumerate(keys):
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                lst = buckets.get((kx + dx, ky + dy))
+                if lst:
+                    for j in lst:
+                        if abs(pts[j, 0] - pts[i, 0]) <= eps and abs(pts[j, 1] - pts[i, 1]) <= eps:
+                            ri, rj = find(i), find(j)
+                            if ri != rj:
+                                parent[ri] = rj
+        buckets.setdefault((int(kx), int(ky)), []).append(i)
+    return np.array([find(i) for i in range(n)])
+
+
+def graph_from_rings(rings, eps: float = SNAP) -> nx.Graph:
+    """Rings share nodes by coordinate identity — the node-dedup behavior of
+    `PlanarGraph.from_polygons` (topology.py:193-204). pytess emits each
+    shared Voronoi vertex once (exact float match); our cells are clipped
+    independently, so eps-close vertices are clustered to a representative
+    to restore the shared-node property."""
+    if not rings:
+        return nx.Graph()
+    all_pts = np.vstack([np.asarray(r, dtype=np.float64) for r in rings])
+    rep = _cluster_vertices(all_pts, eps)
+    canon = [
+        (float(all_pts[rep[i], 0]), float(all_pts[rep[i], 1])) for i in range(len(all_pts))
+    ]
+    g = nx.Graph()
+    off = 0
+    for ring in rings:
+        m = len(ring)
+        for i in range(m - 1):
+            a = canon[off + i]
+            b = canon[off + i + 1]
+            if a != b:
+                g.add_edge(a, b)
+        off += m
+    return g
+
+
+def rotation_embedding(g: nx.Graph) -> dict:
+    """Neighbors of each node sorted by atan2(dx, dy) — the exact key the
+    reference uses (topology.py:305-313; note x-first atan2)."""
+    return {
+        node: sorted(
+            g.neighbors(node),
+            key=lambda nb, node=node: math.atan2(nb[0] - node[0], nb[1] - node[1]),
+        )
+        for node in g.nodes()
+    }
+
+
+def trace_faces(g: nx.Graph) -> list:
+    """All faces as directed-edge cycles; the caller drops the outer face.
+
+    Deterministic variant of the reference's SAGE walk (topology.py:315-354):
+    same successor rule (next neighbor after the reverse edge in rotation
+    order), but the seed edges come from a sorted list rather than `set.pop`
+    — the face decomposition is identical, only discovery order differs."""
+    if g.number_of_nodes() < 2:
+        return []
+    emb = rotation_embedding(g)
+    directed = set()
+    for u, v in g.edges():
+        directed.add((u, v))
+        directed.add((v, u))
+    order = sorted(directed)
+    faces = []
+    used = set()
+    for seed in order:
+        if seed in used:
+            continue
+        face = [seed]
+        used.add(seed)
+        budget = 2 * len(directed) + 4
+        while budget:
+            budget -= 1
+            prev, cur = face[-1]
+            nbrs = emb[cur]
+            nxt = nbrs[(nbrs.index(prev) + 1) % len(nbrs)]
+            cand = (cur, nxt)
+            if cand == face[0]:
+                break
+            face.append(cand)
+            used.add(cand)
+        faces.append(face)
+    return faces
+
+
+def inner_faces(g: nx.Graph) -> list:
+    """Faces minus the outer sphere (largest edge count, topology.py:345-346)."""
+    faces = trace_faces(g)
+    if not faces:
+        return []
+    faces = sorted(faces, key=len)
+    return faces[:-1]
+
+
+def face_ring(face) -> np.ndarray:
+    """Directed-edge cycle → closed coordinate ring."""
+    pts = [e[0] for e in face] + [face[0][0]]
+    return np.asarray(pts, dtype=np.float64)
+
+
+def face_area(face) -> float:
+    r = face_ring(face)
+    x, y = r[:, 0], r[:, 1]
+    return 0.5 * abs(float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1])))
+
+
+def face_centroid(face) -> tuple:
+    """Shoelace centroid with the reference's small-area fallback to the
+    vertex mean (topology.py:144-168, |2A| < 0.02 threshold)."""
+    acc_a2 = acc_cx = acc_cy = 0.0
+    for (x0, y0), (x1, y1) in face:
+        cr = x0 * y1 - x1 * y0
+        acc_a2 += cr
+        acc_cx += (x0 + x1) * cr
+        acc_cy += (y0 + y1) * cr
+    if abs(acc_a2) < 0.02:
+        nodes = sorted({e[0] for e in face} | {e[1] for e in face})
+        n = len(nodes)
+        return (sum(p[0] for p in nodes) / n, sum(p[1] for p in nodes) / n)
+    a6 = 3.0 * acc_a2
+    return (acc_cx / a6, acc_cy / a6)
+
+
+def face_undirected_edges(face) -> set:
+    return {frozenset(e) for e in face if e[0] != e[1]} | {
+        (e[0],) for e in face if e[0] == e[1]
+    }
+
+
+def weak_dual(g: nx.Graph) -> nx.Graph:
+    """Weak dual over inner faces (topology.py:356-375): node per face
+    centroid, edge iff two DISTINCT faces share an undirected edge.
+
+    Two semantics notes, both validated against the golden DJI fixture
+    (`example_data/complexity/.../complexity_DJI.1.1_1.csv`):
+    * nodes exist only via `add_edge` — an isolated face (sharing no edge
+      with any other face) contributes NO dual node, exactly as nx.Graph
+      `add_edge`-only construction behaves in the reference; a block with a
+      single parcel therefore has an EMPTY s1 and k=0.
+    * no self-pairs: although the checked-in weak_dual would also compare a
+      face with itself via the rtree nearest list, a self-loop per face
+      would make the sequence non-terminating, which contradicts the
+      fixture; the fixture was produced without self-adjacency.
+    """
+    dual = nx.Graph()
+    faces = inner_faces(g)
+    edge_sets = [face_undirected_edges(f) for f in faces]
+    cents = [face_centroid(f) for f in faces]
+    for i in range(len(faces)):
+        for j in range(i + 1, len(faces)):
+            if edge_sets[i] & edge_sets[j]:
+                dual.add_edge(cents[i], cents[j])
+    return dual
+
+
+def weak_dual_sequence_len(g0: nx.Graph, max_k: int = 64) -> int:
+    """k-index: iterate weak duals until the graph is empty; k = number of
+    non-empty duals (== len(sequence)-1 of `_complexity.py:57-68`)."""
+    g = g0
+    k = 0
+    while g.number_of_nodes() > 0 and k < max_k:
+        g = weak_dual(g)
+        if g.number_of_nodes() == 0:
+            break
+        k += 1
+    return k
+
+
+# ---------------------------------------------------------------------------
+# Convex clipping + half-plane Voronoi
+# ---------------------------------------------------------------------------
+
+def clip_halfplane(ring: np.ndarray, a: float, b: float, c: float) -> np.ndarray:
+    """Sutherland–Hodgman step: keep points with a*x + b*y <= c.
+    ring: open or closed (n,2); returns closed ring or empty array.
+    (a,b) is normalized so the tolerance is in coordinate units."""
+    norm = math.hypot(a, b)
+    if norm == 0:
+        return ring
+    a, b, c = a / norm, b / norm, c / norm
+    eps = 1e-12
+    pts = ring[:-1] if len(ring) > 1 and np.array_equal(ring[0], ring[-1]) else ring
+    out = []
+    n = len(pts)
+    for i in range(n):
+        p = pts[i]
+        q = pts[(i + 1) % n]
+        dp = a * p[0] + b * p[1] - c
+        dq = a * q[0] + b * q[1] - c
+        pin = dp <= eps
+        qin = dq <= eps
+        if pin:
+            out.append(p)
+        if pin != qin:
+            t = dp / (dp - dq)
+            out.append(p + t * (q - p))
+    if len(out) < 3:
+        return np.zeros((0, 2))
+    out.append(out[0])
+    return np.asarray(out)
+
+
+def split_ring_parts(ring: np.ndarray, eps: float = 1e-12) -> list:
+    """Split a possibly-degenerate ring (as produced by S-H clipping of a
+    concave subject: sub-parts connected by zero-width bridges through
+    repeated vertices) into simple sub-rings, mirroring the MultiPolygon
+    that GEOS `intersection` would return (`_complexity.py:38-42`)."""
+    pts = ring[:-1] if len(ring) > 1 and np.array_equal(ring[0], ring[-1]) else ring
+    # remove consecutive duplicates
+    keep = [0]
+    for i in range(1, len(pts)):
+        if abs(pts[i][0] - pts[keep[-1]][0]) > eps or abs(pts[i][1] - pts[keep[-1]][1]) > eps:
+            keep.append(i)
+    if len(keep) > 1 and abs(pts[keep[0]][0] - pts[keep[-1]][0]) <= eps and abs(pts[keep[0]][1] - pts[keep[-1]][1]) <= eps:
+        keep.pop()
+    pts = pts[keep]
+    n = len(pts)
+    if n < 3:
+        return []
+    # stack-based loop extraction at repeated vertices
+    out = []
+    stack: list[tuple] = []
+    index: dict[tuple, int] = {}
+    for i in range(n + 1):
+        key = (round(pts[i % n][0] / max(eps, 1e-300)), round(pts[i % n][1] / max(eps, 1e-300)))
+        if key in index and i < n + 1:
+            j = index[key]
+            loop = stack[j:]
+            if len(loop) >= 3:
+                sub = np.asarray([p for (_, p) in loop] + [loop[0][1]])
+                out.append(sub)
+            # unwind
+            for (k2, _) in loop:
+                index.pop(k2, None)
+            stack = stack[:j]
+            if i < n:
+                index[key] = len(stack)
+                stack.append((key, pts[i % n]))
+        elif i < n:
+            index[key] = len(stack)
+            stack.append((key, pts[i % n]))
+    if len(stack) >= 3:
+        out.append(np.asarray([p for (_, p) in stack] + [stack[0][1]]))
+    return [r for r in out if _abs_ring_area(r) > 0.0]
+
+
+def _abs_ring_area(r: np.ndarray) -> float:
+    x, y = r[:, 0], r[:, 1]
+    return 0.5 * abs(float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1])))
+
+
+def clip_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
+    """Clip (possibly concave) subject ring by convex clip ring (S-H).
+    Both closed rings; returns closed ring (or empty). Reproduces the
+    `cell.intersection(block)` of `_complexity.py:33` for convex cells."""
+    # ensure clip is CCW
+    x, y = clip[:, 0], clip[:, 1]
+    if 0.5 * np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]) < 0:
+        clip = clip[::-1]
+    out = subject
+    for i in range(len(clip) - 1):
+        p, q = clip[i], clip[i + 1]
+        # inside = left of p→q: (q-p) × (r-p) >= 0  →  a*x+b*y<=c form
+        a = q[1] - p[1]
+        b = -(q[0] - p[0])
+        c = a * p[0] + b * p[1]
+        out = clip_halfplane(out, a, b, c)
+        if len(out) == 0:
+            return out
+    return out
+
+
+def voronoi_cells(anchors: np.ndarray, bbox: tuple, pad: float = 1.0) -> list:
+    """Exact Voronoi cell per anchor, clipped to the padded bbox.
+
+    Returns list of closed convex rings aligned with `anchors` rows (empty
+    ring if degenerate). Duplicate anchors yield empty cells (their
+    bisector test eliminates everything) except the first occurrence."""
+    anchors = np.asarray(anchors, dtype=np.float64).reshape(-1, 2)
+    xmin, ymin, xmax, ymax = bbox
+    w = max(xmax - xmin, ymax - ymin, 1e-12) * pad
+    base = np.array(
+        [
+            [xmin - w, ymin - w],
+            [xmax + w, ymin - w],
+            [xmax + w, ymax + w],
+            [xmin - w, ymax + w],
+            [xmin - w, ymin - w],
+        ]
+    )
+    seen: dict[tuple, int] = {}
+    cells = []
+    for i, (px, py) in enumerate(anchors):
+        key = (px, py)
+        if key in seen:
+            cells.append(np.zeros((0, 2)))
+            continue
+        seen[key] = i
+        ring = base
+        for j, (qx, qy) in enumerate(anchors):
+            if j == i or (qx == px and qy == py):
+                continue
+            # half-plane closer to p than q: 2(q-p)·r <= |q|²-|p|²
+            a = 2 * (qx - px)
+            b = 2 * (qy - py)
+            c = qx * qx + qy * qy - px * px - py * py
+            ring = clip_halfplane(ring, a, b, c)
+            if len(ring) == 0:
+                break
+        cells.append(ring)
+    return cells
+
+
+def voronoi_pytess(anchors: np.ndarray) -> list:
+    """Voronoi decomposition with pytess's exact framing (the library the
+    reference calls at `_complexity.py:27`): duplicate anchors removed; four
+    dummy corner points at the anchor bbox buffered by 100% absorb the
+    unbounded cells (their cells are returned by pytess with anchor=None and
+    dropped by the reference's `if anchor` filter — equivalently we clip
+    each real cell against the corner anchors and never emit corner cells);
+    every cell clipped to the buffered bbox. Fewer than 2 distinct anchors
+    → empty decomposition (pytess's Delaunay degenerates), which is what
+    makes single-building blocks come out at k=0 in the golden fixture.
+
+    Returns list of (anchor_xy, closed convex ring)."""
+    anchors = np.asarray(anchors, dtype=np.float64).reshape(-1, 2)
+    uniq = []
+    seen = set()
+    for x, y in anchors:
+        key = (float(x), float(y))
+        if key not in seen:
+            seen.add(key)
+            uniq.append(key)
+    if len(uniq) < 2:
+        return []
+    pts = np.asarray(uniq)
+    xmin, ymin = pts.min(axis=0)
+    xmax, ymax = pts.max(axis=0)
+    xbuff = (xmax - xmin)  # buffer_percent=100
+    ybuff = (ymax - ymin)
+    corners = np.array(
+        [
+            [xmin - xbuff, ymin - ybuff],
+            [xmax + xbuff, ymin - ybuff],
+            [xmax + xbuff, ymax + ybuff],
+            [xmin - xbuff, ymax + ybuff],
+        ]
+    )
+    allp = np.vstack([pts, corners])
+    box = np.array(
+        [
+            [xmin - xbuff, ymin - ybuff],
+            [xmax + xbuff, ymin - ybuff],
+            [xmax + xbuff, ymax + ybuff],
+            [xmin - xbuff, ymax + ybuff],
+            [xmin - xbuff, ymin - ybuff],
+        ]
+    )
+    out = []
+    for i, (px, py) in enumerate(pts):
+        ring = box
+        for j, (qx, qy) in enumerate(allp):
+            if j == i or (qx == px and qy == py):
+                continue
+            a = 2 * (qx - px)
+            b = 2 * (qy - py)
+            c = qx * qx + qy * qy - px * px - py * py
+            ring = clip_halfplane(ring, a, b, c)
+            if len(ring) == 0:
+                break
+        if len(ring):
+            out.append(((px, py), ring))
+    return out
+
+
+def s0_graph(block_ring: np.ndarray, centroids: np.ndarray, boundary_set=None) -> nx.Graph:
+    """The s0 approximation (`_complexity.py:16-45`): Voronoi cells of the
+    building centroids, each intersected with the block, fed to a planar
+    graph with shared-vertex node dedup. Anchors on the block boundary and
+    degenerate (≤2-vertex) cells are dropped, as in the reference."""
+    centroids = np.asarray(centroids, dtype=np.float64).reshape(-1, 2)
+    if boundary_set is None:
+        boundary_set = {(float(x), float(y)) for x, y in block_ring}
+    rings = []
+    from .. import geom as _G
+
+    for (cx, cy), cell in voronoi_pytess(centroids):
+        if (cx, cy) in boundary_set or len(cell) <= 3:
+            continue
+        inter = clip_convex(block_ring, cell)
+        if len(inter) < 4:
+            continue
+        parts = split_ring_parts(inter)
+        if len(parts) <= 1:
+            rings.append(inter if not parts else parts[0])
+        else:
+            # multi-part intersection: keep the part containing the anchor
+            # (`_complexity.py:40-42`), None if no part contains it
+            for part in parts:
+                if _G.point_in_ring(cx, cy, part):
+                    rings.append(part)
+                    break
+    return graph_from_rings(rings)
+
+
+def block_complexity(block_ring: np.ndarray, centroids: np.ndarray) -> int:
+    """K3+K6-K10 composed: k-complexity of one block (`_complexity.py:57-97`)."""
+    g0 = s0_graph(block_ring, centroids)
+    if g0.number_of_nodes() == 0:
+        return 0
+    return weak_dual_sequence_len(g0)
+
+
+# ---------------------------------------------------------------------------
+# Polygonize: linework → block faces (K1/K2 semantics)
+# ---------------------------------------------------------------------------
+
+def polygonize_region(region_ring: np.ndarray, line_arrays: list) -> list:
+    """Street blocks of one region: faces of the noded arrangement of
+    (region boundary + streets), keeping faces inside the region.
+
+    Semantics follow the reference's block extraction
+    (`prclz/blocks/_methods.py:17-40` BufferedLineDifference with ε→0, i.e.
+    its own alternative `IntersectionPolygonization` `:43-106`): the ε-buffer
+    only narrows blocks by ~5e-6°, which we deliberately omit — block
+    identity, counts and PIP assignments are unchanged.
+
+    Returns list of closed rings ordered by (miny, minx, area) of the face —
+    a deterministic enumeration for `block_id = f"{gadm}_{i}"`
+    (`prclz/blocks/_extract_blocks.py:35-37`)."""
+    segs = []
+    r = np.asarray(region_ring, dtype=np.float64)
+    segs.append(np.hstack([r[:-1], r[1:]]))
+    for arr in line_arrays:
+        arr = np.asarray(arr, dtype=np.float64)
+        if len(arr) >= 2:
+            segs.append(np.hstack([arr[:-1], arr[1:]]))
+    segs = np.vstack(segs)
+    pieces = node_segments(segs)
+    g = graph_from_segments(pieces)
+    # dangling edges (degree-1 chains) don't bound faces; prune iteratively
+    while True:
+        leaves = [n for n in g.nodes() if g.degree(n) <= 1]
+        if not leaves:
+            break
+        g.remove_nodes_from(leaves)
+    faces = inner_faces(g)
+    out = []
+    from .. import geom as G
+
+    region_geom = G.Geom(G.POLYGON, [r])
+    for f in faces:
+        ring = face_ring(f)
+        if face_area(f) <= 0:
+            continue
+        cx, cy = face_centroid(f)
+        if G.contains_point(region_geom, cx, cy):
+            out.append(ring)
+    out.sort(key=lambda rr: (rr[:, 1].min(), rr[:, 0].min(), -len(rr)))
+    return out
