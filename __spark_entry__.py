@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship: the prclz pipeline (street-block extraction →
+building PIP assignment → k-complexity) on the deterministic synthetic geo
+world, returning the complexity table (SURVEY.md §3.2).
+
+`queries()` / `oracle_sql()` — one entry per implemented operator from
+SURVEY.md §2, DuckDB-oracle-checked at sf0.01 where SQL-expressible.
+Spatial operators are oracle-checked too: geometry is derived
+deterministically from the relational tables (points from customer/supplier
+keys, polygons as closed-form rectangles), so the cover-cell join engine's
+output can be compared against brute-force inequality joins in ANSI SQL.
+Geo-kernel and image queries without a SQL equivalent are rows-only.
 """
 
 from __future__ import annotations
@@ -12,27 +18,613 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# deterministic point derivation (identical DOUBLE arithmetic in Spark and
+# DuckDB — everything cast explicitly so neither engine picks DECIMAL):
+#   x = 10.0 + (key*37 % 600)/10000 ;  y = 10.0 + (key*73 % 600)/10000
+_PTS_X = "CAST(10.0 AS DOUBLE) + CAST((%s * 37) %% 600 AS DOUBLE) / CAST(10000 AS DOUBLE)"
+_PTS_Y = "CAST(10.0 AS DOUBLE) + CAST((%s * 73) %% 600 AS DOUBLE) / CAST(10000 AS DOUBLE)"
+
+# 2×2 rectangle grid over the point box, edges at 10.0/10.03/10.06
+_BOXES = [
+    (0, 10.0, 10.0, 10.03, 10.03),
+    (1, 10.03, 10.0, 10.06, 10.03),
+    (2, 10.0, 10.03, 10.03, 10.06),
+    (3, 10.03, 10.03, 10.06, 10.06),
+]
+_BOX_SQL = "(VALUES " + ", ".join(
+    f"({g}, {x0}, {y0}, {x1}, {y1})" for g, x0, y0, x1, y1 in _BOXES
+) + ") AS b(gid, xmin, ymin, xmax, ymax)"
+
+_GEO_RES = 14  # ~0.022° cells over the 0.06° fixture box
+
+
+def _points_df(
+    spark: SparkSession, sf_dir: str, table: str, key: str, alias: str = "pid"
+) -> DataFrame:
+    df = _load(spark, sf_dir, table)
+    return df.select(
+        F.col(key).alias(alias),
+        F.expr(_PTS_X % key).alias("x"),
+        F.expr(_PTS_Y % key).alias("y"),
+    )
+
+
+def _boxes_df(spark: SparkSession) -> DataFrame:
+    from prclz_spark import geom as G
+
+    rows = [(g, G.wkb_dumps(G.box(x0, y0, x1, y1))) for g, x0, y0, x1, y1 in _BOXES]
+    return spark.createDataFrame(rows, "gid long, geometry binary")
+
+
+# --------------------------------------------------------------------------
+# entry
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: blocks → PIP → k-complexity on the synthetic geo world."""
+    from prclz_spark import cells as C
+    from prclz_spark import fixtures as FX
+    from prclz_spark.functions.st import st_aswkt
+    from prclz_spark.operators.blocks import extract_blocks
+    from prclz_spark.operators.complexity import k_complexity
 
+    lines, gadm, bldgs = FX.geo_world(spark, 6, 6)
+    res = C.choose_resolution(*FX.grid_params(6, 6), n_features=144)
+    blocks = extract_blocks(lines, gadm, res)
+    kdf = k_complexity(blocks, bldgs, res)
+    return kdf.select(
+        "block_id",
+        st_aswkt(F.col("geometry")).alias("geometry"),
+        "complexity",
+        st_aswkt(F.col("centroids_multipoint")).alias("centroids_multipoint"),
+    )
+
+
+# --------------------------------------------------------------------------
+# relational queries (SURVEY.md §2 operator ids in comments)
+# --------------------------------------------------------------------------
+
+def _q_pricing_summary(spark, sf_dir):  # A1/A6/A7 aggregation suite
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q_join_left_notnull(spark, sf_dir):  # J6 + F1
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "left")
+        .filter(F.col("c_name").isNotNull())
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+def _q_multiway_join(spark, sf_dir):  # J6/J7 chain with broadcast dims
+    li = _load(spark, sf_dir, "lineitem")
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer")
+    n = _load(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def _q_topk_global(spark, sf_dir):  # O2 sort+limit
+    o = _load(spark, sf_dir, "orders")
+    return o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc()).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).limit(20)
+
+
+def _q_window_topk(spark, sf_dir):  # O1 per-group top-k window
+    from pyspark.sql import Window
+
+    o = _load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "rank")
+    )
+
+
+def _q_collect_sorted(spark, sf_dir):  # A1 collect_list → deterministic string
+    o = _load(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_custkey") < 50)
+        .groupBy("o_custkey")
+        .agg(
+            F.concat_ws(
+                ",", F.transform(F.array_sort(F.collect_list("o_orderkey")), lambda x: x.cast("string"))
+            ).alias("orderkeys")
+        )
+    )
+
+
+def _q_anti_join(spark, sf_dir):  # ledger resume anti-join (SURVEY §4.4)
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    return (
+        o.join(c.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _q_semi_join(spark, sf_dir):
+    o = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        o.join(li.select(F.col("l_orderkey").alias("o_orderkey")), "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _q_dedup_rows(spark, sf_dir):  # F8 dropDuplicates
+    o = _load(spark, sf_dir, "orders")
+    return o.select("o_custkey", "o_orderstatus").dropDuplicates().groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_distinct_cust")
+    )
+
+
+def _q_argmax_window(spark, sf_dir):  # A6 argmax per group
+    from pyspark.sql import Window
+
+    c = _load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_nationkey", "c_custkey", "c_acctbal")
+    )
+
+
+def _q_union_all(spark, sf_dir):  # F6
+    c = _load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"), F.lit("c").alias("src"))
+    s = _load(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("key"), F.lit("s").alias("src"))
+    return c.unionByName(s).groupBy("src").agg(F.count("*").alias("n"), F.sum("key").alias("keysum"))
+
+
+def _q_explode_embeddings(spark, sf_dir):  # F5 multipart explode analogue
+    e = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select("vec_id", "pos", F.round(F.col("val").cast("double"), 5).alias("val"))
+
+
+def _q_events_hourly(spark, sf_dir):  # streaming rollup, batch oracle
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# spatial queries with closed-form SQL oracles
+# --------------------------------------------------------------------------
+
+def _q_pip_join(spark, sf_dir):  # J4 flagship PIP via cover-cell engine
+    from prclz_spark.operators.sjoin import pip_join
+
+    pts = _points_df(spark, sf_dir, "customer", "c_custkey")
+    boxes = _boxes_df(spark)
+    out = pip_join(pts, boxes, "pid", "gid", res=_GEO_RES, how="inner")
+    return out.select("pid", "gid").groupBy("gid").agg(F.count("*").alias("n_points"))
+
+
+def _q_pip_pairs(spark, sf_dir):  # J4/J5 exact pair table
+    from prclz_spark.operators.sjoin import pip_join
+
+    pts = _points_df(spark, sf_dir, "customer", "c_custkey").filter(F.col("pid") < 300)
+    boxes = _boxes_df(spark)
+    return pip_join(pts, boxes, "pid", "gid", res=_GEO_RES, how="inner").select("pid", "gid")
+
+
+def _q_knn(spark, sf_dir):  # J8-J10 ring-expansion kNN
+    from prclz_spark.operators.knn import knn_join
+
+    probes = _points_df(spark, sf_dir, "customer", "c_custkey").filter(F.col("pid") < 200)
+    build = _points_df(spark, sf_dir, "supplier", "s_suppkey", alias="bid")
+    out = knn_join(probes, build, "pid", "bid", k=3, res=_GEO_RES,
+                   probe_x="x", probe_y="y", build_x="x", build_y="y")
+    return out.select("pid", "bid", "rank", F.round("dist", 9).alias("dist"))
+
+
+def _q_radius_join(spark, sf_dir):  # distance/range join via cell disk
+    from prclz_spark.operators.knn import within_distance_join
+
+    probes = _points_df(spark, sf_dir, "customer", "c_custkey").filter(F.col("pid") < 400)
+    build = _points_df(spark, sf_dir, "supplier", "s_suppkey", alias="bid")
+    out = within_distance_join(probes, build, "pid", "bid", radius=0.004, res=_GEO_RES)
+    return out.groupBy("pid").agg(F.count("*").alias("n_within"))
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline queries (documents / embeddings)
+# --------------------------------------------------------------------------
+
+def _q_dedup_exact(spark, sf_dir):  # exact dedup via content hash
+    d = _load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dups"))
+        .groupBy("dups")
+        .agg(F.count("*").alias("n_groups"))
+    )
+
+
+def _q_token_stats(spark, sf_dir):  # token counting per language
+    d = _load(spark, sf_dir, "documents")
+    toks = F.length("text") - F.length(F.regexp_replace("text", " ", "")) + F.lit(1)
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks.cast("long")).alias("total_tokens"),
+        F.round(F.avg(toks), 4).alias("avg_tokens"),
+    )
+
+
+def _q_quality_score(spark, sf_dir):  # quality scoring: len/word-len/digit ratio
+    d = _load(spark, sf_dir, "documents")
+    n_spaces = F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+    n_digits = F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))
+    words = n_spaces + F.lit(1)
+    score = F.round(
+        F.length("text").cast("double") / words.cast("double"), 4
+    ).alias("avg_word_len")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_m"),
+        words.cast("long").alias("n_words"),
+        score,
+        F.round(n_digits.cast("double") / F.length("text").cast("double"), 4).alias("digit_ratio"),
+    ).filter(F.col("doc_id") < 500)
+
+
+def _q_lang_id(spark, sf_dir):  # n-gram/stopword language heuristic
+    d = _load(spark, sf_dir, "documents")
+    hits = (
+        (F.length("text") - F.length(F.regexp_replace("text", " the ", ""))) / 5
+        + (F.length("text") - F.length(F.regexp_replace("text", " and ", ""))) / 5
+        + (F.length("text") - F.length(F.regexp_replace("text", " of ", ""))) / 4
+    )
+    pred = F.when(hits >= 1, F.lit("en")).otherwise(F.lit("other"))
+    return d.select(pred.alias("pred_lang"), "lang").groupBy("pred_lang", "lang").agg(
+        F.count("*").alias("n")
+    )
+
+
+def _q_ngram_distinct(spark, sf_dir):  # shingle fingerprint cardinality
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    shingles = F.expr(
+        "transform(sequence(1, greatest(length(text) - 4, 0)), i -> substring(text, i, 5))"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.array_distinct(shingles)).alias("n_distinct_5grams"),
+        F.size(shingles).alias("n_5grams"),
+    )
+
+
+def _q_ann_cosine(spark, sf_dir):  # brute-force cosine top-k vs query vec
+    e = _load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    dot = F.expr(
+        "aggregate(zip_with(embedding, qv, (a, b) -> cast(a as double) * cast(b as double)),"
+        " cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    norm = lambda c: F.sqrt(
+        F.expr(f"aggregate({c}, cast(0.0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double))")
+    )
+    sim = F.round(dot / (norm("embedding") * norm("qv")), 6).alias("cos_sim")
+    out = (
+        e.crossJoin(F.broadcast(q))
+        .select("vec_id", sim)
+        .filter(F.col("vec_id") != 0)
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(25)
+    )
+    return out
+
+
+def _q_embedding_norms(spark, sf_dir):  # vector math over array column
+    e = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    norm = F.sqrt(
+        F.expr("aggregate(embedding, cast(0.0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double))")
+    )
+    return e.select("vec_id", "label", F.round(norm, 6).alias("l2_norm"))
+
+
+# --------------------------------------------------------------------------
+# geo-kernel queries (rows-only: no SQL-expressible oracle)
+# --------------------------------------------------------------------------
+
+def _q_geo_blocks(spark, sf_dir):
+    from prclz_spark import cells as C
+    from prclz_spark import fixtures as FX
+    from prclz_spark.operators.blocks import extract_blocks
+
+    lines, gadm, _ = FX.geo_world(spark, 6, 6)
+    res = C.choose_resolution(*FX.grid_params(6, 6), n_features=144)
+    from prclz_spark.functions.st import st_area, st_aswkt
+
+    return extract_blocks(lines, gadm, res).select(
+        "block_id", "gadm", F.round(st_area(F.col("geometry")) * 1e6, 9).alias("area_e6")
+    )
+
+
+def _q_geo_complexity(spark, sf_dir):
+    return entry(spark)
+
+
+def _q_geo_parcels(spark, sf_dir):
+    from prclz_spark import cells as C
+    from prclz_spark import fixtures as FX
+    from prclz_spark.operators.blocks import extract_blocks
+    from prclz_spark.operators.parcels import tessellate
+    from prclz_spark.functions.st import st_area
+
+    lines, gadm, bldgs = FX.geo_world(spark, 4, 4)
+    res = C.choose_resolution(*FX.grid_params(4, 4), n_features=64)
+    blocks = extract_blocks(lines, gadm, res)
+    parcels = tessellate(blocks, bldgs, res)
+    return parcels.groupBy("block_id").agg(
+        F.count("*").alias("n_parcels"),
+        F.round(F.sum(st_area(F.col("geometry"))) * 1e6, 6).alias("area_e6"),
+    )
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _q_pricing_summary,
+        "join_left_notnull": _q_join_left_notnull,
+        "multiway_join_revenue": _q_multiway_join,
+        "topk_global": _q_topk_global,
+        "window_topk_per_cust": _q_window_topk,
+        "collect_sorted_list": _q_collect_sorted,
+        "anti_join_resume": _q_anti_join,
+        "semi_join": _q_semi_join,
+        "dedup_rows": _q_dedup_rows,
+        "argmax_per_nation": _q_argmax_window,
+        "union_all": _q_union_all,
+        "explode_embeddings": _q_explode_embeddings,
+        "events_hourly_rollup": _q_events_hourly,
+        "pip_join_counts": _q_pip_join,
+        "pip_join_pairs": _q_pip_pairs,
+        "knn_ring_expansion": _q_knn,
+        "radius_join": _q_radius_join,
+        "dedup_exact_hash": _q_dedup_exact,
+        "token_stats": _q_token_stats,
+        "quality_score": _q_quality_score,
+        "lang_id_heuristic": _q_lang_id,
+        "ngram_distinct": _q_ngram_distinct,
+        "ann_cosine_topk": _q_ann_cosine,
+        "embedding_norms": _q_embedding_norms,
+        "geo_blocks_pipeline": _q_geo_blocks,
+        "geo_k_complexity": _q_geo_complexity,
+        "geo_parcels": _q_geo_parcels,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pts_c = (
+        "SELECT c_custkey AS pid, "
+        f"{_PTS_X % 'c_custkey'} AS x, {_PTS_Y % 'c_custkey'} AS y FROM customer"
+    )
+    pts_s = (
+        "SELECT s_suppkey AS bid, "
+        f"{_PTS_X % 's_suppkey'} AS x, {_PTS_Y % 's_suppkey'} AS y FROM supplier"
+    )
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+                   ROUND(AVG(l_discount), 6) AS avg_disc,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "join_left_notnull": """
+            SELECT c_mktsegment, COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+            WHERE c_name IS NOT NULL GROUP BY 1
+        """,
+        "multiway_join_revenue": """
+            SELECT n_name,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1
+        """,
+        "topk_global": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+        """,
+        "window_topk_per_cust": """
+            SELECT o_custkey, o_orderkey, rank FROM (
+              SELECT o_custkey, o_orderkey,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rank
+              FROM orders) WHERE rank <= 3
+        """,
+        "collect_sorted_list": """
+            SELECT o_custkey, STRING_AGG(CAST(o_orderkey AS VARCHAR), ','
+                   ORDER BY o_orderkey) AS orderkeys
+            FROM orders WHERE o_custkey < 50 GROUP BY 1
+        """,
+        "anti_join_resume": """
+            SELECT o_orderstatus, COUNT(*) AS n FROM orders
+            WHERE NOT EXISTS (SELECT 1 FROM customer
+                              WHERE c_acctbal > 0 AND c_custkey = o_custkey)
+            GROUP BY 1
+        """,
+        "semi_join": """
+            SELECT o_orderpriority, COUNT(*) AS n FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_quantity > 45 AND l_orderkey = o_orderkey)
+            GROUP BY 1
+        """,
+        "dedup_rows": """
+            SELECT o_orderstatus, COUNT(*) AS n_distinct_cust FROM (
+              SELECT DISTINCT o_custkey, o_orderstatus FROM orders) GROUP BY 1
+        """,
+        "argmax_per_nation": """
+            SELECT c_nationkey, c_custkey, c_acctbal FROM (
+              SELECT c_nationkey, c_custkey, c_acctbal,
+                     ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                          ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+              FROM customer) WHERE rn = 1
+        """,
+        "union_all": """
+            SELECT src, COUNT(*) AS n, CAST(SUM(key) AS BIGINT) AS keysum FROM (
+              SELECT c_custkey AS key, 'c' AS src FROM customer
+              UNION ALL
+              SELECT s_suppkey AS key, 's' AS src FROM supplier) GROUP BY 1
+        """,
+        "explode_embeddings": """
+            SELECT vec_id,
+                   CAST(UNNEST(range(0, len(embedding))) AS INT) AS pos,
+                   ROUND(CAST(UNNEST(embedding) AS DOUBLE), 5) AS val
+            FROM embeddings WHERE vec_id < 200
+        """,
+        "events_hourly_rollup": """
+            SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H') AS hour,
+                   event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+            FROM events GROUP BY 1, 2
+        """,
+        "pip_join_counts": f"""
+            SELECT gid, COUNT(*) AS n_points
+            FROM ({pts_c}) p JOIN {_BOX_SQL}
+              ON p.x >= b.xmin AND p.x <= b.xmax AND p.y >= b.ymin AND p.y <= b.ymax
+            GROUP BY gid
+        """,
+        "pip_join_pairs": f"""
+            SELECT pid, gid
+            FROM ({pts_c}) p JOIN {_BOX_SQL}
+              ON p.x >= b.xmin AND p.x <= b.xmax AND p.y >= b.ymin AND p.y <= b.ymax
+            WHERE pid < 300
+        """,
+        "knn_ring_expansion": f"""
+            SELECT pid, bid, rank, ROUND(dist, 9) AS dist FROM (
+              SELECT p.pid, s.bid,
+                     SQRT((p.x - s.x) * (p.x - s.x) + (p.y - s.y) * (p.y - s.y)) AS dist,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY p.pid ORDER BY
+                          SQRT((p.x - s.x) * (p.x - s.x) + (p.y - s.y) * (p.y - s.y)) ASC,
+                          s.bid ASC) AS INT) AS rank
+              FROM ({pts_c}) p CROSS JOIN ({pts_s}) s
+              WHERE p.pid < 200)
+            WHERE rank <= 3
+        """,
+        "radius_join": f"""
+            SELECT pid, COUNT(*) AS n_within
+            FROM ({pts_c}) p JOIN ({pts_s}) s
+              ON SQRT((p.x - s.x) * (p.x - s.x) + (p.y - s.y) * (p.y - s.y)) <= 0.004
+            WHERE p.pid < 400
+            GROUP BY pid
+        """,
+        "dedup_exact_hash": """
+            SELECT dups, COUNT(*) AS n_groups FROM (
+              SELECT MD5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS dups
+              FROM documents GROUP BY 1) GROUP BY 1
+        """,
+        "token_stats": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS BIGINT) AS total_tokens,
+                   ROUND(AVG(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1), 4) AS avg_tokens
+            FROM documents GROUP BY 1
+        """,
+        "quality_score": """
+            SELECT doc_id, LENGTH(text) AS n_chars_m,
+                   CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+                   ROUND(CAST(LENGTH(text) AS DOUBLE) /
+                         (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1), 4) AS avg_word_len,
+                   ROUND(CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS DOUBLE)
+                         / LENGTH(text), 4) AS digit_ratio
+            FROM documents WHERE doc_id < 500
+        """,
+        "lang_id_heuristic": """
+            SELECT CASE WHEN
+                     (LENGTH(text) - LENGTH(REPLACE(text, ' the ', ''))) / 5
+                   + (LENGTH(text) - LENGTH(REPLACE(text, ' and ', ''))) / 5
+                   + (LENGTH(text) - LENGTH(REPLACE(text, ' of ', ''))) / 4 >= 1
+                   THEN 'en' ELSE 'other' END AS pred_lang,
+                   lang, COUNT(*) AS n
+            FROM documents GROUP BY 1, 2
+        """,
+        "ngram_distinct": """
+            SELECT doc_id,
+                   CAST(LEN(LIST_DISTINCT([text[i:i+4] FOR i IN RANGE(1, GREATEST(LENGTH(text) - 4, 0) + 1)])) AS INT) AS n_distinct_5grams,
+                   CAST(GREATEST(LENGTH(text) - 4, 0) AS INT) AS n_5grams
+            FROM documents WHERE doc_id < 300
+        """,
+        "ann_cosine_topk": """
+            SELECT vec_id, ROUND(
+                     LIST_SUM(LIST_TRANSFORM(LIST_ZIP(e.embedding, q.qv),
+                              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                     / (SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * SQRT(LIST_SUM(LIST_TRANSFORM(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                   6) AS cos_sim
+            FROM embeddings e CROSS JOIN
+                 (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+            WHERE vec_id != 0
+            ORDER BY cos_sim DESC, vec_id ASC LIMIT 25
+        """,
+        "embedding_norms": """
+            SELECT vec_id, label,
+                   ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+            FROM embeddings WHERE vec_id < 300
+        """,
+        # geo_blocks_pipeline / geo_k_complexity / geo_parcels: no SQL oracle
+        # (per-group planar-graph kernels) → rows-only driver check
+    }

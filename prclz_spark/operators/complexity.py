@@ -1,0 +1,63 @@
+"""Stage 3 — k-complexity of street blocks (SURVEY.md §3.2, K3+K6-K10).
+
+Reference flow (`prclz/_complexity.py:99-131`):
+
+1. buildings → centroids                     (`:104`)
+2. sjoin(blocks, centroids, right/intersects)(`:107`)   = PIP join J4
+3. groupby(block)['geometry'].agg(list)      (`:108-109`) = collect_list
+4. per-block kernel: Voronoi s0 → weak-dual sequence → k (`:79-97`)
+5. output (block_id, geometry, complexity, centroids_multipoint)
+
+Spark plan: `st_centroid` pUDF → `pip_join` (single-cell probe, broadcast
+cover-exploded blocks) → `groupBy(block_id).applyInPandas(kernel)`. The
+`.block.cache` resume files (`:80-87`) are replaced by the lineage ledger
+(ledger.py) at partition granularity.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import geom as G
+from ..functions.st import st_centroid, st_x, st_y
+from ..kernels import planar as P
+from .sjoin import pip_join
+
+_OUT_SCHEMA = "block_id string, geometry binary, complexity int, centroids_multipoint binary"
+
+
+def _k_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    block_id = pdf["block_id"].iloc[0]
+    block = G.wkb_loads(bytes(pdf["block_geom"].iloc[0]))
+    ring = block.data[0] if block.kind == G.POLYGON else block.data[0][0]
+    cents = pdf[["x", "y"]].to_numpy(dtype=float)
+    try:
+        k = P.block_complexity(ring, cents)
+    except Exception:
+        return pd.DataFrame(columns=["block_id", "geometry", "complexity", "centroids_multipoint"])
+    mp = G.wkb_dumps(G.multipoint(cents))
+    return pd.DataFrame(
+        [(block_id, G.wkb_dumps(block), int(k), mp)],
+        columns=["block_id", "geometry", "complexity", "centroids_multipoint"],
+    )
+
+
+def building_centroids(buildings: DataFrame, id_col: str = "osm_id") -> DataFrame:
+    c = st_centroid(F.col("geometry"))
+    return buildings.select(
+        F.col(id_col), st_x(c).alias("x"), st_y(c).alias("y")
+    )
+
+
+def k_complexity(blocks: DataFrame, buildings: DataFrame, res: int) -> DataFrame:
+    """blocks(block_id, geometry) × buildings(osm_id, geometry) →
+    (block_id, geometry, complexity, centroids_multipoint)."""
+    pts = building_centroids(buildings)
+    assigned = pip_join(pts, blocks, "osm_id", "block_id", res=res, how="inner")
+    blk_geom = blocks.select("block_id", F.col("geometry").alias("block_geom"))
+    grouped = assigned.join(F.broadcast(blk_geom), "block_id", "inner").select(
+        "block_id", "block_geom", "x", "y"
+    )
+    return grouped.groupBy("block_id").applyInPandas(_k_kernel, _OUT_SCHEMA)
