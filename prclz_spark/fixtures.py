@@ -104,20 +104,68 @@ def make_buildings(nx: int, ny: int, per_cell: int = 6, seed: int = 42) -> pd.Da
                     geom = G.multipolygon([quad, quad2])
                 else:
                     geom = quad
-                rows.append((f"b{bid:07d}", "house", None, G.wkb_dumps(geom)))
+                rows.append((f"b{bid:09d}", "house", None, G.wkb_dumps(geom)))
                 bid += 1
     return pd.DataFrame(rows, columns=["osm_id", "building", "gadm_code", "geometry"])
+
+
+def _buildings_for_cells(nx: int, ny: int, per_cell: int):
+    """mapInPandas generator factory: cell-index batch → building rows.
+    Same closed-form placement as make_buildings (deterministic, seedless
+    given indices), but generated on executors — the driver never holds
+    the building table (at 10^12 rows it couldn't)."""
+    import pandas as pd  # noqa: F811 — runs on executors
+
+    def gen(batches):
+        from . import geom as GG
+
+        x0, y0, _, _ = grid_params(nx, ny)
+        for pdf in batches:
+            rows = []
+            for cell_lin in pdf["id"]:
+                ci, cj = divmod(int(cell_lin), ny)
+                cx, cy = x0 + ci * CELL, y0 + cj * CELL
+                base = int(cell_lin) * per_cell
+                for b in range(per_cell):
+                    bid = base + b
+                    ang = 2 * np.pi * (b + 0.25) / per_cell
+                    r = CELL * (0.22 + 0.09 * ((b * 2654435761) % 7) / 7.0)
+                    bx = cx + 0.5 * CELL + r * np.cos(ang)
+                    by = cy + 0.5 * CELL + r * np.sin(ang)
+                    s = CELL * 0.03
+                    quad = GG.box(bx - s, by - s, bx + s, by + s)
+                    if bid % 13 == 12:
+                        quad2 = GG.box(bx + 2 * s, by - s, bx + 3 * s, by + s)
+                        geom = GG.multipolygon([quad, quad2])
+                    else:
+                        geom = quad
+                    rows.append((f"b{bid:09d}", "house", None, GG.wkb_dumps(geom)))
+            yield pd.DataFrame(rows, columns=["osm_id", "building", "gadm_code", "geometry"])
+
+    return gen
 
 
 def to_spark(spark, pdf: pd.DataFrame, schema):
     return spark.createDataFrame(pdf, schema=schema)
 
 
-def geo_world(spark, nx: int, ny: int, per_cell: int = 6, gx: int = 2, gy: int = 2, seed: int = 42):
-    """The three input tables as Spark DataFrames with declared schemas."""
+def geo_world(spark, nx: int, ny: int, per_cell: int = 6, gx: int = 2, gy: int = 2, seed: int = 42,
+              distributed_buildings: bool | None = None):
+    """The three input tables as Spark DataFrames with declared schemas.
+    Buildings are generated on executors when the table is large (the
+    lines/gadm dims stay driver-side — they ARE small dims by design)."""
     from . import schemas as S
 
     lines = to_spark(spark, make_lines(nx, ny, seed), S.LINES)
     gadm = to_spark(spark, make_gadm(nx, ny, gx, gy), S.GADM)
-    bldgs = to_spark(spark, make_buildings(nx, ny, per_cell, seed), S.BUILDINGS)
+    n_cells = nx * ny
+    if distributed_buildings is None:
+        distributed_buildings = n_cells * per_cell > 20_000
+    if distributed_buildings:
+        parts = min(256, max(8, n_cells // 64))
+        bldgs = spark.range(0, n_cells, 1, parts).mapInPandas(
+            _buildings_for_cells(nx, ny, per_cell), S.BUILDINGS
+        )
+    else:
+        bldgs = to_spark(spark, make_buildings(nx, ny, per_cell, seed), S.BUILDINGS)
     return lines, gadm, bldgs

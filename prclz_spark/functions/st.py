@@ -242,6 +242,40 @@ def st_cells(res: int):
     return _f
 
 
+def st_centroid_xy_cell(res: int):
+    """Fused probe-side prep: WKB → struct<x, y, cell> in ONE Arrow phase.
+
+    Chaining st_x(st_centroid(g)), st_y(st_centroid(g)), st_cell_point(x,y)
+    would create three ArrowEvalPython phases (and as many Python worker
+    pools per stage); this fusion keeps the probe path at a single
+    JVM→Python round trip — the fork-storm fix measured in bench.py."""
+    from pyspark.sql.types import LongType as _Long
+
+    _schema = StructType(
+        [
+            StructField("x", DoubleType()),
+            StructField("y", DoubleType()),
+            StructField("cell", _Long()),
+        ]
+    )
+
+    @pandas_udf(_schema)
+    def _f(s: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        xs, ys = [], []
+        for b in s:
+            c = G.centroid(G.wkb_loads(bytes(b)))
+            xs.append(c[0])
+            ys.append(c[1])
+        xs = np.asarray(xs)
+        ys = np.asarray(ys)
+        cells = C.cell_of_xy(xs, ys, res)
+        return pd.DataFrame({"x": xs, "y": ys, "cell": cells})
+
+    return _f
+
+
 def st_cell_point(res: int):
     """cell_of(x, y) → BIGINT — probe-side single cell (J4 fast path)."""
 

@@ -443,6 +443,45 @@ def _point_on_ring(px, py, ring) -> bool:
     return bool((((np.abs(cross) < 1e-12) & (dot >= -1e-12) & (dot <= seg_len2 + 1e-12))).any())
 
 
+def points_in_polygon_bulk(xs: np.ndarray, ys: np.ndarray, g: Geom) -> np.ndarray:
+    """Vectorized closed-semantics PIP of many points vs one (multi)polygon:
+    ray cast over the (points × edges) matrix + boundary test. Used by
+    kernels that refine cell-join candidates after the shuffle."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    out = np.zeros(len(xs), dtype=bool)
+    polys = [g.data] if g.kind == POLYGON else g.data
+    for rings in polys:
+        inside = _bulk_in_ring(xs, ys, rings[0])
+        for hole in rings[1:]:
+            on_hole = _bulk_on_ring(xs, ys, hole)
+            inside &= ~(_bulk_in_ring(xs, ys, hole) & ~on_hole)
+        out |= inside
+    return out
+
+
+def _bulk_in_ring(xs, ys, ring) -> np.ndarray:
+    x0, y0 = ring[:-1, 0][None, :], ring[:-1, 1][None, :]
+    x1, y1 = ring[1:, 0][None, :], ring[1:, 1][None, :]
+    P, Q = xs[:, None], ys[:, None]
+    cond = (y0 > Q) != (y1 > Q)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x0 + (Q - y0) * (x1 - x0) / (y1 - y0)
+    crossings = (cond & (P < xint)).sum(axis=1)
+    return ((crossings % 2) == 1) | _bulk_on_ring(xs, ys, ring)
+
+
+def _bulk_on_ring(xs, ys, ring) -> np.ndarray:
+    x0, y0 = ring[:-1, 0][None, :], ring[:-1, 1][None, :]
+    x1, y1 = ring[1:, 0][None, :], ring[1:, 1][None, :]
+    P, Q = xs[:, None], ys[:, None]
+    dx, dy = x1 - x0, y1 - y0
+    cross = (P - x0) * dy - (Q - y0) * dx
+    dot = (P - x0) * dx + (Q - y0) * dy
+    l2 = dx * dx + dy * dy
+    return ((np.abs(cross) < 1e-12) & (dot >= -1e-12) & (dot <= l2 + 1e-12)).any(axis=1)
+
+
 def contains_point(g: Geom, px: float, py: float) -> bool:
     if g.kind == POLYGON:
         return point_in_polygon(px, py, g.data)

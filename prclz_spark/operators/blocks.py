@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from .. import geom as G
 from .. import schemas as S
 from ..kernels import planar as P
-from .sjoin import sjoin_pairs
+from .sjoin import candidate_pairs
 
 _OUT_SCHEMA = "block_id string, gadm string, geometry binary"
 
@@ -38,7 +38,9 @@ def _blocks_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     region = G.wkb_loads(bytes(pdf["region_geom"].iloc[0]))
     region_rings = [region.data[0]] if region.kind == G.POLYGON else [p[0] for p in region.data]
     line_arrays = []
-    for b in pdf["line_geom"]:
+    # a line reaches this kernel once per shared cover cell (the candidate
+    # join is deliberately dedup-free); dedupe here, before O(m²) noding
+    for b in pdf["line_geom"].drop_duplicates():
         if b is None:
             continue
         g = G.wkb_loads(bytes(b))
@@ -61,14 +63,32 @@ def _blocks_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def extract_blocks(lines: DataFrame, gadm: DataFrame, res: int) -> DataFrame:
-    """lines(osm_id, geometry) × gadm(gadm, geometry) → blocks."""
-    pairs = sjoin_pairs(lines, gadm, "osm_id", "gadm", res=res, predicate="intersects")
-    line_geoms = lines.select("osm_id", F.col("geometry").alias("line_geom"))
-    gadm_geoms = gadm.select("gadm", F.col("geometry").alias("region_geom"))
-    # left join keeps regions with zero streets → single whole-region block
-    grouped = (
-        gadm_geoms.join(pairs, "gadm", "left")
-        .join(line_geoms, "osm_id", "left")
-        .select("gadm", "region_geom", "line_geom")
+    """lines(osm_id, geometry) × gadm(gadm, geometry) → blocks.
+
+    Uses cell-candidate pairs WITHOUT the exact `st_intersects` refine
+    phase: a line that shares a cover cell with the region but misses it is
+    harmless to the kernel (its segments node outside the region; faces are
+    kept only if their centroid falls inside the region), so the refine
+    UDF pass would buy nothing but another JVM→Python round trip."""
+    from ..functions.st import st_cells
+
+    # duplicate (line, region) candidates are harmless too: identical
+    # segments dedupe inside the kernel's graph construction, so the
+    # dropDuplicates shuffle is skipped as well
+    b = gadm.select("gadm", F.col("geometry").alias("region_geom")).withColumn(
+        "cell", F.explode(st_cells(res)(F.col("region_geom")))
     )
-    return grouped.groupBy("gadm").applyInPandas(_blocks_kernel, _OUT_SCHEMA)
+    p = lines.select(
+        F.col("osm_id"), F.col("geometry").alias("line_geom")
+    ).withColumn("cell", F.explode(st_cells(res)(F.col("line_geom"))))
+    cand = p.join(F.broadcast(b), "cell", "inner").select("gadm", "region_geom", "line_geom")
+    core = cand.groupBy("gadm").applyInPandas(_blocks_kernel, _OUT_SCHEMA).persist()
+    # regions with zero streets become a single whole-region block
+    # (`_extract_blocks.py` trivial case): anti-join against the OUTPUT
+    # keys (tiny, persisted) so the candidate subtree runs exactly once
+    zero_street = (
+        gadm.join(core.select("gadm"), "gadm", "left_anti")
+        .withColumn("block_id", F.concat(F.col("gadm"), F.lit("_0")))
+        .select("block_id", "gadm", "geometry")
+    )
+    return core.unionByName(zero_street)

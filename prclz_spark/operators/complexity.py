@@ -33,6 +33,12 @@ def _k_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     block = G.wkb_loads(bytes(pdf["block_geom"].iloc[0]))
     ring = block.data[0] if block.kind == G.POLYGON else block.data[0][0]
     cents = pdf[["x", "y"]].to_numpy(dtype=float)
+    # kernel-side PIP refine of the cell-join candidates (closed semantics,
+    # vectorized over all candidate points at once)
+    mask = G.points_in_polygon_bulk(cents[:, 0], cents[:, 1], block)
+    cents = cents[mask]
+    if not len(cents):
+        return pd.DataFrame(columns=["block_id", "geometry", "complexity", "centroids_multipoint"])
     try:
         k = P.block_complexity(ring, cents)
     except Exception:
@@ -44,20 +50,35 @@ def _k_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def building_centroids(buildings: DataFrame, id_col: str = "osm_id") -> DataFrame:
+def building_centroids(buildings: DataFrame, id_col: str = "osm_id", res: int | None = None) -> DataFrame:
+    """Centroid points; with `res` also the probe cell, fused in one Arrow
+    phase (see st_centroid_xy_cell) so pip_join skips its own cell pass."""
+    if res is not None:
+        from ..functions.st import st_centroid_xy_cell
+
+        c = st_centroid_xy_cell(res)(F.col("geometry"))
+        return buildings.withColumn("_c", c).select(
+            F.col(id_col),
+            F.col("_c.x").alias("x"),
+            F.col("_c.y").alias("y"),
+            F.col("_c.cell").alias("cell"),
+        )
     c = st_centroid(F.col("geometry"))
-    return buildings.select(
-        F.col(id_col), st_x(c).alias("x"), st_y(c).alias("y")
-    )
+    return buildings.select(F.col(id_col), st_x(c).alias("x"), st_y(c).alias("y"))
 
 
 def k_complexity(blocks: DataFrame, buildings: DataFrame, res: int) -> DataFrame:
     """blocks(block_id, geometry) × buildings(osm_id, geometry) →
     (block_id, geometry, complexity, centroids_multipoint)."""
-    pts = building_centroids(buildings)
-    assigned = pip_join(pts, blocks, "osm_id", "block_id", res=res, how="inner")
-    blk_geom = blocks.select("block_id", F.col("geometry").alias("block_geom"))
-    grouped = assigned.join(F.broadcast(blk_geom), "block_id", "inner").select(
-        "block_id", "block_geom", "x", "y"
-    )
+    pts = building_centroids(buildings, res=res)
+    grouped = pip_join(
+        pts,
+        blocks,
+        "osm_id",
+        "block_id",
+        res=res,
+        how="inner",
+        keep_poly_geom="block_geom",
+        refine=False,  # exact PIP happens inside _k_kernel, post-shuffle
+    ).select("block_id", "block_geom", "x", "y")
     return grouped.groupBy("block_id").applyInPandas(_k_kernel, _OUT_SCHEMA)

@@ -133,15 +133,28 @@ def pip_join(
     how: str = "inner",
     broadcast_build: bool = True,
     salt: int = 0,
+    keep_poly_geom: str | None = None,
+    refine: bool = True,
 ) -> DataFrame:
     """Point-in-polygon join — the flagship fast path (J4,
     `prclz/_complexity.py:104-107`): the probe side gets ONE cell per row
     (no explode → no probe-side blowup), polygons are cover-exploded and
     broadcast; refine is `st_contains_xy` (closed semantics: boundary
-    points match, as in GEOS intersects). Returns points columns + poly_id."""
-    p = points.select(
-        F.col(point_id), F.col(x).alias("_x"), F.col(y).alias("_y")
-    ).withColumn("cell", st_cell_point(res)(F.col("_x"), F.col("_y")))
+    points match, as in GEOS intersects).
+
+    Because each probe has exactly one cell, a (point, poly) pair can only
+    meet once — no dedup shuffle is needed, and for how='inner' the result
+    is produced straight off the broadcast join + filter: the probe side is
+    scan → narrow UDF → broadcast-hash-join → filter, with NO probe-side
+    shuffle at all. Returns points columns + poly_id (+ optionally the
+    polygon geometry as `keep_poly_geom`, saving the caller a re-join).
+
+    If `points` already carries a `cell` column (e.g. from the fused
+    st_centroid_xy_cell prep) it is used as-is — one fewer Python phase."""
+    if "cell" in points.columns:
+        p = points
+    else:
+        p = points.withColumn("cell", st_cell_point(res)(F.col(x), F.col(y)))
     b = polys.select(F.col(poly_id), F.col(poly_geom).alias(_BG)).withColumn(
         "cell", F.explode(st_cells(res)(F.col(_BG)))
     )
@@ -151,10 +164,18 @@ def pip_join(
         cand = salt_exploded_join(p, b, key="cell", salts=salt, probe_id=point_id)
     else:
         cand = p.join(b, "cell", "inner")
-    hit = (
-        cand.filter(st_contains_xy(F.col(_BG), F.col("_x"), F.col("_y")))
-        .dropDuplicates([point_id, poly_id])
-        .select(point_id, poly_id)
-    )
-    jt = {"inner": "inner", "left": "left"}[how]
-    return points.join(hit, point_id, jt)
+    # refine=False defers the exact PIP test to a downstream grouped kernel
+    # (vectorized per polygon, after the shuffle) — one fewer ArrowEval
+    # phase when the caller groups by poly_id anyway
+    hit = cand.filter(st_contains_xy(F.col(_BG), F.col(x), F.col(y))) if refine else cand
+    out_cols = [F.col(c) for c in points.columns] + [F.col(poly_id)]
+    if keep_poly_geom:
+        out_cols.append(F.col(_BG).alias(keep_poly_geom))
+    if how == "inner":
+        return hit.select(*out_cols)
+    if how == "left":
+        sel = [F.col(point_id), F.col(poly_id)] + (
+            [F.col(_BG).alias(keep_poly_geom)] if keep_poly_geom else []
+        )
+        return points.join(hit.select(*sel), point_id, "left")
+    raise ValueError(how)

@@ -14,16 +14,22 @@ def get_spark(master: str | None = None, app: str = "prclz-spark", shuffle_parti
     return (
         SparkSession.builder.master(master)
         .appName(app)
-        # AQE: runtime coalescing + skew-join splitting on top of our explicit
-        # hot-cell salting (SURVEY.md §4 item 2)
+        # AQE skew-join splitting on top of our explicit hot-cell salting
+        # (SURVEY.md §4 item 2). Partition COALESCING is disabled: AQE sizes
+        # partitions by shuffle BYTES, but our applyInPandas geometry kernels
+        # cost ~10^4 more CPU per byte than relational operators, so byte-
+        # based coalescing collapses kernel stages to one task (measured 5.6x
+        # slowdown at local[32]); we size spark.sql.shuffle.partitions to the
+        # core count explicitly instead.
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(sp))
         # Arrow is the JVM↔Python boundary for every geometry/image kernel
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         # local mode niceties
+        .config("spark.locality.wait", "0s")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
