@@ -417,6 +417,81 @@ def _q_geo_parcels(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# image / raster↔vector queries (rows-only: binary payloads, no SQL oracle)
+# --------------------------------------------------------------------------
+
+def _q_images_roundtrip(spark, sf_dir):  # decode → re-encode PSNR invariant
+    from prclz_spark import images as IM
+
+    imgs = IM.images_table(spark, 256)
+    u = IM.make_udfs()
+    return (
+        imgs.withColumn("psnr", u["img_roundtrip_psnr"](F.col("bytes"), F.col("fmt")))
+        .groupBy("fmt")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("psnr"), 2).alias("min_psnr"),
+        )
+    )
+
+
+def _q_phash_dedup(spark, sf_dir):  # near-duplicate detection via phash
+    from prclz_spark import images as IM
+
+    imgs = IM.images_table(spark, 256)
+    # simulate a re-crawl: re-encoded copies (lossy) of half the corpus get
+    # new ids; exact-pixel dedup would miss them, phash buckets catch them
+    u = IM.make_udfs()
+    dups = (
+        imgs.filter(F.pmod(F.xxhash64("image_id"), F.lit(2)) == 0)
+        .withColumn("bytes", u["img_reencode_png"](F.col("bytes"), F.col("fmt")))
+        .withColumn("fmt", F.lit("png"))
+        .withColumn("image_id", F.concat(F.lit("re_"), F.col("image_id")))
+    )
+    all_imgs = imgs.unionByName(dups)
+    hashed = all_imgs.withColumn("ph", u["img_phash"](F.col("bytes"), F.col("fmt")))
+    return (
+        hashed.groupBy("ph")
+        .agg(F.count("*").alias("copies"), F.min("image_id").alias("keep_id"))
+        .groupBy("copies")
+        .agg(F.count("*").alias("n_buckets"))
+    )
+
+
+def _q_tile_block_assignment(spark, sf_dir):  # raster tile ⋈ vector block
+    from prclz_spark import cells as C
+    from prclz_spark import fixtures as FX
+    from prclz_spark import images as IM
+    from prclz_spark import raster as R
+    from prclz_spark.operators.blocks import extract_blocks
+
+    nx = 6
+    lines, gadm, _ = FX.geo_world(spark, nx, nx)
+    res = C.choose_resolution(*FX.grid_params(nx, nx), n_features=nx * nx * 4)
+    blocks = extract_blocks(lines, gadm, res)
+    tiles = R.with_footprints(IM.images_table(spark, nx * nx), nx, nx, nx)
+    assigned = R.assign_tiles_to_polys(tiles, blocks, "block_id", res)
+    return assigned.groupBy("block_id").agg(F.count("*").alias("n_tiles"))
+
+
+def _q_tile_block_coverage(spark, sf_dir):  # vector → raster mask stats
+    from prclz_spark import cells as C
+    from prclz_spark import fixtures as FX
+    from prclz_spark import images as IM
+    from prclz_spark import raster as R
+    from prclz_spark.operators.blocks import extract_blocks
+
+    nx = 4
+    lines, gadm, _ = FX.geo_world(spark, nx, nx)
+    res = C.choose_resolution(*FX.grid_params(nx, nx), n_features=nx * nx * 4)
+    blocks = extract_blocks(lines, gadm, res)
+    tiles = R.with_footprints(IM.images_table(spark, nx * nx, w=32, h=32), nx, nx, nx)
+    assigned = R.assign_tiles_to_polys(tiles, blocks, "block_id", res)
+    cov = R.block_coverage(assigned.select("image_id", "block_id", "geometry", "w", "h"), blocks)
+    return cov.select("image_id", "block_id", F.round("coverage", 4).alias("coverage"))
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -449,6 +524,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_blocks_pipeline": _q_geo_blocks,
         "geo_k_complexity": _q_geo_complexity,
         "geo_parcels": _q_geo_parcels,
+        "images_roundtrip_psnr": _q_images_roundtrip,
+        "phash_dedup_buckets": _q_phash_dedup,
+        "tile_block_assignment": _q_tile_block_assignment,
+        "tile_block_coverage": _q_tile_block_coverage,
     }
 
 

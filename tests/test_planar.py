@@ -1,0 +1,108 @@
+"""Planar kernel tests incl. the golden DJI fixture replay (SURVEY.md §5b)."""
+
+import csv
+import sys
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from prclz_spark import geom as G
+from prclz_spark.kernels import planar as P
+
+SQ10 = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], dtype=float)
+
+
+def test_polygonize_grid():
+    region = np.array([[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]], dtype=float)
+    lines = [
+        np.array([[1, 0], [1, 2]], dtype=float),
+        np.array([[0, 1], [2, 1]], dtype=float),
+        np.array([[0.5, 0.2], [0.5, 0.6]], dtype=float),  # dangling stub
+    ]
+    blocks = P.polygonize_region(region, lines)
+    assert len(blocks) == 4
+    areas = [P._abs_ring_area(r) for r in blocks]
+    assert all(abs(a - 1.0) < 1e-9 for a in areas)
+    # diagonal splits one cell into two triangles
+    blocks2 = P.polygonize_region(region, lines + [np.array([[0, 0], [1, 1]], dtype=float)])
+    assert len(blocks2) == 5
+
+
+def test_polygonize_duplicate_lines_idempotent():
+    region = np.array([[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]], dtype=float)
+    l1 = np.array([[1, 0], [1, 2]], dtype=float)
+    assert len(P.polygonize_region(region, [l1, l1, l1])) == 2
+
+
+def test_voronoi_cells_contain_anchors():
+    anchors = np.array([[0.5, 0.5], [1.5, 0.5], [1.0, 1.5], [0.51, 0.52]])
+    cells = P.voronoi_cells(anchors, (0, 0, 2, 2))
+    for a, c in zip(anchors, cells):
+        assert len(c) >= 4
+        assert G.point_in_ring(a[0], a[1], c)
+
+
+def test_voronoi_pytess_framing():
+    # <2 distinct anchors → empty decomposition (k=0 blocks in the fixture)
+    assert P.voronoi_pytess(np.array([[1.0, 1.0]])) == []
+    assert P.voronoi_pytess(np.array([[1.0, 1.0], [1.0, 1.0]])) == []
+    cells = P.voronoi_pytess(np.array([[1.0, 1.0], [3.0, 1.0]]))
+    assert len(cells) == 2
+
+
+def test_complexity_known_configs():
+    # single building → k=0 (pytess degenerates below 2 distinct anchors)
+    assert P.block_complexity(SQ10, np.array([[5.0, 5.0]])) == 0
+    # two side-by-side parcels → one dual with an edge, then empty → k=1
+    assert P.block_complexity(SQ10, np.array([[3.0, 4.8], [7.0, 5.2]])) == 1
+    # exactly collinear anchors → zero-area anchor bbox → pytess-degenerate
+    # diagram → k=0 (matches the fixture's k=0 two-building rows)
+    assert P.block_complexity(SQ10, np.array([[3.0, 5.0], [7.0, 5.0]])) == 0
+    # ring of 6 around a center point: nested → deeper sequence
+    ring6 = np.array([[5 + 3 * np.cos(a), 5 + 3 * np.sin(a)] for a in np.linspace(0, 2 * np.pi, 7)[:-1]])
+    k_ring = P.block_complexity(SQ10, ring6)
+    k_nested = P.block_complexity(SQ10, np.vstack([ring6, [[5.0, 5.0]]]))
+    assert k_nested >= k_ring >= 1
+
+
+def test_clip_convex():
+    subject = np.array([[0, 0], [3, 0], [3, 3], [0, 3], [0, 0]], dtype=float)
+    clip = np.array([[1, 1], [5, 1], [5, 2], [1, 2], [1, 1]], dtype=float)
+    out = P.clip_convex(subject, clip)
+    assert abs(P._abs_ring_area(out) - 2.0) < 1e-9
+
+
+def test_split_ring_parts():
+    # bowtie-ish degenerate ring with a repeated vertex → two parts
+    ring = np.array(
+        [[0, 0], [1, 0], [1, 1], [0.5, 0.5], [1.5, 0.5], [1.5, 1.5], [0.5, 0.5], [0, 1], [0, 0]],
+        dtype=float,
+    )
+    parts = P.split_ring_parts(ring)
+    assert len(parts) == 2
+
+
+@pytest.mark.slow
+def test_golden_dji_fixture_replay():
+    """k-index vs the reference's golden complexity CSV: ≥66% exact and
+    ≥97% within ±1. (The fixture is not bit-reproducible even from the
+    checked-in reference code — its k=0 rows are impossible under the
+    code's own self-adjacency semantics — so the residual ±1 scatter is
+    attributed to the Voronoi backend; see kernels/planar.py docstrings.)"""
+    csv.field_size_limit(sys.maxsize)
+    path = "/root/reference/example_data/complexity/Africa/DJI/complexity_DJI.1.1_1.csv"
+    rows = list(csv.DictReader(open(path)))
+    assert len(rows) == 196
+    hist = Counter()
+    for r in rows:
+        blk = G.wkt_loads(r["geometry"])
+        mp = G.wkt_loads(r["centroids_multipoint"])
+        cents = mp.data if mp.kind == G.MULTIPOINT else mp.data.reshape(1, 2)
+        ring = blk.data[0] if blk.kind == G.POLYGON else blk.data[0][0]
+        k = P.block_complexity(ring, cents)
+        hist[k - int(r["complexity"])] += 1
+    exact = hist[0]
+    within1 = hist[-1] + hist[0] + hist[1]
+    assert exact >= 130, dict(hist)
+    assert within1 >= 190, dict(hist)

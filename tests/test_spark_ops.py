@@ -1,0 +1,145 @@
+"""Spark-level operator tests: spatial joins vs brute-force oracles,
+kNN, radius join, skew salting, pipeline stages, ledger resume."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from prclz_spark import cells as C
+from prclz_spark import fixtures as FX
+from prclz_spark import geom as G
+from prclz_spark.functions.st import st_centroid, st_x, st_y
+from prclz_spark.operators.blocks import extract_blocks
+from prclz_spark.operators.complexity import building_centroids, k_complexity
+from prclz_spark.operators.knn import knn_join, within_distance_join
+from prclz_spark.operators.parcels import tessellate
+from prclz_spark.operators.sjoin import pip_join, sjoin_pairs
+
+NX = 6
+
+
+@pytest.fixture(scope="module")
+def world(spark):
+    lines, gadm, bldgs = FX.geo_world(spark, NX, NX)
+    res = C.choose_resolution(*FX.grid_params(NX, NX), n_features=NX * NX * 4)
+    return lines.cache(), gadm.cache(), bldgs.cache(), res
+
+
+def test_pip_join_closed_form(spark, world):
+    lines, gadm, bldgs, res = world
+    pts = building_centroids(bldgs, res=res)
+    out = pip_join(pts, gadm, "osm_id", "gadm", res=res, how="inner").toPandas()
+    assert len(out) == bldgs.count()  # every centroid in exactly one region
+    x0, y0, x1, y1 = FX.grid_params(NX, NX)
+    wx, wy = (x1 - x0) / 2, (y1 - y0) / 2
+    for r in out.itertuples():
+        i = min(1, int((r.x - x0) // wx))
+        j = min(1, int((r.y - y0) // wy))
+        assert r.gadm == f"TST.{i+1}.{j+1}_1"
+
+
+def test_sjoin_vs_bruteforce(spark, world):
+    lines, gadm, bldgs, res = world
+    pairs = sjoin_pairs(lines, gadm, "osm_id", "gadm", res=res).toPandas()
+    lp, gp = lines.toPandas(), gadm.toPandas()
+    truth = {
+        (lr.osm_id, gr.gadm)
+        for _, lr in lp.iterrows()
+        for _, gr in gp.iterrows()
+        if G.intersects(G.wkb_loads(bytes(lr.geometry)), G.wkb_loads(bytes(gr.geometry)))
+    }
+    got = set(map(tuple, pairs[["osm_id", "gadm"]].values))
+    assert got == truth
+
+
+def test_knn_vs_bruteforce(spark):
+    rng = np.random.default_rng(3)
+    probes = pd.DataFrame({"pid": range(40), "x": rng.uniform(10, 10.05, 40), "y": rng.uniform(10, 10.05, 40)})
+    build = pd.DataFrame({"bid": range(25), "x": rng.uniform(10, 10.05, 25), "y": rng.uniform(10, 10.05, 25)})
+    res = 16
+    out = knn_join(
+        spark.createDataFrame(probes), spark.createDataFrame(build), "pid", "bid", k=3, res=res
+    ).toPandas()
+    for pid, grp in out.groupby("pid"):
+        px, py = probes.loc[probes.pid == pid, ["x", "y"]].iloc[0]
+        d = np.hypot(build.x - px, build.y - py)
+        expect = build.assign(d=d).sort_values(["d", "bid"]).head(3).bid.tolist()
+        got = grp.sort_values("rank").bid.tolist()
+        assert got == expect, (pid, got, expect)
+    assert out.groupby("pid").size().eq(3).all() and out.pid.nunique() == 40
+
+
+def test_radius_join_vs_bruteforce(spark):
+    rng = np.random.default_rng(4)
+    probes = pd.DataFrame({"pid": range(50), "x": rng.uniform(10, 10.05, 50), "y": rng.uniform(10, 10.05, 50)})
+    build = pd.DataFrame({"bid": range(30), "x": rng.uniform(10, 10.05, 30), "y": rng.uniform(10, 10.05, 30)})
+    radius = 0.004
+    res = 15  # cell ≥ radius required
+    out = within_distance_join(
+        spark.createDataFrame(probes), spark.createDataFrame(build), "pid", "bid", radius, res
+    ).toPandas()
+    truth = {
+        (p.pid, b.bid)
+        for _, p in probes.iterrows()
+        for _, b in build.iterrows()
+        if np.hypot(p.x - b.x, p.y - b.y) <= radius
+    }
+    assert set(map(tuple, out[["pid", "bid"]].values)) == truth
+
+
+def test_blocks_closed_form_count(spark, world):
+    lines, gadm, bldgs, res = world
+    blocks = extract_blocks(lines, gadm, res)
+    ndiag = sum(1 for ci in range(NX) for cj in range(NX) if (ci * NX + cj) % 7 == 3)
+    assert blocks.count() == NX * NX + ndiag
+    # block_ids unique (reference asserts this too, prclz/utils.py:53)
+    assert blocks.select("block_id").distinct().count() == blocks.count()
+
+
+def test_k_complexity_rows(spark, world):
+    lines, gadm, bldgs, res = world
+    blocks = extract_blocks(lines, gadm, res).cache()
+    kdf = k_complexity(blocks, bldgs, res).toPandas()
+    assert len(kdf) == blocks.count()  # every block has buildings in fixture
+    assert (kdf.complexity >= 0).all() and (kdf.complexity <= 3).all()
+    # centroids multipoint round-trips
+    mp = G.wkb_loads(bytes(kdf.centroids_multipoint.iloc[0]))
+    assert mp.kind == G.MULTIPOINT
+
+
+def test_parcels_invariants(spark, world):
+    lines, gadm, bldgs, res = world
+    blocks = extract_blocks(lines, gadm, res).cache()
+    parcels = tessellate(blocks, bldgs, res).toPandas()
+    # ≤1 building per parcel by construction; every parcel area > 0
+    dup = parcels[parcels.osm_id.notna()].groupby(["block_id", "osm_id"]).size()
+    assert (dup == 1).all()
+    areas = [G.area(G.wkb_loads(bytes(b))) for b in parcels.geometry]
+    assert all(a > 0 for a in areas)
+
+
+def test_ledger_resume(spark, tmp_path):
+    from prclz_spark.operators.ledger import Ledger
+
+    led = Ledger(spark, str(tmp_path / "ledger"))
+    inp = spark.createDataFrame([(f"k{i}",) for i in range(10)], "partition_key string")
+    pend = led.filter_pending(inp.withColumnRenamed("partition_key", "gadm"), "s1", "gadm")
+    assert pend.count() == 10
+    done = spark.createDataFrame([(f"k{i}", 1) for i in range(4)], "gadm string, n int")
+    led.record("s1", done, "gadm")
+    pend2 = led.filter_pending(inp.withColumnRenamed("partition_key", "gadm"), "s1", "gadm")
+    assert pend2.count() == 6
+    assert set(r.gadm for r in pend2.collect()) == {f"k{i}" for i in range(4, 10)}
+
+
+def test_salted_join_equivalence(spark):
+    from prclz_spark.operators.skew import salt_exploded_join
+
+    probe = spark.createDataFrame(
+        [(i, i % 5) for i in range(1000)], "id long, cell long"
+    )
+    build = spark.createDataFrame([(c, f"v{c}") for c in range(5)], "cell long, val string")
+    plain = probe.join(build, "cell").count()
+    salted = salt_exploded_join(probe, build, key="cell", salts=4, probe_id="id", hot_threshold=10).count()
+    assert plain == salted == 1000
