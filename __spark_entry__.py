@@ -369,6 +369,48 @@ def _q_ann_cosine(spark, sf_dir):  # brute-force cosine top-k vs query vec
     return out
 
 
+def _q_minhash_lsh(spark, sf_dir):  # MinHash+LSH near-dup detection
+    from prclz_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    # plant near-duplicates: truncated copies of half the docs (re-crawl sim)
+    dups = d.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr("substring(text, 1, cast(length(text) * 0.9 as int))").alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(dups)
+    pairs = minhash_lsh_pairs(corpus, "doc_id", "text", jaccard_threshold=0.5)
+    return pairs.select(
+        "id_a", "id_b", "jaccard_est"
+    ).orderBy("id_a", "id_b")
+
+
+def _q_simhash_dedup(spark, sf_dir):  # SimHash Hamming-band near-dup
+    from prclz_spark.operators.dedup import simhash_near_pairs
+
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    dups = d.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token")).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(dups)
+    return simhash_near_pairs(corpus, "doc_id", "text", max_hamming=3).orderBy("id_a", "id_b")
+
+
+def _q_embedding_near_dup(spark, sf_dir):  # hyperplane-LSH cosine near-dup
+    from prclz_spark.operators.dedup import embedding_near_pairs
+
+    e = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    # plant near-dups: slightly perturbed copies of every 4th vector
+    dups = e.filter(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.expr("transform(embedding, x -> x * CAST(1.001 AS FLOAT))").alias("embedding"),
+    )
+    corpus = e.select("vec_id", "embedding").unionByName(dups)
+    dim = len(e.select("embedding").first()[0])
+    return embedding_near_pairs(corpus, "vec_id", "embedding", dim=dim, cos_threshold=0.98)
+
+
 def _q_embedding_norms(spark, sf_dir):  # vector math over array column
     e = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
     norm = F.sqrt(
@@ -419,6 +461,29 @@ def _q_geo_parcels(spark, sf_dir):
 # --------------------------------------------------------------------------
 # image / raster↔vector queries (rows-only: binary payloads, no SQL oracle)
 # --------------------------------------------------------------------------
+
+def _q_geo_reblock(spark, sf_dir):  # K19: Steiner street reblocking per block
+    from prclz_spark import cells as C
+    from prclz_spark import fixtures as FX
+    from prclz_spark.functions.st import st_length
+    from prclz_spark.operators.blocks import extract_blocks
+    from prclz_spark.operators.parcels import tessellate
+    from prclz_spark.operators.reblock_op import reblock
+
+    nx = 4
+    lines, gadm, bldgs = FX.geo_world(spark, nx, nx)
+    res = C.choose_resolution(*FX.grid_params(nx, nx), n_features=nx * nx * 4)
+    blocks = extract_blocks(lines, gadm, res)
+    parcels = tessellate(blocks, bldgs, res)
+    rb = reblock(blocks, parcels, bldgs, res)
+    return rb.select(
+        "block_id",
+        "road_type",
+        F.round(st_length(F.col("geometry")) * 1e3, 6).alias("len_e3"),
+        "bldg_count",
+        "num_graph_comps",
+    )
+
 
 def _q_images_roundtrip(spark, sf_dir):  # decode → re-encode PSNR invariant
     from prclz_spark import images as IM
@@ -521,9 +586,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_distinct": _q_ngram_distinct,
         "ann_cosine_topk": _q_ann_cosine,
         "embedding_norms": _q_embedding_norms,
+        "minhash_lsh_neardup": _q_minhash_lsh,
+        "simhash_neardup": _q_simhash_dedup,
+        "embedding_lsh_neardup": _q_embedding_near_dup,
         "geo_blocks_pipeline": _q_geo_blocks,
         "geo_k_complexity": _q_geo_complexity,
         "geo_parcels": _q_geo_parcels,
+        "geo_reblock_steiner": _q_geo_reblock,
         "images_roundtrip_psnr": _q_images_roundtrip,
         "phash_dedup_buckets": _q_phash_dedup,
         "tile_block_assignment": _q_tile_block_assignment,

@@ -1,0 +1,225 @@
+"""Port of the reference's golden-grid Steiner tests
+(/root/reference/tests/test_reblock.py — exact fixtures, exact WKT answers,
+including the enumerated acceptable ties at :188-190, :242-244).
+
+Line-set equality here is set-theoretic (shapely `.equals` semantics in the
+reference): two segment sets are equal iff they have the same total length
+and each is covered by the other.
+"""
+
+import numpy as np
+import pytest
+
+from prclz_spark import geom as G
+from prclz_spark.kernels.reblock import StreetGraph
+
+
+def _seg_points(segs, n=9):
+    pts = []
+    for (a, b) in segs:
+        for t in np.linspace(0, 1, n):
+            pts.append((a[0] + t * (b[0] - a[0]), a[1] + t * (b[1] - a[1])))
+    return pts
+
+
+def _pt_on_segs(p, segs, eps=1e-9):
+    px, py = p
+    for (a, b) in segs:
+        vx, vy = b[0] - a[0], b[1] - a[1]
+        cross = (px - a[0]) * vy - (py - a[1]) * vx
+        dot = (px - a[0]) * vx + (py - a[1]) * vy
+        l2 = vx * vx + vy * vy
+        if abs(cross) <= eps * max(1.0, l2) and -eps <= dot <= l2 + eps:
+            return True
+    return False
+
+
+def lines_equal(segs_a, segs_b) -> bool:
+    """Set-theoretic equality of two segment collections."""
+    la = sum(np.hypot(b[0] - a[0], b[1] - a[1]) for a, b in segs_a)
+    lb = sum(np.hypot(b[0] - a[0], b[1] - a[1]) for a, b in segs_b)
+    if abs(la - lb) > 1e-9:
+        return False
+    return all(_pt_on_segs(p, segs_b) for p in _seg_points(segs_a)) and all(
+        _pt_on_segs(p, segs_b) for p in _seg_points(segs_a)
+    ) and all(_pt_on_segs(p, segs_a) for p in _seg_points(segs_b))
+
+
+def _wkt_lines(wkt: str):
+    """WKT (MULTI)LINESTRING → segment list."""
+    if "EMPTY" in wkt:
+        return []
+    g = G.wkt_loads(wkt)
+    arrs = [g.data] if g.kind == G.LINESTRING else g.data
+    out = []
+    for arr in arrs:
+        for i in range(len(arr) - 1):
+            out.append((tuple(arr[i]), tuple(arr[i + 1])))
+    return out
+
+
+def _segset(segs):
+    return {frozenset((a, b)) for a, b in segs}
+
+
+# --- fixtures (verbatim from tests/test_reblock.py:17-70) -------------------
+
+def make_square(ll, w=1):
+    x, y = ll
+    return [(x, y), (x + w, y), (x + w, y + w), (x, y + w), (x, y)]
+
+
+def create_test_grid(n):
+    lines = []
+    for i in range(n):
+        for j in range(n):
+            if i == 0 and j == 1:
+                lines.append([(0, 1), (1, 1), (1, 2), (0, 1)])
+            else:
+                lines.append(make_square((i, j), 1))
+    return StreetGraph.from_lines(lines)
+
+
+def grids_with_targets():
+    points = [(2, 2), (0, 0.2), (1.8, 1), (0.8, 2)]
+    grids = {}
+    for k in (2, 3, 4):
+        g = create_test_grid(2)
+        for pt in points[:k]:
+            g.add_node_to_closest_edge(pt, terminal=True)
+        grids[k] = g
+    return grids
+
+
+class TestBasicSteiner:
+    def test_basic2pt(self):
+        g = grids_with_targets()[2]
+        g.steiner_tree_approx()
+        new, existing = g.steiner_segments()
+        answer = _wkt_lines("LINESTRING (0 1, 1 2)") + _wkt_lines(
+            "LINESTRING (0 1, 0 0.2)"
+        ) + _wkt_lines("LINESTRING (1 2, 2 2)")
+        assert _segset(new) == _segset(answer)
+
+    def test_basic3pt(self):
+        g = grids_with_targets()[3]
+        g.steiner_tree_approx()
+        new, _ = g.steiner_segments()
+        answer = [
+            ((1, 1), (0, 1)),
+            ((2, 1), (2, 2)),
+            ((0, 1), (0, 0.2)),
+            ((1, 1), (1.8, 1)),
+            ((2, 1), (1.8, 1)),
+        ]
+        assert _segset(new) == _segset(answer)
+
+    def test_basic4pt(self):
+        g = grids_with_targets()[4]
+        g.steiner_tree_approx()
+        new, _ = g.steiner_segments()
+        answer = [
+            ((2, 1), (2, 2)),
+            ((1, 2), (2, 2)),
+            ((0, 1), (0, 0.2)),
+            ((2, 1), (1.8, 1)),
+            ((0, 1), (0.9, 1.9)),
+            ((1, 2), (0.9, 1.9)),
+        ]
+        assert _segset(new) == _segset(answer)
+
+
+class TestExistingSteiner:
+    def _make(self):
+        g = StreetGraph.from_lines(
+            [[(0, 0), (1, 0), (1, 1), (0, 0)], [(0, 0), (1, 1), (0, 1), (0, 0)]]
+        )
+        g.add_node_to_closest_edge((0, 0), terminal=True)
+        g.add_node_to_closest_edge((1, 1), terminal=True)
+        return g, np.array(make_square((0, 0), 1), dtype=float)
+
+    def test_no_block(self):
+        g, _ = self._make()
+        g.steiner_tree_approx()
+        new, existing = g.steiner_segments()
+        assert lines_equal(new, _wkt_lines("LINESTRING (0 0, 1 1)"))
+        assert existing == []
+
+    def test_w_block(self):
+        g, block = self._make()
+        missing, total = g.update_edge_types(block, check=True)
+        assert missing == 0
+        g.steiner_tree_approx()
+        new, existing = g.steiner_segments()
+        assert new == []
+        ok = lines_equal(existing, _wkt_lines("MULTILINESTRING ((0 0, 0 1), (0 1, 1 1))")) or lines_equal(
+            existing, _wkt_lines("MULTILINESTRING ((0 0, 1 0), (1 0, 1 1))")
+        )
+        assert ok, existing
+
+
+class TestWidthSteiner:
+    def _make(self):
+        g = StreetGraph.from_lines(
+            [
+                [(0, 0), (1, 0), (1, 1), (0.5, 0.5), (0, 0)],
+                [(0, 0), (0.5, 0.5), (1, 1), (0, 1), (0, 0)],
+            ]
+        )
+        g.add_node_to_closest_edge((0, 0), terminal=True)
+        g.add_node_to_closest_edge((1, 1), terminal=True)
+        eps = 0.00001
+        house = G.polygon(
+            [(0.5, 0.5 + eps), (0.55, 0.55 + eps), (0.55, 0.55 + 2 * eps), (0.5, 0.5 + 2 * eps)]
+        )
+        return g, [house]
+
+    def test_w_width(self):
+        g, houses = self._make()
+        g.set_edge_width(houses, simplify=True)
+        g.calc_edge_weight()
+        g.steiner_tree_approx()
+        new, existing = g.steiner_segments()
+        ok = lines_equal(new, _wkt_lines("MULTILINESTRING ((0 0, 0 1), (0 1, 1 1))")) or lines_equal(
+            new, _wkt_lines("MULTILINESTRING ((0 0, 1 0), (1 0, 1 1))")
+        )
+        assert ok, new
+        assert existing == []
+
+
+class TestThruStreets:
+    def _make(self):
+        g = StreetGraph.from_lines(
+            [
+                make_square((0, 0), 3),
+                [(0, 0), (0.9, 0.9)],
+                [(2.1, 2.1), (3, 3)],
+                [(0.9, 0.9), (2.1, 2.1)],
+            ]
+        )
+        g.add_node_to_closest_edge((0.9, 0.9), terminal=True)
+        g.add_node_to_closest_edge((2.1, 2.1), terminal=True)
+        g.add_node_to_closest_edge((0, 1), terminal=True)
+        return g, np.array(make_square((0, 0), 3), dtype=float)
+
+    def _check_existing(self, existing):
+        return lines_equal(
+            existing, _wkt_lines("MULTILINESTRING ((0 0, 0 3), (0 3, 3 3))")
+        ) or lines_equal(existing, _wkt_lines("MULTILINESTRING ((3 3, 3 0), (3 0, 0 0))"))
+
+    def test_no_thru(self):
+        g, block = self._make()
+        g.update_edge_types(block, check=True)
+        g.steiner_tree_approx()
+        new, existing = g.steiner_segments()
+        assert lines_equal(new, _wkt_lines("MULTILINESTRING ((0 0, 0.9 0.9), (2.1 2.1, 3 3))")), new
+        assert self._check_existing(existing), existing
+
+    def test_add_thru(self):
+        g, block = self._make()
+        g.update_edge_types(block, check=True)
+        g.steiner_tree_approx()
+        g.add_through_lines(ratio_cutoff=2)
+        new, existing = g.steiner_segments()
+        assert lines_equal(new, _wkt_lines("MULTILINESTRING ((0 0, 3 3))")), new
+        assert self._check_existing(existing), existing
