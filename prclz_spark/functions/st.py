@@ -167,6 +167,25 @@ def st_dump(s: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
+def st_boundary(s: pd.Series) -> pd.Series:
+    """Polygon → MultiLineString of its rings (`prclz/reblock/_reblock.py:63`).
+    Also the key to DJI golden parity: the reference's complexity run took
+    centroids of building BOUNDARY linestrings (length-weighted), not area
+    centroids — see tests/test_dji_replay.py."""
+    def f(b):
+        if b is None:
+            return None
+        g = G.wkb_loads(bytes(b))
+        if g.kind == G.POLYGON:
+            return G.wkb_dumps(G.multilinestring(list(g.data)))
+        if g.kind == G.MULTIPOLYGON:
+            return G.wkb_dumps(G.multilinestring([r for rings in g.data for r in rings]))
+        return G.wkb_dumps(g)
+
+    return s.map(f)
+
+
+@pandas_udf(BinaryType())
 def st_envelope(s: pd.Series) -> pd.Series:
     def f(b):
         if b is None:
@@ -265,13 +284,17 @@ def st_centroid_xy_cell(res: int):
 
         xs, ys = [], []
         for b in s:
+            if b is None:
+                xs.append(np.nan)
+                ys.append(np.nan)
+                continue
             c = G.centroid(G.wkb_loads(bytes(b)))
             xs.append(c[0])
             ys.append(c[1])
         xs = np.asarray(xs)
         ys = np.asarray(ys)
-        cells = C.cell_of_xy(xs, ys, res)
-        return pd.DataFrame({"x": xs, "y": ys, "cell": cells})
+        cells = C.cell_of_xy(np.nan_to_num(xs), np.nan_to_num(ys), res)
+        return pd.DataFrame({"x": xs, "y": ys, "cell": np.where(np.isnan(xs), None, cells)})
 
     return _f
 

@@ -291,6 +291,60 @@ class StreetGraph:
         out.g = self.g.subgraph(big).copy()
         return len(comps), out
 
+    def contract_degree2_chains(self):
+        """K16 (:923-1035): merge A—B—C through non-terminal degree-2 nodes
+        into A—C, summing weight/eucl_dist and recording the collapsed
+        coordinate path (so edges can be re-expanded for output)."""
+        changed = True
+        while changed:
+            changed = False
+            for v in list(self.g.nodes()):
+                if self.g.degree(v) != 2 or self.g.nodes[v].get("terminal"):
+                    continue
+                n0, n1 = list(self.g.neighbors(v))
+                if n0 == n1 or self.g.has_edge(n0, n1):
+                    continue
+                d0 = self.g.edges[n0, v]
+                d1 = self.g.edges[v, n1]
+                path = (
+                    d0.get("path", [n0, v])[:-1]
+                    + [v]
+                    + d1.get("path", [v, n1])[1:]
+                )
+                # orient stored paths consistently n0 → v → n1
+                p0 = d0.get("path", [n0, v])
+                if p0[0] != n0:
+                    p0 = p0[::-1]
+                p1 = d1.get("path", [v, n1])
+                if p1[0] != v:
+                    p1 = p1[::-1]
+                path = p0 + p1[1:]
+                attrs = {
+                    "weight": d0["weight"] + d1["weight"],
+                    "eucl_dist": d0["eucl_dist"] + d1["eucl_dist"],
+                    "steiner": d0["steiner"] and d1["steiner"],
+                    "edge_type": d0["edge_type"] if d0["edge_type"] == d1["edge_type"] else None,
+                    "width": min(
+                        [w for w in (d0["width"], d1["width"]) if w is not None],
+                        default=None,
+                    ),
+                    "is_through_line": d0["is_through_line"] and d1["is_through_line"],
+                    "parcel_ids": d0["parcel_ids"] | d1["parcel_ids"],
+                    "path": path,
+                }
+                self.g.remove_node(v)
+                self.g.add_edge(n0, n1, **attrs)
+                changed = True
+
+    def expand_edge(self, a, b):
+        """Edge → coordinate sequence, unpacking any contracted path
+        (edge_to_coords(expand=True), :425-453)."""
+        d = self.g.edges[a, b]
+        path = d.get("path")
+        if not path:
+            return [a, b]
+        return path if path[0] == a else path[::-1]
+
     def steiner_segments(self):
         """(new_segments, existing_segments) as coordinate pairs; an optimal
         edge is existing iff its weight is 0 (:838-850)."""
@@ -302,6 +356,37 @@ class StreetGraph:
 
     def terminal_points(self):
         return sorted(self.terminals())
+
+    @staticmethod
+    def simplify_linestring(points, corridor) -> list:
+        """K18 (:41-74): start from the endpoints-only chord and add the
+        point farthest from the current line until the line stays inside
+        the admissible `corridor` polygon (prclz_spark.geom Geom). This is
+        the reference's corridor-constrained Douglas-Peucker-style loop."""
+        from .. import geom as G
+
+        pts = np.asarray(points, dtype=np.float64).reshape(-1, 2)
+        if len(pts) <= 2:
+            return [tuple(p) for p in pts]
+        idxs = [0, len(pts) - 1]
+
+        def inside(line_idxs):
+            seg_pts = pts[line_idxs]
+            for i in range(len(seg_pts) - 1):
+                a, b = seg_pts[i], seg_pts[i + 1]
+                for t in np.linspace(0, 1, 12):
+                    p = a + t * (b - a)
+                    if not G.contains_point(corridor, p[0], p[1]):
+                        return False
+            return True
+
+        while not inside(idxs) and len(idxs) < len(pts):
+            line = G.linestring(pts[idxs])
+            remaining = [i for i in range(len(pts)) if i not in idxs]
+            far = max(remaining, key=lambda i: G.distance(G.point(*pts[i]), line))
+            idxs.append(far)
+            idxs.sort()
+        return [tuple(pts[i]) for i in idxs]
 
     def stats(self):
         return {

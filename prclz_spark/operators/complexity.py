@@ -57,11 +57,15 @@ def building_centroids(buildings: DataFrame, id_col: str = "osm_id", res: int | 
         from ..functions.st import st_centroid_xy_cell
 
         c = st_centroid_xy_cell(res)(F.col("geometry"))
-        return buildings.withColumn("_c", c).select(
-            F.col(id_col),
-            F.col("_c.x").alias("x"),
-            F.col("_c.y").alias("y"),
-            F.col("_c.cell").alias("cell"),
+        return (
+            buildings.withColumn("_c", c)
+            .select(
+                F.col(id_col),
+                F.col("_c.x").alias("x"),
+                F.col("_c.y").alias("y"),
+                F.col("_c.cell").alias("cell"),
+            )
+            .filter(F.col("cell").isNotNull())
         )
     c = st_centroid(F.col("geometry"))
     return buildings.select(F.col(id_col), st_x(c).alias("x"), st_y(c).alias("y"))

@@ -1,0 +1,85 @@
+"""End-to-end DJI replay (north_star row-for-row evidence): feed the
+reference's OWN example inputs through the Spark engine and compare against
+its golden complexity output.
+
+Inputs:  example_data/blocks/Africa/DJI/blocks_DJI.1.1_1.csv  (540 blocks)
+         example_data/buildings/Africa/DJI/buildings_DJI.1.1_1.geojson
+Golden:  example_data/complexity/Africa/DJI/complexity_DJI.1.1_1.csv
+         (196 blocks with buildings, k values)
+
+Checks:
+* block membership: exactly the 196 golden blocks get complexity rows;
+* centroid sets: the building-centroid MultiPoint per block matches the
+  golden centroids_multipoint (as a rounded point set) — this validates
+  S1/S2 scans + st_centroid + the PIP join end to end;
+* k values: ≥66% exact, ≥97% within ±1 (same gate as the kernel-level
+  replay; residual deltas are Voronoi-backend-level, see kernels/planar.py).
+"""
+
+import csv
+import sys
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from prclz_spark import cells as C
+from prclz_spark import geom as G
+from prclz_spark.operators.complexity import k_complexity
+from prclz_spark.sources.geo_io import read_csv_wkt, read_geojson
+
+BLOCKS = "/root/reference/example_data/blocks/Africa/DJI/blocks_DJI.1.1_1.csv"
+BUILDINGS = "/root/reference/example_data/buildings/Africa/DJI/buildings_DJI.1.1_1.geojson"
+GOLDEN = "/root/reference/example_data/complexity/Africa/DJI/complexity_DJI.1.1_1.csv"
+
+
+@pytest.mark.slow
+def test_dji_pipeline_replay(spark):
+    csv.field_size_limit(sys.maxsize)
+    golden = {r["block_id"]: r for r in csv.DictReader(open(GOLDEN))}
+
+    blocks = read_csv_wkt(spark, BLOCKS, assert_unique="block_id").select("block_id", "geometry")
+    bldgs = read_geojson(spark, BUILDINGS, ["osm_id"]).filter(F.col("geometry").isNotNull())
+    # the reference frame has duplicate osm_ids across way/relation sources;
+    # give every footprint a unique id (the centroid is what matters)
+    bldgs = bldgs.withColumn("osm_id", F.concat_ws("_", "osm_id", F.monotonically_increasing_id()))
+    # golden parity: the reference's complexity run operated on building
+    # boundary LINESTRINGS (extract.sh's building_linestrings), whose
+    # centroid is length-weighted — 3557/3855 golden points match that
+    # definition at 6dp vs 16/3855 for area centroids
+    from prclz_spark.functions.st import st_boundary
+
+    bldgs = bldgs.withColumn("geometry", st_boundary(F.col("geometry")))
+
+    res = C.choose_resolution(42.5, 11.0, 43.5, 11.7, n_features=540 * 4)
+    out = k_complexity(blocks, bldgs, res).toPandas()
+
+    got_ids = set(out.block_id)
+    golden_ids = set(golden)
+    missing = golden_ids - got_ids
+    extra = got_ids - golden_ids
+    # membership must match almost exactly (tiny diffs possible if a golden
+    # centroid sits exactly on a block border)
+    assert len(missing) <= 2, sorted(missing)[:5]
+    assert len(extra) <= 2, sorted(extra)[:5]
+
+    exact = within1 = total = 0
+    centroid_match = 0
+    for r in out.itertuples():
+        gold = golden.get(r.block_id)
+        if gold is None:
+            continue
+        total += 1
+        dk = int(r.complexity) - int(gold["complexity"])
+        exact += dk == 0
+        within1 += abs(dk) <= 1
+        mp_gold = G.wkt_loads(gold["centroids_multipoint"])
+        gold_pts = mp_gold.data if mp_gold.kind == G.MULTIPOINT else mp_gold.data.reshape(1, 2)
+        mine = G.wkb_loads(bytes(r.centroids_multipoint)).data
+        a = {(round(x, 7), round(y, 7)) for x, y in gold_pts}
+        b = {(round(x, 7), round(y, 7)) for x, y in np.asarray(mine).reshape(-1, 2)}
+        centroid_match += a == b
+    assert total >= 194
+    assert centroid_match >= 0.97 * total, f"{centroid_match}/{total} centroid sets match"
+    assert exact >= 0.66 * total, f"{exact}/{total} exact k"
+    assert within1 >= 0.97 * total, f"{within1}/{total} within ±1"

@@ -129,6 +129,32 @@ class TestBasicSteiner:
         assert _segset(new) == _segset(answer)
 
 
+class TestChainContraction:
+    def test_contract_degree2(self):  # K16
+        g = StreetGraph.from_lines([[(0, 0), (1, 0), (2, 0), (3, 0)], [(3, 0), (3, 1)]])
+        g.g.nodes[(0.0, 0.0)]["terminal"] = True
+        g.g.nodes[(3.0, 0.0)]["terminal"] = True
+        g.contract_degree2_chains()
+        assert g.g.has_edge((0.0, 0.0), (3.0, 0.0))
+        d = g.g.edges[(0.0, 0.0), (3.0, 0.0)]
+        assert abs(d["weight"] - 3.0) < 1e-12
+        assert g.expand_edge((0.0, 0.0), (3.0, 0.0)) == [
+            (0.0, 0.0), (1.0, 0.0), (2.0, 0.0), (3.0, 0.0),
+        ]
+
+
+class TestCorridorSimplify:
+    def test_simplify_linestring(self):  # K18
+        zig = [(0, 0), (1, 0.4), (2, -0.4), (3, 0.3), (4, 0)]
+        wide = G.polygon([(-1, -1), (5, -1), (5, 1), (-1, 1)])
+        assert StreetGraph.simplify_linestring(zig, wide) == [(0.0, 0.0), (4.0, 0.0)]
+        notched = G.polygon(
+            [(-0.5, -0.6), (0.5, -0.6), (1, 0.35), (1.5, -0.6), (4.5, -0.6), (4.5, 0.6), (-0.5, 0.6)]
+        )
+        out = StreetGraph.simplify_linestring(zig, notched)
+        assert out[0] == (0.0, 0.0) and out[-1] == (4.0, 0.0) and len(out) > 2
+
+
 class TestExistingSteiner:
     def _make(self):
         g = StreetGraph.from_lines(
