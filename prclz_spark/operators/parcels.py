@@ -91,9 +91,17 @@ def _merge_cells_of_building(rings: list) -> G.Geom | None:
         chain.append(cur)
         if cur == start:
             break
-    if chain[-1] != start:
-        chain.append(start)
-    return G.Geom(G.POLYGON, [np.asarray(chain, dtype=np.float64)])
+    merged = None
+    if chain[-1] == start and len(chain) >= 4:
+        merged = G.Geom(G.POLYGON, [np.asarray(chain, dtype=np.float64)])
+    # validity check: the dissolved ring must cover (within tolerance) the
+    # summed cell area; otherwise the boundary has multiple loops (holes /
+    # disjoint parts, e.g. a MultiPolygon building) → keep the exact
+    # cell-complex as a MultiPolygon instead
+    cells_area = sum(P._abs_ring_area(r) for r in rings)
+    if merged is None or abs(G.area(merged) - cells_area) > 1e-9 * max(cells_area, 1e-300) + 1e-18:
+        return G.multipolygon([[r] for r in rings])
+    return merged
 
 
 def _parcels_kernel(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -1,0 +1,40 @@
+"""Physical-plan assertions: the scale properties SURVEY.md §4 promises
+(broadcast build side, no probe-side shuffle before the PIP join, filter
+pushdown into the parquet scan) hold in the plans Catalyst actually picks."""
+
+from pyspark.sql import functions as F
+
+from prclz_spark import cells as C
+from prclz_spark import fixtures as FX
+from prclz_spark.operators.complexity import building_centroids
+from prclz_spark.operators.sjoin import pip_join
+
+
+def test_pip_join_is_broadcast_no_probe_shuffle(spark):
+    lines, gadm, bldgs = FX.geo_world(spark, 4, 4)
+    res = C.choose_resolution(*FX.grid_params(4, 4), n_features=64)
+    pts = building_centroids(bldgs, res=res)
+    out = pip_join(pts, gadm, "osm_id", "gadm", res=res, how="inner")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # the probe side must reach the join without an Exchange (shuffle):
+    # with a broadcast join the only Exchange in the plan is the broadcast
+    assert "ShuffleExchange" not in plan.replace("BroadcastExchange", "")
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_parquet_filter_pushdown(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    q = df.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThan(l_quantity" in plan
+    # column pruning: only the two referenced columns in ReadSchema
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_multiway_join_broadcasts_dims(spark):
+    import __spark_entry__ as E
+
+    q = E.queries()["multiway_join_revenue"](spark, "/root/testdata/sf0.001")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # nation dim broadcast

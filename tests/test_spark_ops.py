@@ -117,6 +117,12 @@ def test_parcels_invariants(spark, world):
     assert (dup == 1).all()
     areas = [G.area(G.wkb_loads(bytes(b))) for b in parcels.geometry]
     assert all(a > 0 for a in areas)
+    # every building's parcel contains the building's centroid — the
+    # reference's check_within QC (`prclz/_parcels.py:218-237`)
+    cent = building_centroids(bldgs).toPandas().set_index("osm_id")
+    for r in parcels[parcels.osm_id.notna()].itertuples():
+        g = G.wkb_loads(bytes(r.geometry))
+        assert G.contains_point(g, cent.loc[r.osm_id, "x"], cent.loc[r.osm_id, "y"]), r.osm_id
 
 
 def test_ledger_resume(spark, tmp_path):
