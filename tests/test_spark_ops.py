@@ -139,6 +139,30 @@ def test_ledger_resume(spark, tmp_path):
     assert set(r.gadm for r in pend2.collect()) == {f"k{i}" for i in range(4, 10)}
 
 
+def test_salting_balances_hot_cell(spark):
+    """north_rule skew evidence: a megacity cell's work spreads over the
+    salt space — the max per-(cell,salt) group size drops by ~the salt
+    factor (deterministic row-count check, no timing flakiness)."""
+    from prclz_spark.operators.skew import hot_cells
+
+    # one hot cell (id 7) with 10k rows, 50 cold cells with 10 each
+    probe = spark.range(10_000).select(
+        F.col("id"), F.lit(7).alias("cell")
+    ).unionByName(
+        spark.range(500).select((F.col("id") + 20_000).alias("id"), (F.col("id") % 50 + 100).alias("cell"))
+    )
+    assert hot_cells(probe, hot_threshold=1000) == [7]
+    salts = 8
+    salted = probe.withColumn(
+        "salt",
+        F.when(F.col("cell") == 7, F.pmod(F.xxhash64("id"), F.lit(salts))).otherwise(F.lit(0)),
+    )
+    sizes = salted.groupBy("cell", "salt").count().agg(F.max("count")).first()[0]
+    unsalted_max = probe.groupBy("cell").count().agg(F.max("count")).first()[0]
+    assert unsalted_max == 10_000
+    assert sizes < 10_000 / salts * 1.5  # balanced within 50% of ideal
+
+
 def test_salted_join_equivalence(spark):
     from prclz_spark.operators.skew import salt_exploded_join
 
