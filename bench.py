@@ -33,7 +33,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 GEO_NX = int(os.environ.get("BENCH_GEO_NX", "80"))
-GEO_GX = int(os.environ.get("BENCH_GEO_GX", "8"))
+GEO_GX = int(os.environ.get("BENCH_GEO_GX", "16"))
 PER_CELL = int(os.environ.get("BENCH_GEO_PER_CELL", "24"))
 
 

@@ -47,11 +47,19 @@ class StreetGraph:
 
     # --- construction ------------------------------------------------------
 
+    # Coordinates are rounded to 9 decimals (~0.1 mm in degrees) on graph
+    # entry: vertices shared between independently-clipped parcel rings can
+    # differ in the last float bits, which would fragment the graph (the
+    # igraph reference gets exact sharing because pytess emits each vertex
+    # once). 9 decimals preserves every golden-test coordinate exactly.
+    ROUND = 9
+
     @classmethod
     def from_lines(cls, lines) -> "StreetGraph":
         sg = cls()
+        r = cls.ROUND
         for arr in lines:
-            pts = [(float(x), float(y)) for x, y in np.asarray(arr).reshape(-1, 2)]
+            pts = [(round(float(x), r), round(float(y), r)) for x, y in np.asarray(arr).reshape(-1, 2)]
             for a, b in zip(pts[:-1], pts[1:]):
                 sg.add_edge(a, b)
         return sg
@@ -59,8 +67,9 @@ class StreetGraph:
     @classmethod
     def from_polygons(cls, rings, parcel_ids=None) -> "StreetGraph":
         sg = cls()
+        r = cls.ROUND
         for pi, ring in enumerate(rings):
-            pts = [(float(x), float(y)) for x, y in np.asarray(ring).reshape(-1, 2)]
+            pts = [(round(float(x), r), round(float(y), r)) for x, y in np.asarray(ring).reshape(-1, 2)]
             pid = parcel_ids[pi] if parcel_ids is not None else pi
             for a, b in zip(pts[:-1], pts[1:]):
                 sg.add_edge(a, b, parcel_id=pid)
