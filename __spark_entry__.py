@@ -411,6 +411,21 @@ def _q_embedding_near_dup(spark, sf_dir):  # hyperplane-LSH cosine near-dup
     return embedding_near_pairs(corpus, "vec_id", "embedding", dim=dim, cos_threshold=0.98)
 
 
+def _q_ann_lsh_topk(spark, sf_dir):  # LSH-bucketed ANN (scale path)
+    from prclz_spark.operators.ann import ann_lsh_topk
+
+    e = _load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = e.filter(F.col("vec_id") < 500)
+    twins = base.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.expr("transform(embedding, x -> x * CAST(1.01 AS FLOAT))").alias("embedding"),
+    )
+    corpus = base.unionByName(twins)
+    queries_df = base.filter(F.col("vec_id") < 50).withColumnRenamed("vec_id", "qid")
+    dim = len(base.first().embedding)
+    return ann_lsh_topk(queries_df, corpus, "qid", "vec_id", "embedding", dim=dim, k=3, n_planes=10)
+
+
 def _q_embedding_norms(spark, sf_dir):  # vector math over array column
     e = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
     norm = F.sqrt(
@@ -586,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_distinct": _q_ngram_distinct,
         "ann_cosine_topk": _q_ann_cosine,
         "embedding_norms": _q_embedding_norms,
+        "ann_lsh_topk": _q_ann_lsh_topk,
         "minhash_lsh_neardup": _q_minhash_lsh,
         "simhash_neardup": _q_simhash_dedup,
         "embedding_lsh_neardup": _q_embedding_near_dup,

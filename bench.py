@@ -97,10 +97,10 @@ def timed_pipeline(master: str, shuffle_partitions: int) -> dict:
         gadm.count()
         res = C.choose_resolution(*FX.grid_params(GEO_NX, GEO_NX), n_features=GEO_NX * GEO_NX * 4)
 
-        # two measured repetitions, best-of (wall-clock noise at local[N]
+        # three measured repetitions, best-of (wall-clock noise at local[N]
         # is ±20%; the min is the steady-state throughput)
         wall = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             counts = run_pipeline(spark, lines, gadm, bldgs, res)
             wall = min(wall, time.time() - t0)
