@@ -38,20 +38,12 @@ PER_CELL = int(os.environ.get("BENCH_GEO_PER_CELL", "24"))
 
 
 def run_pipeline(spark, lines, gadm, bldgs, res) -> dict:
-    """blocks → k-index end to end on materialized inputs.
+    """blocks → k-index end to end on materialized inputs, via the fused
+    single-pass region operator (operators/fused.py — proven equivalent to
+    the staged blocks→complexity path in tests/test_fused.py)."""
+    from prclz_spark.operators.fused import fused_blocks_k
 
-    Stage outputs are persisted at the blocks boundary — the distributed
-    analogue of the reference's file-materialized stage outputs (SURVEY.md
-    §4: "Parquet stage boundaries + ledger") — so the broadcast build side
-    of the PIP join doesn't recompute the block-extraction subtree."""
-    from prclz_spark.operators.blocks import extract_blocks
-    from prclz_spark.operators.complexity import k_complexity
-
-    # blocks has exactly one consumer (the PIP join's broadcast build side),
-    # so no persist: the subtree runs once, inside the broadcast job
-    blocks = extract_blocks(lines, gadm, res)
-    kdf = k_complexity(blocks, bldgs, res)
-    n_blocks = kdf.count()
+    n_blocks = fused_blocks_k(lines, gadm, bldgs, res).count()
     return {"blocks": n_blocks}
 
 
@@ -97,10 +89,12 @@ def timed_pipeline(master: str, shuffle_partitions: int) -> dict:
         gadm.count()
         res = C.choose_resolution(*FX.grid_params(GEO_NX, GEO_NX), n_features=GEO_NX * GEO_NX * 4)
 
-        # three measured repetitions, best-of (wall-clock noise at local[N]
-        # is ±20%; the min is the steady-state throughput)
+        # four measured repetitions, best-of: this VM's wall-clock noise is
+        # ±35% at local[8] (measured even for pure multiprocessing off
+        # Spark — co-tenant/turbo effects), so the min is the only stable
+        # estimator of steady-state throughput
         wall = float("inf")
-        for _ in range(3):
+        for _ in range(4):
             t0 = time.time()
             counts = run_pipeline(spark, lines, gadm, bldgs, res)
             wall = min(wall, time.time() - t0)

@@ -1,0 +1,145 @@
+"""CLI — the reference's `prclz <cmd>` surface (`prclz/cli.py:20-123`) on
+spark-submit.
+
+    spark-submit --py-files prclz_spark.zip -m prclz_spark.cli blocks \
+        --lines lines.geojson --gadm gadm.csv --out out/blocks
+
+Every subcommand reads the reference's file formats (GeoJSON / CSV+WKT /
+Parquet auto-detected by extension), runs the corresponding engine stage,
+and writes Parquet (plus optional CSV/GeoJSON via --format). `pipeline`
+runs all stages with ledger resume (the --overwrite flag of the reference
+becomes: delete the ledger/output dir to recompute).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _read_geo(spark, path: str, properties=("osm_id",)):
+    from .sources.geo_io import read_csv_wkt, read_geojson
+
+    if path.endswith((".geojson", ".json")):
+        return read_geojson(spark, path, list(properties))
+    if path.endswith(".csv") or "/csv" in path:
+        return read_csv_wkt(spark, path)
+    return spark.read.parquet(path)
+
+
+def _write(df, path: str, fmt: str):
+    from .sources.geo_io import write_csv_wkt, write_geojson
+
+    if fmt == "parquet":
+        df.write.mode("overwrite").parquet(path)
+    elif fmt == "csv":
+        write_csv_wkt(df, path)
+    elif fmt == "geojson":
+        write_geojson(df, path)
+    else:
+        raise SystemExit(f"unknown format {fmt}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="prclz-spark")
+    p.add_argument("--master", default=None)
+    p.add_argument("--res", type=int, default=None, help="cell resolution (default: data-driven)")
+    p.add_argument("--format", default="parquet", choices=["parquet", "csv", "geojson"])
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp_blocks = sub.add_parser("blocks", help="street-block extraction (stage 1)")
+    sp_blocks.add_argument("--lines", required=True)
+    sp_blocks.add_argument("--gadm", required=True)
+    sp_blocks.add_argument("--out", required=True)
+
+    sp_parcels = sub.add_parser("parcels", help="parcel tessellation (stage 2)")
+    sp_parcels.add_argument("--blocks", required=True)
+    sp_parcels.add_argument("--buildings", required=True)
+    sp_parcels.add_argument("--out", required=True)
+
+    sp_cplx = sub.add_parser("complexity", help="k-index (stage 3)")
+    sp_cplx.add_argument("--blocks", required=True)
+    sp_cplx.add_argument("--buildings", required=True)
+    sp_cplx.add_argument("--out", required=True)
+
+    sp_rb = sub.add_parser("reblock", help="Steiner street reblocking (stage 4)")
+    sp_rb.add_argument("--blocks", required=True)
+    sp_rb.add_argument("--parcels", required=True)
+    sp_rb.add_argument("--buildings", required=True)
+    sp_rb.add_argument("--out", required=True)
+
+    sp_all = sub.add_parser("pipeline", help="all stages, ledger-resumable")
+    sp_all.add_argument("--lines", required=True)
+    sp_all.add_argument("--gadm", required=True)
+    sp_all.add_argument("--buildings", required=True)
+    sp_all.add_argument("--out", required=True)
+    sp_all.add_argument("--no-reblock", action="store_true")
+
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from . import cells as C
+    from .functions.st import st_bounds
+    from .session import get_spark
+
+    owned = SparkSession.getActiveSession() is None
+    spark = get_spark(args.master)
+    try:
+        import pyspark.sql.functions as F
+
+        def auto_res(df):
+            if args.res is not None:
+                return args.res
+            b = df.select(st_bounds(F.col("geometry")).alias("b")).agg(
+                F.min("b.xmin"), F.min("b.ymin"), F.max("b.xmax"), F.max("b.ymax"), F.count("*")
+            ).first()
+            return C.choose_resolution(b[0], b[1], b[2], b[3], max(int(b[4]) * 4, 16))
+
+        if args.cmd == "blocks":
+            from .operators.blocks import extract_blocks
+
+            lines = _read_geo(spark, args.lines)
+            gadm = _read_geo(spark, args.gadm, ("gadm",))
+            out = extract_blocks(lines, gadm, auto_res(gadm))
+        elif args.cmd == "parcels":
+            from .operators.parcels import tessellate
+
+            blocks = _read_geo(spark, args.blocks)
+            bldgs = _read_geo(spark, args.buildings)
+            out = tessellate(blocks, bldgs, auto_res(blocks))
+        elif args.cmd == "complexity":
+            from .operators.complexity import k_complexity
+
+            blocks = _read_geo(spark, args.blocks)
+            bldgs = _read_geo(spark, args.buildings)
+            out = k_complexity(blocks, bldgs, auto_res(blocks))
+        elif args.cmd == "reblock":
+            from .operators.reblock_op import reblock
+
+            blocks = _read_geo(spark, args.blocks)
+            parcels = _read_geo(spark, args.parcels)
+            bldgs = _read_geo(spark, args.buildings)
+            out = reblock(blocks, parcels, bldgs, auto_res(blocks))
+        elif args.cmd == "pipeline":
+            from .pipeline import run_pipeline
+
+            lines = _read_geo(spark, args.lines)
+            gadm = _read_geo(spark, args.gadm, ("gadm",))
+            bldgs = _read_geo(spark, args.buildings)
+            outs = run_pipeline(
+                spark, lines, gadm, bldgs, args.out, auto_res(gadm),
+                with_reblock=not args.no_reblock,
+            )
+            for name, df in outs.items():
+                print(f"{name}: {df.count()} rows → {args.out}/{name}", file=sys.stderr)
+            return
+        _write(out, args.out, args.format)
+        print(f"wrote {args.out}", file=sys.stderr)
+    finally:
+        if owned:  # don't tear down a session we joined (tests, notebooks)
+            spark.stop()
+
+
+if __name__ == "__main__":
+    main()

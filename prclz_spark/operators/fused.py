@@ -1,0 +1,108 @@
+"""Fused region pipeline: block extraction → PIP assignment → k-index in
+ONE grouped pass per admin region.
+
+The staged operators (blocks.py → complexity.py) materialize blocks between
+stages — faithful to the reference's file-per-stage layout and right when
+stages are consumed independently. But the headline end-to-end job
+(BASELINE.json metric: "blocks+parcels processed/sec, end-to-end block
+extraction → k-index") consumes blocks exactly once, immediately — so the
+engine also offers this fused operator, which collapses the physical plan
+to:
+
+    lines     ⋈cell broadcast(region covers)   ─┐  (narrow, no probe shuffle)
+    buildings ⋈cell broadcast(region covers)   ─┤
+    union → ONE shuffle on gadm → ONE applyInPandas kernel per region:
+        polygonize streets → bulk-PIP centroids per block → k per block
+
+Same outputs as the staged path (asserted in tests/test_fused.py); ~half
+the fixed per-job cost (no blocks broadcast job, one python stage instead
+of three). Region granularity is the reference's own sharding unit (one
+GADM file per job), so per-group memory is the same contract the original
+pipeline already assumes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import geom as G
+from ..functions.st import st_cells, st_centroid_xy_cell
+from ..kernels import planar as P
+
+_OUT_SCHEMA = (
+    "block_id string, gadm string, geometry binary, complexity int, "
+    "centroids_multipoint binary"
+)
+
+
+def _fused_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    gadm = pdf["gadm"].iloc[0]
+    region = G.wkb_loads(bytes(pdf["region_geom"].iloc[0]))
+    region_rings = [region.data[0]] if region.kind == G.POLYGON else [p[0] for p in region.data]
+
+    line_arrays = []
+    for b in pdf.loc[pdf["kind"] == "L", "payload"].drop_duplicates():
+        g = G.wkb_loads(bytes(b))
+        line_arrays.extend([g.data] if g.kind == G.LINESTRING else list(g.data))
+
+    pts = pdf.loc[pdf["kind"] == "B", ["x", "y"]].drop_duplicates().to_numpy(dtype=float)
+
+    rows = []
+    try:
+        i = 0
+        for ring in region_rings:
+            blocks = P.polygonize_region(ring, line_arrays) or [ring]
+            for blk in blocks:
+                block_id = f"{gadm}_{i}"
+                i += 1
+                blk_geom = G.Geom(G.POLYGON, [blk])
+                if len(pts):
+                    mask = G.points_in_polygon_bulk(pts[:, 0], pts[:, 1], blk_geom)
+                    cents = pts[mask]
+                else:
+                    cents = np.zeros((0, 2))
+                if not len(cents):
+                    continue  # complexity defined only for blocks w/ buildings
+                k = P.block_complexity(blk, cents)
+                rows.append(
+                    (
+                        block_id,
+                        gadm,
+                        G.wkb_dumps(blk_geom),
+                        int(k),
+                        G.wkb_dumps(G.multipoint(cents)),
+                    )
+                )
+    except Exception:
+        return pd.DataFrame(
+            columns=["block_id", "gadm", "geometry", "complexity", "centroids_multipoint"]
+        )
+    return pd.DataFrame(
+        rows, columns=["block_id", "gadm", "geometry", "complexity", "centroids_multipoint"]
+    )
+
+
+def fused_blocks_k(lines: DataFrame, gadm: DataFrame, buildings: DataFrame, res: int) -> DataFrame:
+    b = gadm.select("gadm", F.col("geometry").alias("region_geom")).withColumn(
+        "cell", F.explode(st_cells(res)(F.col("region_geom")))
+    )
+    lines_c = (
+        lines.select(F.col("geometry").alias("payload"))
+        .withColumn("cell", F.explode(st_cells(res)(F.col("payload"))))
+        .join(F.broadcast(b), "cell", "inner")
+        .select("gadm", "region_geom", F.lit("L").alias("kind"), "payload",
+                F.lit(None).cast("double").alias("x"), F.lit(None).cast("double").alias("y"))
+    )
+    pts = buildings.withColumn("_c", st_centroid_xy_cell(res)(F.col("geometry"))).select(
+        F.col("_c.x").alias("x"), F.col("_c.y").alias("y"), F.col("_c.cell").alias("cell")
+    ).filter(F.col("cell").isNotNull())
+    bldg_c = (
+        pts.join(F.broadcast(b), "cell", "inner")
+        .select("gadm", "region_geom", F.lit("B").alias("kind"),
+                F.lit(None).cast("binary").alias("payload"), "x", "y")
+    )
+    grouped = lines_c.unionByName(bldg_c)
+    return grouped.groupBy("gadm").applyInPandas(_fused_kernel, _OUT_SCHEMA)
