@@ -246,7 +246,11 @@ class StreetGraph:
             if cost_fn is not None:
                 d["weight"] = cost_fn(d)
             else:
-                base = d["eucl_dist"] / w
+                # width 0 = the edge touches a building: effectively
+                # impassable (the reference would divide by zero here;
+                # its momepy parcels keep edges off buildings by
+                # construction, ours may not for cell-complex parcels)
+                base = d["eucl_dist"] / max(w, 1e-12)
                 if use_edge_type and d["edge_type"] == "highway":
                     base = 0.0
                 d["weight"] = base

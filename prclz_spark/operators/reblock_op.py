@@ -31,6 +31,14 @@ _OUT_SCHEMA = (
 
 
 def _reblock_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    return _reblock_kernel_impl(pdf, use_width=False)
+
+
+def _reblock_kernel_width(pdf: pd.DataFrame) -> pd.DataFrame:
+    return _reblock_kernel_impl(pdf, use_width=True)
+
+
+def _reblock_kernel_impl(pdf: pd.DataFrame, use_width: bool) -> pd.DataFrame:
     block_id = pdf["block_id"].iloc[0]
     cols = [
         "block_id", "road_type", "geometry", "num_graph_comps",
@@ -60,6 +68,15 @@ def _reblock_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         block = G.wkb_loads(bytes(pdf["block_geom"].iloc[0]))
         block_ring = block.data[0] if block.kind == G.POLYGON else block.data[0][0]
         missing, total = sg.update_edge_types(block_ring, check=True)
+        if use_width and "bldg_geom" in pdf.columns:
+            # K14: width = min edge→building distance, cost = eucl/width
+            polys = [
+                G.wkb_loads(bytes(b))
+                for b in pdf.loc[pdf["bldg_geom"].notna(), "bldg_geom"].drop_duplicates()
+            ]
+            if polys:
+                sg.set_edge_width(polys, simplify=True)
+                sg.calc_edge_weight()
         ncomp, sg = sg.largest_component()
         if len(sg.terminals()) < 2:
             return pd.DataFrame(columns=cols)
@@ -84,18 +101,34 @@ def _reblock_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=cols)
 
 
-def reblock(blocks: DataFrame, parcels: DataFrame, buildings: DataFrame, res: int) -> DataFrame:
+def reblock(
+    blocks: DataFrame,
+    parcels: DataFrame,
+    buildings: DataFrame,
+    res: int,
+    use_width: bool = False,
+) -> DataFrame:
     """blocks × parcels × buildings → (block_id, road_type ∈ {new, existing},
-    geometry MultiLineString, summary metrics)."""
+    geometry MultiLineString, summary metrics).
+
+    ``use_width=True`` enables the K14 width-aware cost (weight =
+    eucl_dist / min-distance-to-buildings, chain-simplified) — the
+    reference's `-w` reblocking flavor (`prclz/cli.py:104-110`)."""
     pts = building_centroids(buildings, res=res)
     assigned = pip_join(pts, blocks, "osm_id", "block_id", res=res, how="inner").select(
-        "block_id", "x", "y"
+        "block_id", "x", "y", *( ["osm_id"] if use_width else [] )
     )
     blk = blocks.select("block_id", F.col("geometry").alias("block_geom"))
     pcl = parcels.select("block_id", "parcel_id", F.col("geometry").alias("parcel_geom"))
     grouped = (
         pcl.join(F.broadcast(blk), "block_id", "inner")
         .join(assigned, "block_id", "left")
-        .select("block_id", "block_geom", "parcel_id", "parcel_geom", "x", "y")
     )
+    if use_width:
+        bg = buildings.select("osm_id", F.col("geometry").alias("bldg_geom"))
+        grouped = grouped.join(bg, "osm_id", "left").select(
+            "block_id", "block_geom", "parcel_id", "parcel_geom", "x", "y", "bldg_geom"
+        )
+        return grouped.groupBy("block_id").applyInPandas(_reblock_kernel_width, _OUT_SCHEMA)
+    grouped = grouped.select("block_id", "block_geom", "parcel_id", "parcel_geom", "x", "y")
     return grouped.groupBy("block_id").applyInPandas(_reblock_kernel, _OUT_SCHEMA)
