@@ -554,6 +554,40 @@ def _q_tile_block_assignment(spark, sf_dir):  # raster tile ⋈ vector block
     return assigned.groupBy("block_id").agg(F.count("*").alias("n_tiles"))
 
 
+def _q_tile_region_assignment(spark, sf_dir):
+    """Raster tile ⋈ admin region through the REAL machinery (images table →
+    footprint UDF → cover-cell PIP join) — DuckDB-oracled via the closed-form
+    tile georeference (FIXTURES.md §9: tile i center = origin + (i//T + ½)·w)."""
+    from prclz_spark import fixtures as FX
+    from prclz_spark import images as IM
+    from prclz_spark import raster as R
+
+    nxt = 12  # 12×12 tiles over a 12×12-cell box, 3×3 regions
+    _, gadm, _ = FX.geo_world(spark, nxt, nxt, gx=3, gy=3)
+    tiles = R.with_footprints(IM.images_table(spark, nxt * nxt), nxt, nxt, nxt)
+    assigned = R.assign_tiles_to_polys(tiles, gadm, "gadm", res=_GEO_RES)
+    return assigned.groupBy("gadm").agg(F.count("*").alias("n_tiles"))
+
+
+_TILE_REGION_ORACLE = """
+    WITH tiles AS (
+      SELECT i,
+             10.0 + (CAST(i // 12 AS DOUBLE) + 0.5) * 0.01 AS x,
+             10.0 + (CAST(i % 12 AS DOUBLE) + 0.5) * 0.01 AS y
+      FROM generate_series(0, 143) t(i)
+    ), boxes AS (
+      SELECT 'TST.' || CAST(i + 1 AS VARCHAR) || '.' || CAST(j + 1 AS VARCHAR) || '_1' AS gadm,
+             10.0 + i * 0.04 AS xmin, 10.0 + j * 0.04 AS ymin,
+             10.0 + (i + 1) * 0.04 AS xmax, 10.0 + (j + 1) * 0.04 AS ymax
+      FROM generate_series(0, 2) a(i), generate_series(0, 2) b(j)
+    )
+    SELECT gadm, COUNT(*) AS n_tiles
+    FROM tiles p JOIN boxes b
+      ON p.x >= b.xmin AND p.x <= b.xmax AND p.y >= b.ymin AND p.y <= b.ymax
+    GROUP BY gadm
+"""
+
+
 def _q_tile_block_coverage(spark, sf_dir):  # vector → raster mask stats
     from prclz_spark import cells as C
     from prclz_spark import fixtures as FX
@@ -612,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "images_roundtrip_psnr": _q_images_roundtrip,
         "phash_dedup_buckets": _q_phash_dedup,
         "tile_block_assignment": _q_tile_block_assignment,
+        "tile_region_assignment": _q_tile_region_assignment,
         "tile_block_coverage": _q_tile_block_coverage,
     }
 
@@ -789,6 +824,8 @@ def oracle_sql() -> dict[str, str]:
                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
             FROM embeddings WHERE vec_id < 300
         """,
-        # geo_blocks_pipeline / geo_k_complexity / geo_parcels: no SQL oracle
-        # (per-group planar-graph kernels) → rows-only driver check
+        "tile_region_assignment": _TILE_REGION_ORACLE,
+        # geo_blocks_pipeline / geo_k_complexity / geo_parcels / images /
+        # dedup-LSH: no SQL oracle (per-group planar-graph kernels, binary
+        # payloads, probabilistic ops) → rows-only driver check
     }
