@@ -119,9 +119,15 @@ def read_csv_wkt(
 
 # --- sinks -------------------------------------------------------------------
 
-def write_csv_wkt(df: DataFrame, path: str, geometry_cols=("geometry",), mode: str = "overwrite"):
+def write_csv_wkt(df: DataFrame, path: str, geometry_cols=None, mode: str = "overwrite"):
+    """CSV sink with WKT geometry columns (the reference's format). By
+    default every BinaryType column is treated as WKB geometry."""
+    from pyspark.sql.types import BinaryType as _Bin
+
     from ..functions.st import st_aswkt
 
+    if geometry_cols is None:
+        geometry_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, _Bin)]
     out = df
     for c in geometry_cols:
         out = out.withColumn(c, st_aswkt(F.col(c)))
