@@ -15,6 +15,7 @@ distance `prclz/_parcels.py:130`; intersects/contains `prclz/_parcels.py:41`,
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
@@ -131,18 +132,26 @@ def st_contains(a: pd.Series, b: pd.Series) -> pd.Series:
 @pandas_udf(BooleanType())
 def st_contains_xy(a: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
     """Polygon-contains-point with scalar coords — the PIP refine predicate
-    (J4, `prclz/_complexity.py:107`). Cheaper than st_contains(point_wkb)."""
-    out = []
-    cache: dict[bytes, G.Geom] = {}
-    for pb, px, py in zip(a, x, y):
-        if pb is None or px is None:
-            out.append(None)
-            continue
-        key = bytes(pb)
-        g = cache.get(key)
-        if g is None:
-            g = cache[key] = G.wkb_loads(key)
-        out.append(G.contains_point(g, float(px), float(py)))
+    (J4, `prclz/_complexity.py:107`). Cheaper than st_contains(point_wkb).
+
+    Candidates are grouped by polygon within each Arrow batch and tested via
+    ONE vectorized ray-cast per distinct polygon (points_in_polygon_bulk) —
+    after a cell-candidate join, a batch holds many probes of few polygons,
+    so the decode + edge matrix is amortized across all of a polygon's
+    probes instead of paid per row."""
+    n = len(a)
+    out = np.zeros(n, dtype=object)  # object to allow None for null inputs
+    codes, uniques = pd.factorize(a.map(lambda v: bytes(v) if v is not None else None))
+    xv = pd.to_numeric(x, errors="coerce").to_numpy(dtype=np.float64)
+    yv = pd.to_numeric(y, errors="coerce").to_numpy(dtype=np.float64)
+    null_xy = np.isnan(xv)
+    for ui, key in enumerate(uniques):
+        idx = np.where(codes == ui)[0]
+        g = G.wkb_loads(bytes(key))
+        res = G.points_in_polygon_bulk(xv[idx], yv[idx], g)
+        out[idx] = res
+    out[codes == -1] = None
+    out[null_xy] = None
     return pd.Series(out)
 
 
@@ -250,13 +259,24 @@ def _map_coords(g: G.Geom, fn) -> G.Geom:
 
 
 def st_cells(res: int):
-    """cover(geometry, res) → ARRAY<BIGINT> — build-side cover cells (J1)."""
+    """cover(geometry, res) → ARRAY<BIGINT> — build-side cover cells (J1).
+
+    Null-safe: an unparseable geometry yields NULL instead of killing the
+    job (at 10^12 rows a single corrupt WKB row must not fail the stage);
+    callers route null-cells rows to error handling (see
+    operators/blocks.extract_blocks) or let explode() drop them."""
+
+    def _one(b):
+        if b is None:
+            return None
+        try:
+            return [int(c) for c in C.cover(G.wkb_loads(bytes(b)), res)]
+        except Exception:
+            return None
 
     @pandas_udf(ArrayType(LongType()))
     def _f(s: pd.Series) -> pd.Series:
-        return s.map(
-            lambda b: [int(c) for c in C.cover(G.wkb_loads(bytes(b)), res)] if b is not None else None
-        )
+        return s.map(_one)
 
     return _f
 

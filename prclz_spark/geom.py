@@ -617,9 +617,12 @@ def distance(a: Geom, b: Geom) -> float:
     sa, sb = _segments(a), _segments(b)
     if len(sa) and len(sb) and bool(segments_intersect(sa, sb).any()):
         return 0.0
-    if a.kind in (POLYGON, MULTIPOLYGON) and any(contains_point(a, p[0], p[1]) for p in pb[:1]):
+    # a point-set can sit inside a polygon with no segment crossing — test
+    # ALL points of the other side (a MULTIPOINT's first point may be out
+    # while a later one is in)
+    if a.kind in (POLYGON, MULTIPOLYGON) and bool(points_in_polygon_bulk(pb[:, 0], pb[:, 1], a).any()):
         return 0.0
-    if b.kind in (POLYGON, MULTIPOLYGON) and any(contains_point(b, p[0], p[1]) for p in pa[:1]):
+    if b.kind in (POLYGON, MULTIPOLYGON) and bool(points_in_polygon_bulk(pa[:, 0], pa[:, 1], b).any()):
         return 0.0
     d = np.inf
     if len(sb):

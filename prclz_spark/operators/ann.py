@@ -40,22 +40,27 @@ def ann_lsh_topk(
     """(query_id, corpus_id, cos_sim, rank) — approximate top-k."""
     planes = _planes(n_planes, dim, seed)
 
+    pows = np.int64(1) << np.arange(n_planes, dtype=np.int64)
+
+    def _base_sigs(vecs: pd.Series) -> np.ndarray:
+        arr = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (arr @ planes.T) > 0  # one (batch × dim)·(dim × planes) matmul
+        return bits.astype(np.int64) @ pows
+
     @pandas_udf(LongType())
     def _sig(vecs: pd.Series) -> pd.Series:
-        out = []
-        for v in vecs:
-            bits = (planes @ np.asarray(v, dtype=np.float64)) > 0
-            out.append(int(sum(1 << i for i, b in enumerate(bits) if b)))
-        return pd.Series(out, dtype="int64")
+        if not len(vecs):
+            return pd.Series([], dtype="int64")
+        return pd.Series(_base_sigs(vecs), dtype="int64")
 
     @pandas_udf(ArrayType(LongType()))
     def _probe_sigs(vecs: pd.Series) -> pd.Series:
-        out = []
-        for v in vecs:
-            bits = (planes @ np.asarray(v, dtype=np.float64)) > 0
-            base = int(sum(1 << i for i, b in enumerate(bits) if b))
-            out.append([base] + [base ^ (1 << i) for i in range(n_planes)])
-        return pd.Series(out)
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        base = _base_sigs(vecs)
+        # multi-probe: own bucket + every Hamming-1 signature, all batched
+        probes = np.concatenate([base[:, None], base[:, None] ^ pows[None, :]], axis=1)
+        return pd.Series(list(probes))
 
     c = corpus.select(
         F.col(corpus_id).alias("_cid"), F.col(vec_col).alias("_cv")

@@ -7,8 +7,9 @@ module adds the scale paths:
 
 * **MinHash + LSH**: k-shingles → 64 permutations (one Arrow pass,
   vectorized universal hashing) → band buckets → candidate pairs via
-  self-equi-join on (band, band_hash) → exact Jaccard verify. Only
-  bucket-mates are ever compared: O(n) + O(candidates), never O(n²).
+  self-equi-join on (band, band_hash) → Jaccard verify via the signature
+  agreement-rate estimator. Only bucket-mates are ever compared:
+  O(n) + O(candidates), never O(n²).
 * **SimHash**: 64-bit sign-aggregated token hash; near-dups = Hamming ≤ d,
   found by banding the hash into 4×16-bit chunks (pigeonhole: d ≤ 3 ⇒ at
   least one chunk equal) and verifying the Hamming distance.
@@ -28,6 +29,9 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 _P = (1 << 61) - 1  # Mersenne prime for universal hashing
+_FNV = np.uint64(1099511628211)
+# _FNV is odd → invertible mod 2^64; lets us vectorize the prefix hash
+_FNV_INV = np.uint64(pow(1099511628211, -1, 1 << 64))
 
 
 def _perm_params(num_perm: int, seed: int = 42):
@@ -37,25 +41,45 @@ def _perm_params(num_perm: int, seed: int = 42):
     return a, b
 
 
+def _poly_hash_bytes(data: bytes) -> np.uint64:
+    """Deterministic polynomial byte hash (same recurrence as the shingle
+    prefix hash): h = Σ c_i · base^(n-1-i) mod 2^64. Replaces PYTHONHASHSEED-
+    dependent ``hash()`` so driver- and executor-side signatures agree."""
+    if not data:
+        return np.uint64(0)
+    codes = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        pows = np.full(len(codes), _FNV, dtype=np.uint64).cumprod()  # base^1..n
+        # base^(n-1-i) = pows reversed shifted by one: [base^(n-1) .. base^0]
+        rev = np.empty(len(codes), dtype=np.uint64)
+        rev[0] = np.uint64(1)
+        rev[1:] = pows[:-1]
+        return np.uint64((codes * rev[::-1]).sum(dtype=np.uint64))
+
+
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Distinct k-shingle hashes (polynomial rolling hash, uint64)."""
-    n = len(text)
-    if n < k:
-        return np.array([hash(text) & 0x7FFFFFFFFFFFFFFF], dtype=np.uint64)
-    codes = np.frombuffer(text.encode("utf-8", "replace")[: n], dtype=np.uint8)
-    # note: operate on bytes; multi-byte chars just extend the shingle
-    m = len(codes) - k + 1
-    base = np.uint64(1099511628211)
-    h = np.zeros(m, dtype=np.uint64)
-    acc = np.zeros(len(codes) + 1, dtype=np.uint64)
-    powk = np.uint64(1)
-    for _ in range(k):
-        powk *= base
-    run = np.uint64(0)
-    for i, c in enumerate(codes):
-        run = run * base + np.uint64(c)
-        acc[i + 1] = run
-    h = acc[k:] - acc[:-k] * powk
+    """Distinct k-shingle hashes (polynomial rolling hash, uint64).
+
+    Fully vectorized: the per-byte prefix recurrence run = run·base + c is
+    re-expressed with modular inverses — prefix[i+1] = base^(i+1)·Σ_{j≤i}
+    c_j·inv^(j+1) (mod 2^64) — so the whole document hashes in a handful of
+    numpy ops (cumprod + cumsum), no Python per-character loop.
+    Multi-byte chars just extend the shingle (the full UTF-8 encoding is
+    hashed — no truncation)."""
+    if len(text) < k:
+        h = _poly_hash_bytes(text.encode("utf-8", "replace")) & np.uint64(0x7FFFFFFFFFFFFFFF)
+        return np.array([h], dtype=np.uint64)
+    codes = np.frombuffer(text.encode("utf-8", "replace"), dtype=np.uint8).astype(np.uint64)
+    n = len(codes)
+    with np.errstate(over="ignore"):
+        basep = np.full(n, _FNV, dtype=np.uint64).cumprod()  # base^1 .. base^n
+        invp = np.full(n, _FNV_INV, dtype=np.uint64).cumprod()  # inv^1 .. inv^n
+        s = np.cumsum(codes * invp, dtype=np.uint64)
+        prefix = np.empty(n + 1, dtype=np.uint64)
+        prefix[0] = np.uint64(0)
+        prefix[1:] = s * basep  # prefix[i+1] = hash of codes[:i+1]
+        powk = basep[k - 1]  # base^k
+        h = prefix[k:] - prefix[:-k] * powk
     return np.unique(h)
 
 
@@ -65,11 +89,12 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, num_perm: int 
     @pandas_udf(ArrayType(LongType()))
     def _sig(texts: pd.Series) -> pd.Series:
         out = []
-        for t in texts:
-            sh = _shingle_hashes(t or "", k)
-            # (a*x + b) mod P, min per permutation — vectorized (perm × shingle)
-            vals = (a[:, None] * sh[None, :] + b[:, None]) % np.uint64(_P)
-            out.append(vals.min(axis=1).astype(np.int64).tolist())
+        with np.errstate(over="ignore"):
+            for t in texts:
+                sh = _shingle_hashes(t or "", k)
+                # (a*x + b) mod P, min per permutation — vectorized (perm × shingle)
+                vals = (a[:, None] * sh[None, :] + b[:, None]) % np.uint64(_P)
+                out.append(vals.min(axis=1).astype(np.int64).tolist())
         return pd.Series(out)
 
     return df.select(F.col(id_col), _sig(F.col(text_col)).alias("sig"))
@@ -121,26 +146,83 @@ def minhash_lsh_pairs(
     )
 
 
+def _token_hashes64(tokens: np.ndarray) -> np.ndarray:
+    """Polynomial FNV-style hash per byte-token, vectorized over the batch.
+
+    Tokens are padded into an (n, maxlen) byte matrix; the recurrence
+    hv = hv·base + byte runs once per CHARACTER POSITION (≤ max token
+    length iterations), each a whole-batch numpy op — not per token."""
+    n = len(tokens)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    lens = np.fromiter((len(t) for t in tokens), count=n, dtype=np.int64)
+    total = int(lens.sum())
+    maxlen = int(lens.max()) if total else 0
+    hv = np.zeros(n, dtype=np.uint64)
+    if maxlen == 0:
+        return hv
+    flat = np.frombuffer(b"".join(tokens), dtype=np.uint8)
+    mat = np.zeros((n, maxlen), dtype=np.uint64)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    rows = np.repeat(np.arange(n), lens)
+    cols = np.arange(total) - np.repeat(starts, lens)
+    mat[rows, cols] = flat
+    with np.errstate(over="ignore"):
+        for c in range(maxlen):
+            live = lens > c
+            hv[live] = hv[live] * _FNV + mat[live, c]
+    return hv
+
+
+def _simhash_batch(texts) -> np.ndarray:
+    """64-bit SimHash per document, whole-batch vectorized: flatten tokens,
+    hash DISTINCT tokens once (_token_hashes64), segment-sum the bit votes
+    back per document with np.add.reduceat (tokens are emitted in document
+    order, so each document is one contiguous segment)."""
+    toks_all: list[bytes] = []
+    counts = np.zeros(len(texts), dtype=np.int64)
+    for j, t in enumerate(texts):
+        t = t or ""
+        if t.isascii():
+            # C-level split on the encoded bytes — identical tokens for ASCII
+            toks = t.encode("ascii").split()
+        else:
+            toks = [tok.encode("utf-8", "replace") for tok in t.split()]
+        toks_all.extend(toks)
+        counts[j] = len(toks)
+    nd = len(texts)
+    if not toks_all:
+        return np.zeros(nd, dtype=np.int64)
+    codes, uniq = pd.factorize(np.asarray(toks_all, dtype=object))
+    nu = len(uniq)
+    hv = _token_hashes64(uniq)
+    shifts = np.arange(64, dtype=np.uint64)[None, :]
+    if nd * nu <= (1 << 22):
+        # dense-count path: per-(doc, distinct-token) counts via one bincount,
+        # then a BLAS matmul against the distinct-token bit matrix — no
+        # per-occurrence expansion at all. Exact: all values < 2^53.
+        bits = ((hv[:, None] >> shifts) & np.uint64(1)).astype(np.float64)
+        doc_of = np.repeat(np.arange(nd, dtype=np.int64), counts)
+        cnt = np.bincount(doc_of * nu + codes, minlength=nd * nu).reshape(nd, nu)
+        acc = 2.0 * (cnt.astype(np.float64) @ bits) - counts[:, None]
+    else:
+        # segment-sum path for huge batches: int8 bit rows gathered per
+        # occurrence (docs are contiguous), reduced per doc in one reduceat
+        bits8 = ((hv[:, None] >> shifts) & np.uint64(1)).astype(np.int8)
+        occ_bits = bits8[codes]
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        nz = counts > 0
+        acc = np.zeros((nd, 64), dtype=np.int64)
+        acc[nz] = 2 * np.add.reduceat(occ_bits, starts[nz], axis=0, dtype=np.int64) - counts[nz, None]
+    pows = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    return ((acc > 0).astype(np.uint64) @ pows).view(np.int64)
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     @pandas_udf(LongType())
     def _sh(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            toks = (t or "").split()
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in toks:
-                # deterministic across workers: polynomial hash, not PyHash
-                hv = np.uint64(0)
-                for ch in tok.encode("utf-8", "replace"):
-                    hv = hv * np.uint64(1099511628211) + np.uint64(ch)
-                bits = (hv >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits.astype(bool), 1, -1)
-            sig = np.uint64(0)
-            for i in range(64):
-                if acc[i] > 0:
-                    sig |= np.uint64(1) << np.uint64(i)
-            out.append(int(sig.astype(np.int64)))
-        return pd.Series(out, dtype="int64")
+        return pd.Series(_simhash_batch(list(texts)), dtype="int64")
 
     return df.select(F.col(id_col), _sh(F.col(text_col)).alias("simhash"))
 
@@ -186,14 +268,15 @@ def embedding_near_pairs(
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_planes, dim))
 
+    pows = np.int64(1) << np.arange(n_planes, dtype=np.int64)
+
     @pandas_udf(LongType())
     def _bucket(vecs: pd.Series) -> pd.Series:
-        out = []
-        for v in vecs:
-            arr = np.asarray(v, dtype=np.float64)
-            bits = (planes @ arr) > 0
-            out.append(int(sum(1 << i for i, b in enumerate(bits) if b)))
-        return pd.Series(out, dtype="int64")
+        if not len(vecs):
+            return pd.Series([], dtype="int64")
+        arr = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (arr @ planes.T) > 0  # one (batch × dim)·(dim × planes) matmul
+        return pd.Series(bits.astype(np.int64) @ pows, dtype="int64")
 
     b = df.select(F.col(id_col), F.col(vec_col), _bucket(F.col(vec_col)).alias("bucket"))
     l = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket")

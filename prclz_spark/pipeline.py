@@ -41,21 +41,38 @@ def run_pipeline(
     blocks_path = os.path.join(out_dir, "blocks")
     pending_gadm = led.filter_pending(gadm, "blocks", "gadm")
     if not pending_gadm.isEmpty():
-        out = extract_blocks(lines, pending_gadm, res)
-        out.write.mode("append").partitionBy("gadm").parquet(blocks_path)
+        out = extract_blocks(lines, pending_gadm, res, keep_status=True).persist()
+        ok = out.filter(F.col("status") == "ok").drop("status")
+        ok.write.mode("append").partitionBy("gadm").parquet(blocks_path)
+        # a failed kernel must NOT look done: record its gadm as status=error
+        # so a resume retries it, and it never reaches downstream stages
+        err_keys = [
+            r["gadm"]
+            for r in out.filter(F.col("status") != "ok").select("gadm").distinct().collect()
+        ]
+        led.record_errors("blocks", err_keys)
         led.record("blocks", spark.read.parquet(blocks_path).join(
-            pending_gadm.select("gadm"), "gadm", "inner"
+            pending_gadm.select("gadm"), "gadm", "left_semi"
         ), "gadm")
+        out.unpersist()
     blocks = spark.read.parquet(blocks_path)
     outputs["blocks"] = blocks
+
+    # Stages 2-4 record their ledger rows from the READ-BACK parquet
+    # (left-semi joined to the pending keys), not the unmaterialized stage
+    # DataFrame — otherwise each kernel would execute twice (once for the
+    # write, once for the ledger aggregation).
+    def _write_and_record(stage: str, out_df: DataFrame, path: str, pending_keys: DataFrame):
+        out_df.write.mode("append").parquet(path)
+        written = spark.read.parquet(path).join(pending_keys, "block_id", "left_semi")
+        led.record(stage, written, "block_id")
 
     # --- stage 2: parcels (keyed by block_id) ----------------------------
     parcels_path = os.path.join(out_dir, "parcels")
     pending_blocks = led.filter_pending(blocks, "parcels", "block_id")
     if not pending_blocks.isEmpty():
         out = tessellate(pending_blocks, buildings, res)
-        out.write.mode("append").parquet(parcels_path)
-        led.record("parcels", out, "block_id")
+        _write_and_record("parcels", out, parcels_path, pending_blocks.select("block_id"))
     parcels = spark.read.parquet(parcels_path)
     outputs["parcels"] = parcels
 
@@ -64,8 +81,7 @@ def run_pipeline(
     pending_blocks = led.filter_pending(blocks, "complexity", "block_id")
     if not pending_blocks.isEmpty():
         out = k_complexity(pending_blocks, buildings, res)
-        out.write.mode("append").parquet(cplx_path)
-        led.record("complexity", out, "block_id")
+        _write_and_record("complexity", out, cplx_path, pending_blocks.select("block_id"))
     outputs["complexity"] = spark.read.parquet(cplx_path)
 
     # --- stage 4: reblock ---------------------------------------------------
@@ -74,8 +90,7 @@ def run_pipeline(
         pending_blocks = led.filter_pending(blocks, "reblock", "block_id")
         if not pending_blocks.isEmpty():
             out = reblock(pending_blocks, parcels, buildings, res)
-            out.write.mode("append").parquet(rb_path)
-            led.record("reblock", out, "block_id")
+            _write_and_record("reblock", out, rb_path, pending_blocks.select("block_id"))
         outputs["reblock"] = spark.read.parquet(rb_path)
 
     return outputs

@@ -173,3 +173,29 @@ def test_salted_join_equivalence(spark):
     plain = probe.join(build, "cell").count()
     salted = salt_exploded_join(probe, build, key="cell", salts=4, probe_id="id", hot_threshold=10).count()
     assert plain == salted == 1000
+
+
+def test_blocks_kernel_failure_not_masked(spark, world):
+    """A region whose kernel raises must surface as a status='error' row and
+    must NOT be resurrected as a phantom whole-region block by the
+    zero-street backfill (round-1 ADVICE / VERDICT 'What's wrong' #5)."""
+    lines, gadm, bldgs, res = world
+    poisoned = gadm.withColumn(
+        "geometry",
+        F.when(F.col("gadm") == "TST.1.1_1", F.lit(b"\x00garbage-not-wkb")).otherwise(
+            F.col("geometry")
+        ),
+    )
+    full = extract_blocks(lines, poisoned, res, keep_status=True).toPandas()
+    errs = full[full.status != "ok"]
+    assert set(errs.gadm) == {"TST.1.1_1"}, errs
+    # the poisoned gadm contributes NO ok rows — in particular no
+    # whole-region "_0" backfill block
+    ok = full[full.status == "ok"]
+    assert not (ok.gadm == "TST.1.1_1").any()
+    # default (clean) output excludes the errored region entirely
+    clean = extract_blocks(lines, poisoned, res).toPandas()
+    assert not (clean.gadm == "TST.1.1_1").any()
+    assert "status" not in clean.columns
+    # healthy regions are unaffected
+    assert set(clean.gadm) == {g for g in full.gadm.unique() if g != "TST.1.1_1"}
