@@ -500,6 +500,43 @@ def _q_geo_reblock(spark, sf_dir):  # K19: Steiner street reblocking per block
     )
 
 
+def _q_geo_parcels_orphans(spark, sf_dir):
+    """K5+J9 orphan reunion on a U-shaped block, closed-form oracle.
+
+    The U-block (area 7) cuts building A's convex Voronoi region in two;
+    the far-arm piece intersects no building (orphan,
+    `prclz/_parcels.py:65-103`) and is reunited with the nearest bordering
+    parcel — B's (`find_parent_parcel_id` `:105-149`). Closed-form facts:
+    2 parcels, total area exactly 7 (nothing dropped), the top of the right
+    arm ends up in B's parcel and not in A's."""
+    from prclz_spark import geom as G
+    from prclz_spark.functions.st import st_area, st_contains_xy
+    from prclz_spark.operators.parcels import tessellate
+
+    ring = [(0, 0), (3, 0), (3, 3), (2, 3), (2, 1), (1, 1), (1, 3), (0, 3), (0, 0)]
+    block_wkb = G.wkb_dumps(G.polygon(ring))
+    a_wkb = G.wkb_dumps(G.box(0.3, 2.5, 0.7, 2.9))
+    b_wkb = G.wkb_dumps(G.box(2.4, 0.1, 2.8, 0.5))
+    blocks = spark.createDataFrame(
+        [("U1", block_wkb)], "block_id string, geometry binary"
+    )
+    bldgs = spark.createDataFrame(
+        [("A", a_wkb), ("B", b_wkb)], "osm_id string, geometry binary"
+    )
+    parcels = tessellate(blocks, bldgs, res=12)
+    per = parcels.select(
+        "osm_id",
+        st_area(F.col("geometry")).alias("area"),
+        st_contains_xy(F.col("geometry"), F.lit(2.5), F.lit(2.95)).alias("has_tr"),
+    )
+    return per.agg(
+        F.count("*").alias("n_parcels"),
+        F.round(F.sum("area"), 6).alias("total_area"),
+        F.max(F.when(F.col("osm_id") == "B", F.col("has_tr"))).alias("b_has_topright"),
+        F.max(F.when(F.col("osm_id") == "A", F.col("has_tr"))).alias("a_has_topright"),
+    )
+
+
 def _q_images_roundtrip(spark, sf_dir):  # decode → re-encode PSNR invariant
     from prclz_spark import images as IM
 
@@ -642,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_blocks_pipeline": _q_geo_blocks,
         "geo_k_complexity": _q_geo_complexity,
         "geo_parcels": _q_geo_parcels,
+        "geo_parcels_orphans": _q_geo_parcels_orphans,
         "geo_reblock_steiner": _q_geo_reblock,
         "images_roundtrip_psnr": _q_images_roundtrip,
         "phash_dedup_buckets": _q_phash_dedup,
@@ -825,6 +863,14 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings WHERE vec_id < 300
         """,
         "tile_region_assignment": _TILE_REGION_ORACLE,
+        # U-block orphan reunion: every fact is closed-form (see
+        # _q_geo_parcels_orphans docstring), so the oracle is a constant row
+        "geo_parcels_orphans": """
+            SELECT CAST(2 AS BIGINT) AS n_parcels,
+                   CAST(7.0 AS DOUBLE) AS total_area,
+                   true AS b_has_topright,
+                   false AS a_has_topright
+        """,
         # geo_blocks_pipeline / geo_k_complexity / geo_parcels / images /
         # dedup-LSH: no SQL oracle (per-group planar-graph kernels, binary
         # payloads, probabilistic ops) → rows-only driver check

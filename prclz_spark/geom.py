@@ -415,6 +415,9 @@ def point_in_ring(px: float, py: float, ring: np.ndarray) -> bool:
     dot = (px - x0) * dx + (py - y0) * dy
     seg_len2 = dx * dx + dy * dy
     on = (np.abs(cross) < 1e-12) & (dot >= -1e-12) & (dot <= seg_len2 + 1e-12)
+    # a (near-)zero-length segment (duplicate consecutive vertex) trivially
+    # passes the cross/dot test for EVERY point — count it only at the vertex
+    on &= (seg_len2 >= 1e-24) | ((np.abs(px - x0) < 1e-12) & (np.abs(py - y0) < 1e-12))
     if bool(on.any()):
         return True
     cond = (y0 > py) != (y1 > py)
@@ -440,7 +443,10 @@ def _point_on_ring(px, py, ring) -> bool:
     cross = (px - x0) * dy - (py - y0) * dx
     dot = (px - x0) * dx + (py - y0) * dy
     seg_len2 = dx * dx + dy * dy
-    return bool((((np.abs(cross) < 1e-12) & (dot >= -1e-12) & (dot <= seg_len2 + 1e-12))).any())
+    on = (np.abs(cross) < 1e-12) & (dot >= -1e-12) & (dot <= seg_len2 + 1e-12)
+    # near-zero-length segments match only at the vertex (see point_in_ring)
+    on &= (seg_len2 >= 1e-24) | ((np.abs(px - x0) < 1e-12) & (np.abs(py - y0) < 1e-12))
+    return bool(on.any())
 
 
 def points_in_polygon_bulk(xs: np.ndarray, ys: np.ndarray, g: Geom) -> np.ndarray:
@@ -479,7 +485,10 @@ def _bulk_on_ring(xs, ys, ring) -> np.ndarray:
     cross = (P - x0) * dy - (Q - y0) * dx
     dot = (P - x0) * dx + (Q - y0) * dy
     l2 = dx * dx + dy * dy
-    return ((np.abs(cross) < 1e-12) & (dot >= -1e-12) & (dot <= l2 + 1e-12)).any(axis=1)
+    on = (np.abs(cross) < 1e-12) & (dot >= -1e-12) & (dot <= l2 + 1e-12)
+    # near-zero-length segments match only at the vertex (see point_in_ring)
+    on &= (l2 >= 1e-24) | ((np.abs(P - x0) < 1e-12) & (np.abs(Q - y0) < 1e-12))
+    return on.any(axis=1)
 
 
 def contains_point(g: Geom, px: float, py: float) -> bool:

@@ -319,12 +319,20 @@ def weak_dual_sequence_len(g0: nx.Graph, max_k: int = 64) -> int:
 # Convex clipping + half-plane Voronoi
 # ---------------------------------------------------------------------------
 
-def clip_halfplane(ring: np.ndarray, a: float, b: float, c: float) -> np.ndarray:
+def clip_halfplane(ring: np.ndarray, a: float, b: float, c: float, dedupe: bool = True) -> np.ndarray:
     """Sutherland–Hodgman step: keep points with a*x + b*y <= c.
     ring: open or closed (n,2); returns closed ring or empty array.
-    (a,b) is normalized so the tolerance is in coordinate units."""
+    (a,b) is normalized so the tolerance is in coordinate units.
+
+    ``dedupe=False`` keeps float-dust duplicate vertices — the exact
+    historical behavior the DJI golden-parity pytess path was tuned on
+    (a degenerate all-collinear frame box must survive as a zero-area
+    ring there, not collapse to empty)."""
     norm = math.hypot(a, b)
-    if norm == 0:
+    if norm < 1e-15:
+        # a (near-)zero-length clip edge is not a half-plane: normalizing by
+        # ~1e-17 turns float dust into a garbage constraint that can wipe
+        # the whole ring (seen with near-duplicate Voronoi cell vertices)
         return ring
     a, b, c = a / norm, b / norm, c / norm
     eps = 1e-12
@@ -345,8 +353,22 @@ def clip_halfplane(ring: np.ndarray, a: float, b: float, c: float) -> np.ndarray
             out.append(p + t * (q - p))
     if len(out) < 3:
         return np.zeros((0, 2))
-    out.append(out[0])
-    return np.asarray(out)
+    if not dedupe:
+        out.append(out[0])
+        return np.asarray(out)
+    # a vertex within eps of the cut line emits both itself and the
+    # intersection — float-dust duplicates whose ~1e-16 edges later become
+    # garbage half-planes (norm-normalized) downstream; dedupe them here
+    res = [out[0]]
+    for p in out[1:]:
+        if abs(p[0] - res[-1][0]) > 1e-12 or abs(p[1] - res[-1][1]) > 1e-12:
+            res.append(p)
+    while len(res) > 1 and abs(res[0][0] - res[-1][0]) <= 1e-12 and abs(res[0][1] - res[-1][1]) <= 1e-12:
+        res.pop()
+    if len(res) < 3:
+        return np.zeros((0, 2))
+    res.append(res[0])
+    return np.asarray(res)
 
 
 def split_ring_parts(ring: np.ndarray, eps: float = 1e-12) -> list:
@@ -396,6 +418,86 @@ def split_ring_parts(ring: np.ndarray, eps: float = 1e-12) -> list:
 def _abs_ring_area(r: np.ndarray) -> float:
     x, y = r[:, 0], r[:, 1]
     return 0.5 * abs(float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1])))
+
+
+def split_clip_parts(ring: np.ndarray) -> list:
+    """Split an S-H clip output ring into its true simple parts.
+
+    Clipping a CONCAVE subject with Sutherland–Hodgman returns one weakly-
+    simple ring in which disconnected pieces are joined by zero-width
+    bridges — repeated vertices OR opposite collinear edge runs along the
+    clip boundary (the case split_ring_parts cannot see). Node every edge
+    at the ring vertices lying on it, cancel sub-edges with even traversal
+    parity (the bridges), and chain the remainder into simple rings — the
+    MultiPolygon parts GEOS `intersection` would return
+    (`prclz/_parcels.py:86` explode semantics)."""
+    pts = ring[:-1] if len(ring) > 1 and np.array_equal(ring[0], ring[-1]) else ring
+    n = len(pts)
+    if n < 3:
+        return []
+
+    def key(p):
+        return (round(float(p[0]), 9), round(float(p[1]), 9))
+
+    verts = {key(p): np.asarray(p, dtype=np.float64) for p in pts}
+    vlist = list(verts.items())
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    edges = []
+    for i in range(n):
+        a, b = pts[i], pts[(i + 1) % n]
+        ka, kb = key(a), key(b)
+        if ka == kb:
+            continue
+        d = b - a
+        l2 = float(d @ d)
+        scale = math.sqrt(l2)
+        ts = []
+        for kv, v in vlist:
+            if kv == ka or kv == kb:
+                continue
+            cross = d[0] * (v[1] - a[1]) - d[1] * (v[0] - a[0])
+            if abs(cross) > 1e-9 * max(scale, 1.0):
+                continue
+            t = float((v - a) @ d) / l2
+            if 1e-12 < t < 1 - 1e-12:
+                ts.append((t, kv))
+        chain = [ka] + [kv for _, kv in sorted(ts)] + [kb]
+        for u, w in zip(chain[:-1], chain[1:]):
+            e = frozenset((u, w))
+            cnt[e] += 1
+            edges.append((u, w, e))
+    keep = [(u, w) for (u, w, e) in edges if cnt[e] % 2 == 1]
+    if not keep:
+        return []
+    out_edges: dict = {}
+    for u, w in keep:
+        out_edges.setdefault(u, []).append(w)
+    used: set = set()
+    result = []
+    for u0, w0 in keep:
+        if (u0, w0) in used:
+            continue
+        path = [u0, w0]
+        used.add((u0, w0))
+        cur = w0
+        while cur != u0:
+            nxt = None
+            for cand in out_edges.get(cur, []):
+                if (cur, cand) not in used:
+                    nxt = cand
+                    break
+            if nxt is None:
+                break  # open chain (degenerate) — discard
+            used.add((cur, nxt))
+            path.append(nxt)
+            cur = nxt
+        if cur == u0 and len(path) >= 4:
+            arr = np.asarray([verts[k] for k in path], dtype=np.float64)
+            if _abs_ring_area(arr) > 0:
+                result.append(arr)
+    return result
 
 
 def clip_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
@@ -514,7 +616,7 @@ def voronoi_pytess(anchors: np.ndarray) -> list:
             a = 2 * (qx - px)
             b = 2 * (qy - py)
             c = qx * qx + qy * qy - px * px - py * py
-            ring = clip_halfplane(ring, a, b, c)
+            ring = clip_halfplane(ring, a, b, c, dedupe=False)
             if len(ring) == 0:
                 break
         if len(ring):

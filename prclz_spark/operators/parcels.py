@@ -104,6 +104,96 @@ def _merge_cells_of_building(rings: list) -> G.Geom | None:
     return merged
 
 
+def _edge_key(a, b):
+    ka = (round(float(a[0]), 9), round(float(a[1]), 9))
+    kb = (round(float(b[0]), 9), round(float(b[1]), 9))
+    return frozenset((ka, kb))
+
+
+def _connected_parts(rings: list) -> list:
+    """Group a building's Voronoi cells into edge-connected components —
+    the exploded polygon parts of the parcel (the reference's
+    `tess_multips.explode()`, `prclz/_parcels.py:86`)."""
+    n = len(rings)
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    edge_owner: dict = {}
+    for idx, ring in enumerate(rings):
+        for i in range(len(ring) - 1):
+            k = _edge_key(ring[i], ring[i + 1])
+            if len(k) < 2:
+                continue
+            j = edge_owner.get(k)
+            if j is None:
+                edge_owner[k] = idx
+            else:
+                ri, rj = find(idx), find(j)
+                if ri != rj:
+                    parent[ri] = rj
+    groups: dict = {}
+    for i in range(n):
+        groups.setdefault(find(i), []).append(rings[i])
+    return list(groups.values())
+
+
+def _part_geom(part: list) -> G.Geom:
+    if len(part) == 1:
+        return G.Geom(G.POLYGON, [part[0]])
+    return G.multipolygon([[r] for r in part])
+
+
+def _reunite_orphans(per_bldg: dict, bldg_geoms: dict) -> dict:
+    """K5 orphan split + reunion (`prclz/_parcels.py:65-168`).
+
+    A building's parcel can come out as a MultiPolygon (convex Voronoi ∩
+    non-convex block); exploded parts that intersect no building are
+    orphans (`get_orphaned_polys` `:65-103`). Each orphan is reassigned to
+    the parcel of the nearest building whose parcel touches it — the J9
+    nearest-with-predicate scan (`find_parent_parcel_id` `:105-149`);
+    unmatched orphans are dropped, as the reference's dissolve-by-uID drops
+    its uID=None rows (`reunion` `:151-168`). Matching runs against the
+    pre-reunion parcels (the reference assigns all orphans before the
+    concat+dissolve)."""
+    final_cells: dict = {}
+    orphan_parts: list = []
+    for owner in sorted(per_bldg):
+        parts = _connected_parts(per_bldg[owner])
+        if len(parts) == 1:  # connected parcel: never orphan-tested
+            final_cells.setdefault(owner, []).extend(parts[0])
+            continue
+        for part in parts:
+            pg = _part_geom(part)
+            if any(G.intersects(pg, bg) for bg in bldg_geoms.values()):
+                final_cells.setdefault(owner, []).extend(part)
+            else:
+                orphan_parts.append(part)
+    if not orphan_parts:
+        return final_cells
+    snapshot = {o: _part_geom(cells) for o, cells in final_cells.items()}
+    assignments: list = []
+    for part in orphan_parts:
+        pg = _part_geom(part)
+        # area-weighted centroid of the part = centroid of the union
+        areas = np.array([P._abs_ring_area(r) for r in part])
+        cents = np.array([G.centroid(G.Geom(G.POLYGON, [r])) for r in part])
+        c = (cents * areas[:, None]).sum(0) / max(float(areas.sum()), 1e-300)
+        cpt = G.point(float(c[0]), float(c[1]))
+        order = sorted(snapshot, key=lambda o: G.distance(bldg_geoms[o], cpt) if o in bldg_geoms else float("inf"))
+        for bid in order:
+            if G.distance(snapshot[bid], pg) <= 1e-9:  # parcels border each other
+                assignments.append((bid, part))
+                break
+    for bid, part in assignments:
+        final_cells[bid].extend(part)
+    return final_cells
+
+
 def _parcels_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     block_id = pdf["block_id"].iloc[0]
     block = G.wkb_loads(bytes(pdf["block_geom"].iloc[0]))
@@ -118,8 +208,10 @@ def _parcels_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     step = max(xmax - xmin, ymax - ymin) / 60.0
     samples = []
     owners = []
+    bldg_geoms: dict = {}
     for _, r in bldg.iterrows():
         g = G.wkb_loads(bytes(r["bldg_geom"]))
+        bldg_geoms[r["osm_id"]] = g
         rings = [g.data[0]] if g.kind == G.POLYGON else [p[0] for p in g.data]
         for rr in rings:
             pts = densify_ring(rr, step)
@@ -132,11 +224,20 @@ def _parcels_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(cell) < 4:
             continue
         inter = P.clip_convex(ring, cell)
-        if len(inter) >= 4 and P._abs_ring_area(inter) > 0:
-            per_bldg.setdefault(owner, []).append(inter)
+        if len(inter) < 4:
+            continue
+        # a concave block can cut one convex cell into several pieces: split
+        # the S-H ring at its zero-width bridges so each piece is its own
+        # cell (the MultiPolygon parts that momepy's tessellation yields)
+        parts = P.split_clip_parts(inter) or (
+            [inter] if P._abs_ring_area(inter) > 0 else []
+        )
+        for part in parts:
+            per_bldg.setdefault(owner, []).append(part)
+    final_cells = _reunite_orphans(per_bldg, bldg_geoms)
     pid = 0
-    for owner in sorted(per_bldg):
-        parcel = _merge_cells_of_building(per_bldg[owner])
+    for owner in sorted(final_cells):
+        parcel = _merge_cells_of_building(final_cells[owner])
         if parcel is not None:
             rows.append((block_id, pid, owner, G.wkb_dumps(parcel)))
             pid += 1

@@ -199,3 +199,41 @@ def test_blocks_kernel_failure_not_masked(spark, world):
     assert "status" not in clean.columns
     # healthy regions are unaffected
     assert set(clean.gadm) == {g for g in full.gadm.unique() if g != "TST.1.1_1"}
+
+
+def test_parcels_orphan_reunion_kernel():
+    """K5+J9 (prclz/_parcels.py:65-168): a U-shaped block cuts the top
+    building's convex Voronoi region into two pieces; the piece in the far
+    arm intersects no building (orphan) and must be reunited with the
+    nearest bordering parcel, with no area dropped."""
+    from prclz_spark.operators.parcels import _parcels_kernel
+
+    ring = np.asarray(
+        [(0, 0), (3, 0), (3, 3), (2, 3), (2, 1), (1, 1), (1, 3), (0, 3), (0, 0)],
+        dtype=float,
+    )
+    block = G.Geom(G.POLYGON, [ring])
+    A = G.box(0.3, 2.5, 0.7, 2.9)   # top of LEFT arm
+    B = G.box(2.4, 0.1, 2.8, 0.5)   # base, under the RIGHT arm
+    pdf = pd.DataFrame(
+        {
+            "block_id": ["U1"] * 2,
+            "block_geom": [G.wkb_dumps(block)] * 2,
+            "osm_id": ["A", "B"],
+            "bldg_geom": [G.wkb_dumps(A), G.wkb_dumps(B)],
+        }
+    )
+    out = _parcels_kernel(pdf)
+    assert set(out.osm_id) == {"A", "B"}
+    geoms = {r.osm_id: G.wkb_loads(bytes(r.geometry)) for r in out.itertuples()}
+    # no area dropped: parcels partition the block (area 3+2+2 = 7)
+    total = sum(G.area(g) for g in geoms.values())
+    assert abs(total - 7.0) < 1e-6, total
+    # the orphan (top of right arm) was assigned to B, whose parcel borders
+    # it across the A/B bisector — not to A, which it cannot touch
+    assert G.contains_point(geoms["B"], 2.5, 2.95)
+    assert not G.contains_point(geoms["A"], 2.5, 2.95)
+    # each building is inside its own parcel (check_within, _parcels.py:218-237)
+    for osm, bg in (("A", A), ("B", B)):
+        c = G.centroid(bg)
+        assert G.contains_point(geoms[osm], c[0], c[1])
