@@ -537,6 +537,40 @@ def _q_geo_parcels_orphans(spark, sf_dir):
     )
 
 
+def _q_geo_reblock_full(spark, sf_dir):
+    """K19 with every reference step ON (`prclz/reblock/_reblock.py:140-220`):
+    drop already-connected buildings, outside dummy node, K17 through-
+    streets (top-1), K18 corridor simplification. Dense single-block
+    fixture (5×5 interior building grid) so interior parcels survive the
+    connected-building drop. Rows-only (planar-graph kernel)."""
+    from prclz_spark import geom as G
+    from prclz_spark.functions.st import st_length
+    from prclz_spark.operators.parcels import tessellate
+    from prclz_spark.operators.reblock_op import reblock
+
+    blocks = spark.createDataFrame(
+        [("B1", G.wkb_dumps(G.box(0, 0, 10, 10)))], "block_id string, geometry binary"
+    )
+    rows = []
+    i = 0
+    for x in range(1, 10, 2):
+        for y in range(1, 10, 2):
+            rows.append((f"b{i:02d}", G.wkb_dumps(G.box(x - 0.3, y - 0.3, x + 0.3, y + 0.3))))
+            i += 1
+    bldgs = spark.createDataFrame(rows, "osm_id string, geometry binary")
+    parcels = tessellate(blocks, bldgs, res=12)
+    rb = reblock(
+        blocks, parcels, bldgs, res=12,
+        drop_connected=True, outside_node=True,
+        thru_streets_top_n=1, simplify_roads=True,
+    )
+    return rb.select(
+        "block_id", "road_type",
+        F.round(st_length(F.col("geometry")), 6).alias("road_len"),
+        "bldg_count", "num_block_coords", "num_block_coords_unmatched",
+    )
+
+
 def _q_images_roundtrip(spark, sf_dir):  # decode → re-encode PSNR invariant
     from prclz_spark import images as IM
 
@@ -681,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_parcels": _q_geo_parcels,
         "geo_parcels_orphans": _q_geo_parcels_orphans,
         "geo_reblock_steiner": _q_geo_reblock,
+        "geo_reblock_full": _q_geo_reblock_full,
         "images_roundtrip_psnr": _q_images_roundtrip,
         "phash_dedup_buckets": _q_phash_dedup,
         "tile_block_assignment": _q_tile_block_assignment,

@@ -708,6 +708,74 @@ def convex_hull(pts: np.ndarray) -> np.ndarray:
     return ring
 
 
+def minimum_rotated_rectangle(pts: np.ndarray) -> np.ndarray:
+    """Closed ring (5,2) of the minimum-area rotated rectangle enclosing
+    `pts` — rotating calipers over the convex hull (shapely
+    `minimum_rotated_rectangle` analogue, `prclz/reblock/_reblock.py:85`)."""
+    pts = np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+    hull = convex_hull(pts)
+    h = hull[:-1] if len(hull) > 2 and np.array_equal(hull[0], hull[-1]) else hull
+    if len(h) == 1:
+        return np.vstack([h[0]] * 5)
+    if len(h) == 2:
+        return np.asarray([h[0], h[1], h[1], h[0], h[0]])
+    best = None
+    n = len(h)
+    for i in range(n):
+        d = h[(i + 1) % n] - h[i]
+        ln = float(np.hypot(d[0], d[1]))
+        if ln < 1e-300:
+            continue
+        u = d / ln
+        v = np.array([-u[1], u[0]])
+        x = (h - h[i]) @ u
+        y = (h - h[i]) @ v
+        area = (x.max() - x.min()) * (y.max() - y.min())
+        if best is None or area < best[0]:
+            c = [
+                h[i] + x.min() * u + y.min() * v,
+                h[i] + x.max() * u + y.min() * v,
+                h[i] + x.max() * u + y.max() * v,
+                h[i] + x.min() * u + y.max() * v,
+            ]
+            best = (area, np.asarray(c + [c[0]]))
+    return best[1]
+
+
+def representative_point(g: Geom) -> np.ndarray:
+    """A point guaranteed inside a polygonal geometry (shapely
+    `representative_point` analogue, `prclz/reblock/_reblock.py:88`):
+    the centroid when it is inside, else the midpoint of the widest
+    interior span of a horizontal scanline through the bbox middle."""
+    if g.kind not in (POLYGON, MULTIPOLYGON):
+        return np.vstack(_all_coords(g))[0]
+    c = centroid(g)
+    if contains_point(g, float(c[0]), float(c[1])):
+        return np.asarray(c, dtype=np.float64)
+    xmin, ymin, xmax, ymax = bounds(g)
+    best = None
+    for frac in (0.5, 0.25, 0.75, 0.37, 0.63, 0.13, 0.87):
+        cy = ymin + frac * (ymax - ymin)
+        xs = []
+        for arr in _all_coords(g):
+            x0, y0 = arr[:-1, 0], arr[:-1, 1]
+            x1, y1 = arr[1:, 0], arr[1:, 1]
+            crossing = (y0 > cy) != (y1 > cy)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xi = x0 + (cy - y0) * (x1 - x0) / (y1 - y0)
+            xs.extend(xi[crossing].tolist())
+        xs.sort()
+        for a, b in zip(xs[:-1], xs[1:]):
+            mid = 0.5 * (a + b)
+            if contains_point(g, mid, cy):
+                span = b - a
+                if best is None or span > best[0]:
+                    best = (span, np.array([mid, cy]))
+        if best is not None:
+            return best[1]
+    return np.asarray(c, dtype=np.float64)  # degenerate fallback
+
+
 # ---------------------------------------------------------------------------
 # Mercator transform (EPSG:4326 ↔ 3395), `prclz/_parcels.py:34-35,48`
 # ---------------------------------------------------------------------------

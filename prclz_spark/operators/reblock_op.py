@@ -1,18 +1,39 @@
 """Stage 4 — reblocking (SURVEY.md §3.3, K19 orchestration).
 
-Reference flow (`prclz/reblock/_reblock.py:272-375`): per block with >1
-building: parcel boundaries → graph → building centroids become terminals
-on their nearest edges → existing block-boundary roads reweighted to 0 →
-largest component → Steiner approximation → emit linestrings split into
-road_type ∈ {new, existing} + a summary metrics row.
+Reference flow (`prclz/reblock/_reblock.py:140-220`), all steps wired:
 
-Spark plan: three-way prep (parcels ⟕ blocks ⟕ building centroids, all
-keyed by block_id) → groupBy(block_id).applyInPandas(kernel) → REBLOCK rows
-(+ the summary columns of `example_data/reblock/.../reblock_summary_*.csv`).
+  [2] drop buildings whose parcel touches the block boundary (they already
+      have street access) — `drop_buildings_intersecting_block` (:23-69)
+  [3] outside dummy node: a point in min_rotated_rect(block) ∖ convex_hull,
+      forcing the Steiner tree to reach the outside network (:71-91)
+  [5] building centroids → terminals on their nearest parcel edge
+  [6] snap block coords to nearest parcel vertex (J11 `snap_block`,
+      :93-132), then existing-road reweighting (weight 0)
+  [7] optional width-aware cost (K14, the `-w` flavor, `prclz/cli.py:104`)
+  [8] largest component → [10] Steiner approximation →
+  [12] optional through-streets (K17, :221-254) →
+  [13] optional corridor-constrained street simplification (K18, :256-270)
+
+plus the timing/summary columns of
+`example_data/reblock/Africa/DJI/reblock_summary_DJI.1.1_1.csv`.
+
+Spark plan: parcels (with a broadcast-joined block geometry) and assigned
+building centroids are COGROUPED on block_id —
+
+    parcels ⟕ broadcast(blocks)  : linear, one row per parcel
+    buildings → pip_join(blocks) : broadcast PIP, no probe shuffle
+    cogroup(block_id).applyInPandas(kernel)
+
+— two linear shuffles instead of the former parcels×buildings join, whose
+per-block cross product duplicated every parcel geometry once per building
+(P·B shuffled rows; the kernel then dropped the duplicates back apart).
 """
 
 from __future__ import annotations
 
+import time
+
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -26,79 +47,260 @@ _OUT_SCHEMA = (
     "block_id string, road_type string, geometry binary, "
     "num_graph_comps int, node_count_pre int, node_count_post int, "
     "edge_count_pre int, edge_count_post int, bldg_count int, "
-    "num_block_coords int, num_block_coords_unmatched int"
+    "num_block_coords int, num_block_coords_unmatched int, "
+    "bldg_time double, steiner_time double, simplify_time double"
 )
+_COLS = [
+    "block_id", "road_type", "geometry", "num_graph_comps",
+    "node_count_pre", "node_count_post", "edge_count_pre",
+    "edge_count_post", "bldg_count", "num_block_coords",
+    "num_block_coords_unmatched", "bldg_time", "steiner_time",
+    "simplify_time",
+]
 
 
-def _reblock_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-    return _reblock_kernel_impl(pdf, use_width=False)
+def _rings_of(g: G.Geom) -> list:
+    return [g.data[0]] if g.kind == G.POLYGON else [p[0] for p in g.data]
 
 
-def _reblock_kernel_width(pdf: pd.DataFrame) -> pd.DataFrame:
-    return _reblock_kernel_impl(pdf, use_width=True)
+def _outside_dummy_point(block: G.Geom) -> tuple | None:
+    """[3] `add_outside_node` (:71-91): a representative point of
+    min_rotated_rect(block) ∖ convex_hull(block). For blocks that ARE their
+    own rotated rectangle the difference is empty; fall back to a point just
+    outside the longest boundary edge (functionally equivalent: the dummy
+    only needs to sit outside the block so its terminal lands on the
+    boundary)."""
+    pts = np.vstack(_rings_of(block))
+    rect = G.minimum_rotated_rectangle(pts)
+    hull = G.convex_hull(pts)
+    center = rect[:4].mean(axis=0)
+    diag = float(np.hypot(*(pts.max(0) - pts.min(0)))) or 1.0
+    for t in (1e-6, 1e-4, 1e-2):
+        for c in rect[:4]:
+            p = c * (1 - t) + center * t
+            if not G.point_in_ring(p[0], p[1], hull):
+                return (float(p[0]), float(p[1]))
+    ring = _rings_of(block)[0]
+    segs = np.hstack([ring[:-1], ring[1:]])
+    lens = np.hypot(segs[:, 2] - segs[:, 0], segs[:, 3] - segs[:, 1])
+    i = int(np.argmax(lens))
+    a, b = segs[i, :2], segs[i, 2:]
+    mid = 0.5 * (a + b)
+    nrm = np.array([-(b - a)[1], (b - a)[0]]) / max(lens[i], 1e-300)
+    for sgn in (1.0, -1.0):
+        p = mid + sgn * nrm * (1e-6 * diag)
+        if not G.contains_point(block, p[0], p[1]):
+            return (float(p[0]), float(p[1]))
+    return None
 
 
-def _reblock_kernel_impl(pdf: pd.DataFrame, use_width: bool) -> pd.DataFrame:
-    block_id = pdf["block_id"].iloc[0]
-    cols = [
-        "block_id", "road_type", "geometry", "num_graph_comps",
-        "node_count_pre", "node_count_post", "edge_count_pre",
-        "edge_count_post", "bldg_count", "num_block_coords",
-        "num_block_coords_unmatched",
-    ]
-    bldg = pdf[pdf["x"].notna()][["x", "y"]].drop_duplicates()
-    if len(bldg) <= 1:  # reference skips blocks with ≤1 building (:347)
-        return pd.DataFrame(columns=cols)
-    parcel_rows = pdf[pdf["parcel_geom"].notna()].drop_duplicates(subset=["parcel_id"])
-    if not len(parcel_rows):
-        return pd.DataFrame(columns=cols)
-    rings = []
-    pids = []
-    for r in parcel_rows.itertuples():
-        g = G.wkb_loads(bytes(r.parcel_geom))
-        rs = [g.data[0]] if g.kind == G.POLYGON else [p[0] for p in g.data]
-        for ring in rs:
-            rings.append(ring)
-            pids.append(r.parcel_id)
-    try:
-        sg = StreetGraph.from_polygons(rings, pids)
-        pre = sg.stats()
-        for r in bldg.itertuples():
-            sg.add_node_to_closest_edge((r.x, r.y), terminal=True)
-        block = G.wkb_loads(bytes(pdf["block_geom"].iloc[0]))
-        block_ring = block.data[0] if block.kind == G.POLYGON else block.data[0][0]
-        missing, total = sg.update_edge_types(block_ring, check=True)
-        if use_width and "bldg_geom" in pdf.columns:
-            # K14: width = min edge→building distance, cost = eucl/width
-            polys = [
-                G.wkb_loads(bytes(b))
-                for b in pdf.loc[pdf["bldg_geom"].notna(), "bldg_geom"].drop_duplicates()
+def _snap_ring(ring: np.ndarray, nodes: np.ndarray) -> list:
+    """[6] J11 `snap_block` (:93-132): map each block coord to its nearest
+    graph vertex (the parcelization introduces eps differences, and graph
+    lookups are by exact coordinate)."""
+    if not len(nodes):
+        return []
+    d2 = ((ring[:, None, :] - nodes[None, :, :]) ** 2).sum(-1)
+    idx = d2.argmin(axis=1)
+    return [(float(nodes[i, 0]), float(nodes[i, 1])) for i in idx]
+
+
+def _corridor_of(sg: StreetGraph, edges: list) -> G.Geom:
+    """Admissible region for K18 simplification: union of per-edge quads,
+    each edge expanded by its width on both sides (the reference's
+    parallel_offset width polygons, `_reblock_graph.py:853-858`)."""
+    quads = []
+    for a, b in edges:
+        w = sg.g.edges[a, b].get("width") or 0.0
+        w = max(float(w), 1e-9)
+        ax, ay = a
+        bx, by = b
+        dx, dy = bx - ax, by - ay
+        ln = max(np.hypot(dx, dy), 1e-300)
+        nx_, ny_ = -dy / ln * w, dx / ln * w
+        quads.append(
+            [
+                (ax + nx_, ay + ny_),
+                (bx + nx_, by + ny_),
+                (bx - nx_, by - ny_),
+                (ax - nx_, ay - ny_),
+                (ax + nx_, ay + ny_),
             ]
-            if polys:
-                sg.set_edge_width(polys, simplify=True)
-                sg.calc_edge_weight()
-        ncomp, sg = sg.largest_component()
-        if len(sg.terminals()) < 2:
-            return pd.DataFrame(columns=cols)
-        sg.steiner_tree_approx()
-        new, existing = sg.steiner_segments()
-        post = sg.stats()
-    except Exception:
-        return pd.DataFrame(columns=cols)
-    rows = []
-    for road_type, segs in (("new", new), ("existing", existing)):
-        if not segs:
-            continue
-        mls = G.multilinestring([[a, b] for a, b in segs])
-        rows.append(
-            (
-                block_id, road_type, G.wkb_dumps(mls), ncomp,
-                pre["node_count"], post["node_count"],
-                pre["edge_count"], post["edge_count"],
-                int(len(bldg)), int(total or 0), int(missing or 0),
-            )
         )
-    return pd.DataFrame(rows, columns=cols)
+    return G.multipolygon([[np.asarray(q, dtype=np.float64)] for q in quads])
+
+
+def _simplify_new_paths(sg: StreetGraph, new_segs: list) -> list:
+    """[13] K18 `simplify_streets` → `simplify_reblocked_graph`
+    (`_reblock_graph.py:1141-1166`): per connected piece of the new-roads
+    subgraph, contract its degree-2 chains to coordinate paths and simplify
+    each path inside its width corridor."""
+    import networkx as nx
+
+    sub = nx.Graph()
+    sub.add_edges_from(new_segs)
+    out = []
+    for comp in nx.connected_components(sub):
+        piece = sub.subgraph(comp)
+        edges = list(piece.edges())
+        corridor = _corridor_of(sg, edges)
+        # walk maximal paths: start from odd-degree nodes (or any for cycles)
+        walked = set()
+        starts = [n for n in piece.nodes() if piece.degree(n) != 2] or list(piece.nodes())[:1]
+        for s in starts:
+            for nb in piece.neighbors(s):
+                if frozenset((s, nb)) in walked:
+                    continue
+                path = [s, nb]
+                walked.add(frozenset((s, nb)))
+                cur, prev = nb, s
+                while piece.degree(cur) == 2:
+                    nxts = [x for x in piece.neighbors(cur) if x != prev]
+                    if not nxts or frozenset((cur, nxts[0])) in walked:
+                        break
+                    prev, cur = cur, nxts[0]
+                    walked.add(frozenset((prev, cur)))
+                    path.append(cur)
+                simp = StreetGraph.simplify_linestring(path, corridor)
+                out.append(simp)
+    return out
+
+
+def _make_reblock_kernel(
+    use_width: bool,
+    drop_connected: bool,
+    outside_node: bool,
+    thru_streets_top_n: int,
+    simplify_roads: bool,
+):
+    def kernel(key, parcels_pdf: pd.DataFrame, bldgs_pdf: pd.DataFrame) -> pd.DataFrame:
+        block_id = key[0]
+        empty = pd.DataFrame(columns=_COLS)
+        if not len(parcels_pdf) or not len(bldgs_pdf):
+            return empty
+        try:
+            block = G.wkb_loads(bytes(parcels_pdf["block_geom"].iloc[0]))
+            block_rings = _rings_of(block)
+
+            # deterministic kernel: Spark row order within a cogroup is
+            # arbitrary; sort so reruns (and the kernel-level tests) agree
+            parcel_rows = parcels_pdf.drop_duplicates(subset=["parcel_id"]).sort_values(
+                "parcel_id"
+            )
+            rings, pids = [], []
+            parcel_geoms: dict = {}
+            for r in parcel_rows.itertuples():
+                g = G.wkb_loads(bytes(r.parcel_geom))
+                if r.osm_id is not None:
+                    parcel_geoms[r.osm_id] = g
+                for ring in _rings_of(g):
+                    rings.append(ring)
+                    pids.append(r.parcel_id)
+
+            bldg = (
+                bldgs_pdf[bldgs_pdf["x"].notna()]
+                .drop_duplicates(subset=["osm_id"])
+                .sort_values("osm_id")
+            )
+            # [2] buildings whose parcel touches the block boundary already
+            # have street access — drop them (reference :23-69)
+            if drop_connected:
+                boundary = G.multilinestring([r for r in block_rings])
+                keep = []
+                for r in bldg.itertuples():
+                    pg = parcel_geoms.get(r.osm_id)
+                    if pg is None or not G.intersects(pg, boundary):
+                        keep.append(r.Index)
+                bldg = bldg.loc[keep]
+
+            terminals = [(float(r.x), float(r.y)) for r in bldg.itertuples()]
+            n_bldg = len(terminals)
+            if n_bldg == 0 or (not outside_node and n_bldg <= 1):
+                return empty
+            # [3] dummy node outside the block → tree connects to the
+            # outside street network (reference :71-91)
+            if outside_node:
+                dummy = _outside_dummy_point(block)
+                if dummy is not None:
+                    terminals.append(dummy)
+            if len(terminals) < 2:
+                return empty
+
+            # [4] graph; [5] terminals on nearest edges
+            sg = StreetGraph.from_polygons(rings, pids)
+            pre = sg.stats()
+            t0 = time.perf_counter()
+            for t in terminals:
+                sg.add_node_to_closest_edge(t, terminal=True)
+            bldg_time = time.perf_counter() - t0
+
+            # [6] snap block coords to graph vertices, then reweight the
+            # existing streets to 0 (J11 + K13)
+            nodes = np.asarray(list(sg.g.nodes()), dtype=np.float64)
+            missing = total = 0
+            for ring in block_rings:
+                snapped = _snap_ring(np.asarray(ring, dtype=np.float64), nodes)
+                m, t = sg.update_edge_types(snapped, check=True)
+                missing += m or 0
+                total += t or 0
+
+            # [7] width-aware cost
+            if (use_width or simplify_roads) and "bldg_geom" in bldgs_pdf.columns:
+                polys = [
+                    G.wkb_loads(bytes(b))
+                    for b in bldgs_pdf.loc[bldgs_pdf["bldg_geom"].notna(), "bldg_geom"].drop_duplicates()
+                ]
+                if polys:
+                    sg.set_edge_width(polys, simplify=True)
+                    if use_width:
+                        sg.calc_edge_weight()
+
+            # [8] largest component; [10] Steiner
+            ncomp, sg = sg.largest_component()
+            if len(sg.terminals()) < 2:
+                return empty
+            t0 = time.perf_counter()
+            sg.steiner_tree_approx()
+            steiner_time = time.perf_counter() - t0
+
+            # [12] through-streets
+            if thru_streets_top_n > 0:
+                sg.add_through_lines(top_k=thru_streets_top_n)
+
+            new, existing = sg.steiner_segments()
+            post = sg.stats()
+
+            # [13] corridor-constrained simplification of the new roads
+            simplify_time = None
+            if simplify_roads and new:
+                t0 = time.perf_counter()
+                paths = _simplify_new_paths(sg, new)
+                simplify_time = time.perf_counter() - t0
+                geom_new = G.multilinestring([np.asarray(p) for p in paths if len(p) >= 2])
+            else:
+                geom_new = G.multilinestring([[a, b] for a, b in new]) if new else None
+        except Exception:
+            return empty
+        rows = []
+        for road_type, geom in (
+            ("new", geom_new),
+            ("existing", G.multilinestring([[a, b] for a, b in existing]) if existing else None),
+        ):
+            if geom is None:
+                continue
+            rows.append(
+                (
+                    block_id, road_type, G.wkb_dumps(geom), ncomp,
+                    pre["node_count"], post["node_count"],
+                    pre["edge_count"], post["edge_count"],
+                    int(n_bldg), int(total or 0), int(missing or 0),
+                    round(bldg_time, 6), round(steiner_time, 6),
+                    round(simplify_time, 6) if simplify_time is not None else None,
+                )
+            )
+        return pd.DataFrame(rows, columns=_COLS)
+
+    return kernel
 
 
 def reblock(
@@ -107,28 +309,37 @@ def reblock(
     buildings: DataFrame,
     res: int,
     use_width: bool = False,
+    drop_connected: bool = False,
+    outside_node: bool = False,
+    thru_streets_top_n: int = 0,
+    simplify_roads: bool = False,
 ) -> DataFrame:
     """blocks × parcels × buildings → (block_id, road_type ∈ {new, existing},
-    geometry MultiLineString, summary metrics).
+    geometry MultiLineString, summary + timing metrics).
 
-    ``use_width=True`` enables the K14 width-aware cost (weight =
-    eucl_dist / min-distance-to-buildings, chain-simplified) — the
-    reference's `-w` reblocking flavor (`prclz/cli.py:104-110`)."""
+    Flags map to the reference CLI's reblocking flavors
+    (`prclz/cli.py:104-110`, `prclz/reblock/_reblock.py:140-220`):
+    ``use_width`` = K14 width-aware cost (`-w`); ``drop_connected`` = step
+    [2]; ``outside_node`` = step [3]; ``thru_streets_top_n`` = K17 step
+    [12]; ``simplify_roads`` = K18 step [13]. The reference's own defaults
+    are drop_connected=True, outside_node=True; ours default False to keep
+    the minimal Steiner semantics of the golden-grid tests."""
     pts = building_centroids(buildings, res=res)
     assigned = pip_join(pts, blocks, "osm_id", "block_id", res=res, how="inner").select(
-        "block_id", "x", "y", *( ["osm_id"] if use_width else [] )
+        "block_id", "osm_id", "x", "y"
     )
-    blk = blocks.select("block_id", F.col("geometry").alias("block_geom"))
-    pcl = parcels.select("block_id", "parcel_id", F.col("geometry").alias("parcel_geom"))
-    grouped = (
-        pcl.join(F.broadcast(blk), "block_id", "inner")
-        .join(assigned, "block_id", "left")
-    )
-    if use_width:
+    if use_width or simplify_roads:
         bg = buildings.select("osm_id", F.col("geometry").alias("bldg_geom"))
-        grouped = grouped.join(bg, "osm_id", "left").select(
-            "block_id", "block_geom", "parcel_id", "parcel_geom", "x", "y", "bldg_geom"
-        )
-        return grouped.groupBy("block_id").applyInPandas(_reblock_kernel_width, _OUT_SCHEMA)
-    grouped = grouped.select("block_id", "block_geom", "parcel_id", "parcel_geom", "x", "y")
-    return grouped.groupBy("block_id").applyInPandas(_reblock_kernel, _OUT_SCHEMA)
+        assigned = assigned.join(bg, "osm_id", "left")
+    blk = blocks.select("block_id", F.col("geometry").alias("block_geom"))
+    pcl = parcels.select(
+        "block_id", "parcel_id", "osm_id", F.col("geometry").alias("parcel_geom")
+    ).join(F.broadcast(blk), "block_id", "inner")
+    kernel = _make_reblock_kernel(
+        use_width, drop_connected, outside_node, thru_streets_top_n, simplify_roads
+    )
+    return (
+        pcl.groupBy("block_id")
+        .cogroup(assigned.groupBy("block_id"))
+        .applyInPandas(kernel, _OUT_SCHEMA)
+    )

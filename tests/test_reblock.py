@@ -249,3 +249,74 @@ class TestThruStreets:
         new, existing = g.steiner_segments()
         assert lines_equal(new, _wkt_lines("MULTILINESTRING ((0 0, 3 3))")), new
         assert self._check_existing(existing), existing
+
+
+# --- op-level parity: the distributed reblock() must reproduce the kernel
+# sequence on the golden grids (VERDICT r1 item 4) ------------------------
+
+
+def _grid_parcels():
+    """The 2×2 golden grid as parcel polygons (triangle in cell (0,1))."""
+    cells = []
+    for i in range(2):
+        for j in range(2):
+            if i == 0 and j == 1:
+                cells.append([(0, 1), (1, 1), (1, 2), (0, 1)])
+            else:
+                cells.append(make_square((i, j), 1))
+    return cells
+
+
+def _kernel_pipeline(rings, pts, block_ring):
+    """The exact kernel sequence reblock()'s grouped kernel runs (default
+    flags): graph ← parcels; terminals; snap+reweight; largest comp;
+    Steiner."""
+    from prclz_spark.operators.reblock_op import _snap_ring
+
+    sg = StreetGraph.from_polygons(rings, list(range(len(rings))))
+    for t in pts:
+        sg.add_node_to_closest_edge(t, terminal=True)
+    nodes = np.asarray(list(sg.g.nodes()), dtype=np.float64)
+    snapped = _snap_ring(np.asarray(block_ring, dtype=np.float64), nodes)
+    sg.update_edge_types(snapped, check=True)
+    _, sg = sg.largest_component()
+    sg.steiner_tree_approx()
+    return sg.steiner_segments()
+
+
+@pytest.mark.parametrize("k", [2, 3, 4])
+def test_reblock_op_matches_kernel_on_golden_grids(spark, k):
+    points = [(2, 2), (0, 0.2), (1.8, 1), (0.8, 2)][:k]
+    cells = _grid_parcels()
+    block_ring = [(0, 0), (2, 0), (2, 2), (0, 2), (0, 0)]
+
+    blocks = spark.createDataFrame(
+        [("G1", G.wkb_dumps(G.polygon(block_ring)))], "block_id string, geometry binary"
+    )
+    parcels = spark.createDataFrame(
+        [("G1", i, f"b{i}", G.wkb_dumps(G.polygon(c))) for i, c in enumerate(cells)],
+        "block_id string, parcel_id long, osm_id string, geometry binary",
+    )
+    eps = 1e-3
+    bldgs = spark.createDataFrame(
+        [
+            (f"b{i}", G.wkb_dumps(G.box(x - eps, y - eps, x + eps, y + eps)))
+            for i, (x, y) in enumerate(points)
+        ],
+        "osm_id string, geometry binary",
+    )
+    from prclz_spark.operators.reblock_op import reblock
+
+    pdf = reblock(blocks, parcels, bldgs, res=12).toPandas()
+    got = {"new": [], "existing": []}
+    for r in pdf.itertuples():
+        g = G.wkb_loads(bytes(r.geometry))
+        arrs = [g.data] if g.kind == G.LINESTRING else g.data
+        got[r.road_type] = [
+            (tuple(a[i]), tuple(a[i + 1])) for a in arrs for i in range(len(a) - 1)
+        ]
+    want_new, want_existing = _kernel_pipeline(
+        [np.asarray(c, dtype=float) for c in cells], points, block_ring
+    )
+    assert lines_equal(got["new"], want_new), (got["new"], want_new)
+    assert lines_equal(got["existing"], want_existing), (got["existing"], want_existing)
