@@ -439,16 +439,26 @@ def _q_embedding_norms(spark, sf_dir):  # vector math over array column
 # --------------------------------------------------------------------------
 
 def _q_geo_blocks(spark, sf_dir):
+    """Block extraction on the 6×6 synthetic world, aggregated per region —
+    every output value is closed-form (FIXTURES.md): each 3×3-cell quadrant
+    yields 9 square blocks + 2 triangles per diagonal cell
+    ((ci·6+cj) % 7 == 3), and the blocks tile the quadrant exactly, so the
+    per-gadm area sum is (3·CELL)² regardless of the splits."""
     from prclz_spark import cells as C
     from prclz_spark import fixtures as FX
     from prclz_spark.operators.blocks import extract_blocks
 
     lines, gadm, _ = FX.geo_world(spark, 6, 6)
     res = C.choose_resolution(*FX.grid_params(6, 6), n_features=144)
-    from prclz_spark.functions.st import st_area, st_aswkt
+    from prclz_spark.functions.st import st_area
 
-    return extract_blocks(lines, gadm, res).select(
-        "block_id", "gadm", F.round(st_area(F.col("geometry")) * 1e6, 9).alias("area_e6")
+    return (
+        extract_blocks(lines, gadm, res)
+        .groupBy("gadm")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.round(F.sum(st_area(F.col("geometry"))) * 1e6, 6).alias("area_e6"),
+        )
     )
 
 
@@ -609,6 +619,34 @@ def _q_phash_dedup(spark, sf_dir):  # near-duplicate detection via phash
     )
 
 
+def _q_phash_pair_match(spark, sf_dir):
+    """Deterministic phash invariant, closed-form oracle: re-encoding any
+    image to PNG is pixel-preserving at the phash stage (phash is computed
+    on DECODED pixels for both the original and the copy), so every one of
+    the 128 even-id re-crawled copies must share its original's phash."""
+    from prclz_spark import images as IM
+
+    imgs = IM.images_table(spark, 256)
+    u = IM.make_udfs()
+    dups = (
+        imgs.filter(F.substring("image_id", 5, 8).cast("int") % 2 == 0)
+        .withColumn("bytes", u["img_reencode_png"](F.col("bytes"), F.col("fmt")))
+        .withColumn("fmt", F.lit("png"))
+        .withColumn("image_id", F.concat(F.lit("re_"), F.col("image_id")))
+    )
+    hashed_orig = imgs.withColumn("ph", u["img_phash"](F.col("bytes"), F.col("fmt"))).select(
+        "image_id", F.col("ph").alias("ph_orig")
+    )
+    hashed_re = dups.withColumn("ph", u["img_phash"](F.col("bytes"), F.col("fmt"))).select(
+        F.expr("substring(image_id, 4)").alias("image_id"), F.col("ph").alias("ph_re")
+    )
+    j = hashed_re.join(hashed_orig, "image_id")
+    return j.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum((F.col("ph_re") == F.col("ph_orig")).cast("long")).alias("n_phash_equal"),
+    )
+
+
 def _q_tile_block_assignment(spark, sf_dir):  # raster tile ⋈ vector block
     from prclz_spark import cells as C
     from prclz_spark import fixtures as FX
@@ -718,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_reblock_full": _q_geo_reblock_full,
         "images_roundtrip_psnr": _q_images_roundtrip,
         "phash_dedup_buckets": _q_phash_dedup,
+        "phash_pair_match": _q_phash_pair_match,
         "tile_block_assignment": _q_tile_block_assignment,
         "tile_region_assignment": _q_tile_region_assignment,
         "tile_block_coverage": _q_tile_block_coverage,
@@ -898,6 +937,72 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings WHERE vec_id < 300
         """,
         "tile_region_assignment": _TILE_REGION_ORACLE,
+        # 6×6 world blocks, per-quadrant closed form: 9 squares + 2 triangles
+        # per diagonal cell ((ci·6+cj)%7==3); blocks tile the quadrant so the
+        # area sum is (3·0.01°)² = 9e-4 regardless of the splits
+        "geo_blocks_pipeline": """
+            WITH cells AS (
+              SELECT a.i AS ci, b.j AS cj,
+                     CAST(a.i // 3 AS INT) AS gi, CAST(b.j // 3 AS INT) AS gj,
+                     CASE WHEN (a.i * 6 + b.j) % 7 = 3 THEN 2 ELSE 1 END AS nb
+              FROM generate_series(0, 5) a(i), generate_series(0, 5) b(j)
+            )
+            SELECT 'TST.' || CAST(gi + 1 AS VARCHAR) || '.' || CAST(gj + 1 AS VARCHAR)
+                     || '_1' AS gadm,
+                   CAST(SUM(nb) AS BIGINT) AS n_blocks,
+                   CAST(900.0 AS DOUBLE) AS area_e6
+            FROM cells GROUP BY 1
+        """,
+        # 6×6 world, one tile per cell (center at the cell center): every
+        # block gets exactly one tile — a diagonal cell's center lies ON the
+        # diagonal, matching both triangles under closed PIP semantics.
+        # Block ids replay polygonize_region's (miny, minx) face enumeration:
+        # cells ordered (cj, ci) per quadrant, diagonal cells claiming two
+        # consecutive ids.
+        "tile_block_assignment": """
+            WITH cells AS (
+              SELECT a.i AS ci, b.j AS cj,
+                     CAST(a.i // 3 AS INT) AS gi, CAST(b.j // 3 AS INT) AS gj,
+                     CASE WHEN (a.i * 6 + b.j) % 7 = 3 THEN 2 ELSE 1 END AS nb
+              FROM generate_series(0, 5) a(i), generate_series(0, 5) b(j)
+            ), numbered AS (
+              SELECT *, COALESCE(SUM(nb) OVER (PARTITION BY gi, gj ORDER BY cj, ci
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+              FROM cells
+            )
+            SELECT 'TST.' || CAST(gi + 1 AS VARCHAR) || '.' || CAST(gj + 1 AS VARCHAR)
+                     || '_1_' || CAST(base + s.k AS VARCHAR) AS block_id,
+                   CAST(1 AS BIGINT) AS n_tiles
+            FROM numbered, generate_series(0, 1) s(k)
+            WHERE s.k < nb
+        """,
+        # lossless-at-the-phash-stage re-encode: all 128 even-id copies
+        # must share their original's phash (see _q_phash_pair_match)
+        "phash_pair_match": """
+            SELECT CAST(128 AS BIGINT) AS n_pairs,
+                   CAST(128 AS BIGINT) AS n_phash_equal
+        """,
+        # 4×4 world, 32×32-pixel tiles: square blocks fully cover their tile
+        # (coverage 1); a diagonal triangle covers 528/1024 pixel centers
+        # (j ≤ i plus the 32 on-diagonal centers, closed PIP) = 0.5156
+        "tile_block_coverage": """
+            WITH cells AS (
+              SELECT a.i AS ci, b.j AS cj,
+                     CAST(a.i // 2 AS INT) AS gi, CAST(b.j // 2 AS INT) AS gj,
+                     CASE WHEN (a.i * 4 + b.j) % 7 = 3 THEN 2 ELSE 1 END AS nb
+              FROM generate_series(0, 3) a(i), generate_series(0, 3) b(j)
+            ), numbered AS (
+              SELECT *, COALESCE(SUM(nb) OVER (PARTITION BY gi, gj ORDER BY cj, ci
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+              FROM cells
+            )
+            SELECT 'img_' || LPAD(CAST(ci * 4 + cj AS VARCHAR), 8, '0') AS image_id,
+                   'TST.' || CAST(gi + 1 AS VARCHAR) || '.' || CAST(gj + 1 AS VARCHAR)
+                     || '_1_' || CAST(base + s.k AS VARCHAR) AS block_id,
+                   CAST(CASE WHEN nb = 2 THEN 0.5156 ELSE 1.0 END AS DOUBLE) AS coverage
+            FROM numbered, generate_series(0, 1) s(k)
+            WHERE s.k < nb
+        """,
         # U-block orphan reunion: every fact is closed-form (see
         # _q_geo_parcels_orphans docstring), so the oracle is a constant row
         "geo_parcels_orphans": """

@@ -255,6 +255,74 @@ def _map_coords(g: G.Geom, fn) -> G.Geom:
     return G.Geom(k, [[fn(r) for r in rings] for rings in g.data])
 
 
+# --- boolean overlay + buffer (general st_intersection/difference/union/
+# buffer via the planar-arrangement kernel; closes the §2.6 GEOS gaps) ------
+
+
+def _overlay_udf(op: str):
+    from ..kernels import overlay as OV
+
+    @pandas_udf(BinaryType())
+    def _f(a: pd.Series, b: pd.Series) -> pd.Series:
+        def one(x, y):
+            if x is None or y is None:
+                return None
+            r = OV.overlay(G.wkb_loads(bytes(x)), G.wkb_loads(bytes(y)), op)
+            return G.wkb_dumps(r) if r is not None else None
+
+        return pd.Series([one(x, y) for x, y in zip(a, b)])
+
+    return _f
+
+
+st_intersection = _overlay_udf("intersection")
+st_difference = _overlay_udf("difference")
+st_union_pair = _overlay_udf("union")
+st_symdifference = _overlay_udf("symdifference")
+
+
+def st_buffer(dist: float):
+    """buffer(geometry, dist) — round joins approximated by 16-chord arcs
+    (`prclz/blocks/_methods.py:35-40` ε-buffer semantics)."""
+    from ..kernels import overlay as OV
+
+    @pandas_udf(BinaryType())
+    def _f(s: pd.Series) -> pd.Series:
+        def one(b):
+            if b is None:
+                return None
+            r = OV.buffer(G.wkb_loads(bytes(b)), dist)
+            return G.wkb_dumps(r) if r is not None else None
+
+        return s.map(one)
+
+    return _f
+
+
+@pandas_udf(BinaryType())
+def st_minimum_rotated_rectangle(s: pd.Series) -> pd.Series:
+    def f(b):
+        if b is None:
+            return None
+        import numpy as _np
+
+        pts = _np.vstack(G._all_coords(G.wkb_loads(bytes(b))))
+        return G.wkb_dumps(G.Geom(G.POLYGON, [G.minimum_rotated_rectangle(pts)]))
+
+    return s.map(f)
+
+
+@pandas_udf(BinaryType())
+def st_representative_point(s: pd.Series) -> pd.Series:
+    def f(b):
+        if b is None:
+            return None
+        p = G.representative_point(G.wkb_loads(bytes(b)))
+        return G.wkb_dumps(G.point(float(p[0]), float(p[1])))
+
+    return s.map(f)
+
+
 # --- cell index functions (axis-A core, SURVEY.md §7 step 2) ---------------
 
 

@@ -89,20 +89,24 @@ def fused_blocks_k(lines: DataFrame, gadm: DataFrame, buildings: DataFrame, res:
     b = gadm.select("gadm", F.col("geometry").alias("region_geom")).withColumn(
         "cell", F.explode(st_cells(res)(F.col("region_geom")))
     )
-    lines_c = (
+    # one probe table, ONE broadcast hash join: unioning the two probe
+    # branches BEFORE the join builds/ships the region-cover broadcast once
+    # instead of twice (two identical broadcast exchanges are not reliably
+    # deduplicated across subtrees)
+    lines_p = (
         lines.select(F.col("geometry").alias("payload"))
         .withColumn("cell", F.explode(st_cells(res)(F.col("payload"))))
-        .join(F.broadcast(b), "cell", "inner")
-        .select("gadm", "region_geom", F.lit("L").alias("kind"), "payload",
+        .select("cell", F.lit("L").alias("kind"), "payload",
                 F.lit(None).cast("double").alias("x"), F.lit(None).cast("double").alias("y"))
     )
-    pts = buildings.withColumn("_c", st_centroid_xy_cell(res)(F.col("geometry"))).select(
-        F.col("_c.x").alias("x"), F.col("_c.y").alias("y"), F.col("_c.cell").alias("cell")
-    ).filter(F.col("cell").isNotNull())
-    bldg_c = (
-        pts.join(F.broadcast(b), "cell", "inner")
-        .select("gadm", "region_geom", F.lit("B").alias("kind"),
-                F.lit(None).cast("binary").alias("payload"), "x", "y")
+    bldg_p = (
+        buildings.withColumn("_c", st_centroid_xy_cell(res)(F.col("geometry")))
+        .select(
+            F.col("_c.cell").alias("cell"), F.lit("B").alias("kind"),
+            F.lit(None).cast("binary").alias("payload"),
+            F.col("_c.x").alias("x"), F.col("_c.y").alias("y"),
+        )
+        .filter(F.col("cell").isNotNull())
     )
-    grouped = lines_c.unionByName(bldg_c)
+    grouped = lines_p.unionByName(bldg_p).join(F.broadcast(b), "cell", "inner")
     return grouped.groupBy("gadm").applyInPandas(_fused_kernel, _OUT_SCHEMA)

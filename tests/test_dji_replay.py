@@ -91,3 +91,59 @@ def test_dji_pipeline_replay(spark):
     assert centroid_match >= 60, f"{centroid_match}/{total} centroid sets match"
     assert exact >= 110, f"{exact}/{total} exact k"
     assert within1 >= 178, f"{within1}/{total} within ±1"
+
+
+def test_blocks_polygonize_replay_dji():
+    """Output-level validation of the K1→ε→0 noding+polygonize deviation on
+    the reference's own 540-block golden output
+    (`example_data/blocks/Africa/DJI/blocks_DJI.1.1_1.csv`): the golden
+    blocks partition the region up to the ε street corridors, so locally
+    re-polygonizing the arrangement of block boundaries must reproduce each
+    sampled block as a face (same representative point, same area to 1e-6
+    relative). Samples small, median and holed blocks; skips blocks whose
+    local arrangement exceeds the O(m²) noding budget."""
+    import pandas as pd
+
+    from prclz_spark.kernels import planar as P
+
+    df = pd.read_csv("/root/reference/example_data/blocks/Africa/DJI/blocks_DJI.1.1_1.csv")
+    geoms = [G.wkt_loads(w) for w in df.geometry]
+    areas = np.array([G.area(g) for g in geoms])
+    order = np.argsort(areas)
+    mid = len(order) // 2
+    sample = (
+        list(order[10:18])
+        + list(order[mid - 6 : mid + 6])
+        + [i for i, g in enumerate(geoms) if len(g.data) > 1]  # holed blocks
+    )
+    sample = sorted({int(i) for i in sample})
+    boundss = [G.bounds(g) for g in geoms]
+    tested = matched = 0
+    for i in sample:
+        g = geoms[i]
+        xmin, ymin, xmax, ymax = boundss[i]
+        pad = 0.1 * max(xmax - xmin, ymax - ymin) + 1e-6
+        bx = (xmin - pad, ymin - pad, xmax + pad, ymax + pad)
+        lines = []
+        for j, h in enumerate(geoms):
+            b2 = boundss[j]
+            if b2[0] > bx[2] or b2[2] < bx[0] or b2[1] > bx[3] or b2[3] < bx[1]:
+                continue
+            lines.extend(np.asarray(r) for r in h.data)
+        if sum(len(l) - 1 for l in lines) > 9000:
+            continue
+        region = np.asarray(
+            [[bx[0], bx[1]], [bx[2], bx[1]], [bx[2], bx[3]], [bx[0], bx[3]], [bx[0], bx[1]]]
+        )
+        faces = P.polygonize_region(region, lines)
+        want = areas[i]
+        rp = G.representative_point(g)
+        hit = any(
+            G.point_in_ring(rp[0], rp[1], f)
+            and abs(G.area(G.Geom(G.POLYGON, [f])) - want) <= 1e-12 + 1e-6 * want
+            for f in faces
+        )
+        tested += 1
+        matched += hit
+    assert tested >= 10, tested
+    assert matched == tested, (matched, tested)
