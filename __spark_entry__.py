@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -367,6 +368,60 @@ def _q_ann_cosine(spark, sf_dir):  # brute-force cosine top-k vs query vec
         .limit(25)
     )
     return out
+
+
+def _q_minhash_jaccard_exact(spark, sf_dir):
+    """Oracles the dedup SEMANTICS (k-shingle Jaccard) end to end: exact
+    Jaccard over the engine's 64-bit shingle-hash sets must equal DuckDB's
+    Jaccard over raw character 5-shingles. Texts are sanitized to printable
+    ASCII identically in both engines so byte-shingles == char-shingles;
+    hash collisions at this scale are ~2^-35."""
+    from pyspark.sql.functions import pandas_udf
+
+    from prclz_spark.operators.dedup import _shingle_hashes
+
+    docs = (
+        _load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select(
+            "doc_id",
+            F.regexp_replace(F.col("text"), "[^ -~]", "").alias("s"),
+        )
+        .filter(F.length("s") >= 5)
+    )
+
+    @pandas_udf("double")
+    def _jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = []
+        for a, b in zip(ta, tb):
+            sa = set(_shingle_hashes(a, 5).tolist())
+            sb = set(_shingle_hashes(b, 5).tolist())
+            out.append(len(sa & sb) / max(len(sa | sb), 1))
+        return pd.Series(out)
+
+    l = docs.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
+    r = docs.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
+    pairs = l.join(r, F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a", "id_b", F.round(_jac(F.col("s_a"), F.col("s_b")), 6).alias("jaccard")
+    )
+
+
+def _q_ann_ivf_topk(spark, sf_dir):  # IVF (k-means coarse quantizer) ANN
+    from prclz_spark.operators.ann import ivf_topk
+
+    e = _load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = e.filter(F.col("vec_id") < 500)
+    twins = base.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.expr("transform(embedding, x -> x * CAST(1.01 AS FLOAT))").alias("embedding"),
+    )
+    corpus = base.unionByName(twins)
+    queries_df = base.filter(F.col("vec_id") < 50).withColumnRenamed("vec_id", "qid")
+    dim = len(base.first().embedding)
+    return ivf_topk(
+        queries_df, corpus, "qid", "vec_id", "embedding", dim=dim, k=3, n_lists=8, n_probe=3
+    )
 
 
 def _q_minhash_lsh(spark, sf_dir):  # MinHash+LSH near-dup detection
@@ -745,7 +800,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine,
         "embedding_norms": _q_embedding_norms,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "minhash_lsh_neardup": _q_minhash_lsh,
+        "minhash_jaccard_exact": _q_minhash_jaccard_exact,
         "simhash_neardup": _q_simhash_dedup,
         "embedding_lsh_neardup": _q_embedding_near_dup,
         "geo_blocks_pipeline": _q_geo_blocks,
@@ -937,6 +994,23 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings WHERE vec_id < 300
         """,
         "tile_region_assignment": _TILE_REGION_ORACLE,
+        # exact k-shingle Jaccard computed from raw character shingles —
+        # must match the engine's hashed-shingle-set Jaccard exactly
+        "minhash_jaccard_exact": """
+            WITH d AS (
+              SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS s
+              FROM documents WHERE doc_id < 40
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct([substring(s, i, 5) for i in range(1, length(s) - 3)]) AS sg
+              FROM d WHERE length(s) >= 5
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(CAST(length(list_intersect(a.sg, b.sg)) AS DOUBLE)
+                         / GREATEST(length(a.sg) + length(b.sg)
+                                    - length(list_intersect(a.sg, b.sg)), 1), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        """,
         # 6×6 world blocks, per-quadrant closed form: 9 squares + 2 triangles
         # per diagonal cell ((ci·6+cj)%7==3); blocks tile the quadrant so the
         # area sum is (3·0.01°)² = 9e-4 regardless of the splits

@@ -34,3 +34,37 @@ def test_ann_lsh_finds_planted_neighbors(spark):
     assert len(top1) == 40
     assert (top1.vec_id == top1.qid + 10_000).sum() >= 38  # twins at rank 1
     assert (top1.cos_sim > 0.999).sum() >= 38
+
+def test_ann_ivf_finds_planted_neighbors_and_beats_bruteforce_candidates(spark):
+    from prclz_spark.operators.ann import ivf_topk, train_centroids, _nearest_lists_udf
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = e.select("vec_id", "embedding").filter(F.col("vec_id") < 300).cache()
+    twins = base.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.expr("transform(embedding, x -> x * CAST(1.01 AS FLOAT))").alias("embedding"),
+    )
+    corpus = base.unionByName(twins).cache()
+    queries = base.filter(F.col("vec_id") < 40).withColumnRenamed("vec_id", "qid")
+    dim = len(base.first().embedding)
+
+    out = ivf_topk(
+        queries, corpus, "qid", "vec_id", "embedding", dim=dim, k=3, n_lists=8, n_probe=3
+    ).toPandas()
+    top1 = out[out["rank"] == 1]
+    # a scaled twin has IDENTICAL direction → same nearest centroid list →
+    # always probed; must surface at rank 1 with cosine ≈ 1
+    assert len(top1) == 40
+    assert (top1.vec_id == top1.qid + 10_000).sum() >= 38
+    assert (top1.cos_sim > 0.999).sum() >= 38
+
+    # the quantizer actually partitions: every list non-trivially populated
+    cents = train_centroids(corpus, "embedding", dim, n_lists=8)
+    assign1 = _nearest_lists_udf(cents, 1)
+    sizes = (
+        corpus.withColumn("list_id", F.element_at(assign1(F.col("embedding")), 1))
+        .groupBy("list_id")
+        .count()
+        .toPandas()
+    )
+    assert len(sizes) == 8 and sizes["count"].max() < 340  # no single-list collapse

@@ -52,3 +52,81 @@ def test_user_sessions_stream_runs(spark, tmp_path):
     assert len(out) > 0
     assert (out.n_events >= 1).all()
     assert (out.session_end > out.session_start).all()
+
+
+def test_stream_pip_assign_matches_batch(spark, tmp_path):
+    """Streaming PIP assignment ≡ batch pip_join on the same points:
+    the broadcast-build spatial join is stateless, so the identical plan
+    runs under Structured Streaming (streaming/geo.py)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from prclz_spark import geom as G
+    from prclz_spark.operators.sjoin import pip_join
+    from prclz_spark.streaming.geo import (
+        read_points_stream,
+        region_rates,
+        stream_pip_assign,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    pts = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(rng.integers(0, 86400, n), unit="s"),
+            "x": rng.uniform(10.0, 10.06, n),
+            "y": rng.uniform(10.0, 10.06, n),
+        }
+    )
+    # write via Spark: pandas emits INT64-nanos timestamps the streaming
+    # parquet reader refuses
+    batch_pts = spark.createDataFrame(pts)
+    d = tmp_path / "pts_stream"
+    batch_pts.coalesce(1).write.parquet(str(d))
+
+    boxes = [
+        (0, 10.0, 10.0, 10.03, 10.03),
+        (1, 10.03, 10.0, 10.06, 10.03),
+        (2, 10.0, 10.03, 10.03, 10.06),
+        (3, 10.03, 10.03, 10.06, 10.06),
+    ]
+    polys = spark.createDataFrame(
+        [(g, G.wkb_dumps(G.box(x0, y0, x1, y1))) for g, x0, y0, x1, y1 in boxes],
+        "gid long, geometry binary",
+    )
+
+    stream = read_points_stream(spark, str(d))
+    assigned = stream_pip_assign(stream, polys, "event_id", "gid", res=14)
+    q = (
+        assigned.writeStream.format("memory")
+        .queryName("pip_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("pip_stream_test").select("event_id", "gid").toPandas()
+
+    want = pip_join(batch_pts, polys, "event_id", "gid", res=14, how="inner").select(
+        "event_id", "gid"
+    ).toPandas()
+    ga = set(map(tuple, got.values))
+    wa = set(map(tuple, want.values))
+    assert ga == wa and len(got) >= n  # boundary points may match 2 boxes
+
+    # windowed per-region rates run on top of the same stream
+    rates = region_rates(stream_pip_assign(stream, polys, "event_id", "gid", res=14), "gid")
+    q2 = (
+        rates.writeStream.format("memory")
+        .queryName("pip_rates_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    rdf = spark.table("pip_rates_test").toPandas()
+    assert rdf.n.sum() == len(got)
+    assert set(rdf.gid) == {0, 1, 2, 3}
