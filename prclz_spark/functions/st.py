@@ -255,6 +255,57 @@ def _map_coords(g: G.Geom, fn) -> G.Geom:
     return G.Geom(k, [[fn(r) for r in rings] for rings in g.data])
 
 
+@pandas_udf(BinaryType())
+def st_linemerge(s: pd.Series) -> pd.Series:
+    """Merge a MultiLineString's segments into maximal linestrings by
+    chaining through degree-2 endpoints (`shapely.ops.linemerge` analogue,
+    `prclz/reblock/_reblock_graph.py:1162`)."""
+    def f(b):
+        if b is None:
+            return None
+        g = G.wkb_loads(bytes(b))
+        if g.kind == G.LINESTRING:
+            return b
+        if g.kind != G.MULTILINESTRING:
+            return b
+        # endpoint adjacency over the input lines
+        def key(p):
+            return (round(float(p[0]), 9), round(float(p[1]), 9))
+
+        lines = [np.asarray(l) for l in g.data if len(l) >= 2]
+        adj: dict = {}
+        for i, l in enumerate(lines):
+            adj.setdefault(key(l[0]), []).append((i, False))
+            adj.setdefault(key(l[-1]), []).append((i, True))
+        used = set()
+        merged = []
+        for i in range(len(lines)):
+            if i in used:
+                continue
+            used.add(i)
+            chain = list(map(tuple, lines[i]))
+            # extend forward then backward through degree-2 joints
+            for forward in (True, False):
+                while True:
+                    endk = key(chain[-1] if forward else chain[0])
+                    cands = [(j, rev) for j, rev in adj.get(endk, []) if j not in used]
+                    if len(adj.get(endk, [])) != 2 or len(cands) != 1:
+                        break
+                    j, rev = cands[0]
+                    used.add(j)
+                    nxt = list(map(tuple, lines[j]))
+                    if forward:
+                        chain = chain + (nxt[::-1] if rev else nxt)[1:]
+                    else:
+                        chain = (nxt if rev else nxt[::-1])[:-1] + chain
+            merged.append(np.asarray(chain))
+        if len(merged) == 1:
+            return G.wkb_dumps(G.linestring(merged[0]))
+        return G.wkb_dumps(G.multilinestring(merged))
+
+    return s.map(f)
+
+
 # --- boolean overlay + buffer (general st_intersection/difference/union/
 # buffer via the planar-arrangement kernel; closes the §2.6 GEOS gaps) ------
 

@@ -406,3 +406,49 @@ class StreetGraph:
             "node_count": self.g.number_of_nodes(),
             "edge_count": self.g.number_of_edges(),
         }
+
+    # --- persistence (S10) ---------------------------------------------------
+    # The reference pickles igraph objects between stages
+    # (`prclz/topology.py:259-267,395-401`); the distributed equivalent is a
+    # columnar edge list that round-trips through Parquet, so a graph can
+    # cross a stage/job boundary as ordinary rows.
+
+    EDGE_SCHEMA = (
+        "ax double, ay double, bx double, by double, weight double, "
+        "eucl_dist double, steiner boolean, edge_type string, width double, "
+        "is_through_line boolean, term_a boolean, term_b boolean"
+    )
+
+    def to_edge_rows(self) -> list:
+        rows = []
+        for a, b, d in self.g.edges(data=True):
+            rows.append(
+                (
+                    float(a[0]), float(a[1]), float(b[0]), float(b[1]),
+                    float(d["weight"]), float(d["eucl_dist"]), bool(d["steiner"]),
+                    d["edge_type"],
+                    None if d["width"] is None else float(d["width"]),
+                    bool(d["is_through_line"]),
+                    bool(self.g.nodes[a].get("terminal", False)),
+                    bool(self.g.nodes[b].get("terminal", False)),
+                )
+            )
+        return rows
+
+    @classmethod
+    def from_edge_rows(cls, rows) -> "StreetGraph":
+        sg = cls()
+        for ax, ay, bx, by, weight, eucl, steiner, etype, width, thru, ta, tb in rows:
+            a, b = (ax, ay), (bx, by)
+            sg.add_edge(a, b, weight=weight)
+            d = sg.g.edges[a, b]
+            d["eucl_dist"] = eucl
+            d["steiner"] = bool(steiner)
+            d["edge_type"] = etype
+            d["width"] = width
+            d["is_through_line"] = bool(thru)
+            if ta:
+                sg.g.nodes[a]["terminal"] = True
+            if tb:
+                sg.g.nodes[b]["terminal"] = True
+        return sg

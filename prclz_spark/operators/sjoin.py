@@ -109,10 +109,16 @@ def sjoin(
     """Full spatial join: probe columns + build attribute columns.
 
     ``how='left'`` keeps unmatched probe rows (J1's how='left');
-    ``how='right'`` of the reference (J2) is this with roles swapped."""
+    ``how='right'`` keeps unmatched BUILD rows (J2, `prclz/_complexity.py:107`
+    geopandas sjoin how='right': build columns + matching probe attributes,
+    null probe attributes where no probe matched)."""
     pairs = sjoin_pairs(
         probe, build, probe_id, build_id, res, predicate, probe_geom, build_geom, broadcast_build, salt
     )
+    if how == "right":
+        probe_attrs = probe.drop(probe_geom)
+        enriched = pairs.join(probe_attrs, probe_id, "inner")
+        return build.join(enriched, build_id, "left")
     build_attrs = build.drop(build_geom)
     enriched = pairs.join(
         F.broadcast(build_attrs) if broadcast_build else build_attrs, build_id, "inner"

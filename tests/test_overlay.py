@@ -85,3 +85,47 @@ def test_st_overlay_udfs(spark):
     assert abs(row.inter - 1.0) < 1e-9
     assert abs(row.diff - 3.0) < 1e-9
     assert abs(row.eroded - 1.0) < 1e-9
+
+
+def test_union_all_two_phase(spark):
+    """A5: distributed two-phase unary_union — a 4×4 grid of unit cells
+    (shuffled across partitions) unions to the exact 4×4 square."""
+    from prclz_spark.operators.union_op import union_all
+
+    rows = [
+        (i * 4 + j, G.wkb_dumps(G.box(float(i), float(j), i + 1.0, j + 1.0)))
+        for i in range(4)
+        for j in range(4)
+    ]
+    df = spark.createDataFrame(rows, "id long, geometry binary").repartition(6)
+    u = union_all(df)
+    assert abs(G.area(u) - 16.0) < 1e-9
+    assert G.contains_point(u, 2.0, 2.0) and not G.contains_point(u, 4.5, 2.0)
+    # disjoint groups stay separate parts
+    rows2 = rows + [(99, G.wkb_dumps(G.box(10, 10, 11, 11)))]
+    u2 = union_all(spark.createDataFrame(rows2, "id long, geometry binary").repartition(5))
+    assert abs(G.area(u2) - 17.0) < 1e-9
+
+
+def test_st_linemerge(spark):
+    from pyspark.sql import functions as F
+
+    from prclz_spark.functions.st import st_geometrytype, st_length, st_linemerge
+
+    mls = G.multilinestring(
+        [
+            [(0, 0), (1, 0)],
+            [(1, 0), (2, 0)],
+            [(2, 0), (2, 1)],
+            [(5, 5), (6, 5)],  # disconnected piece
+        ]
+    )
+    df = spark.createDataFrame([(G.wkb_dumps(mls),)], "g binary")
+    row = df.select(
+        st_geometrytype(st_linemerge(F.col("g"))).alias("t"),
+        st_length(st_linemerge(F.col("g"))).alias("l"),
+    ).collect()[0]
+    assert row.t == "MULTILINESTRING" and abs(row.l - 4.0) < 1e-12
+    out = G.wkb_loads(bytes(df.select(st_linemerge(F.col("g")).alias("m")).collect()[0].m))
+    lens = sorted(len(l) for l in out.data)
+    assert len(out.data) == 2 and lens == [2, 4]  # one 3-seg chain + the stub

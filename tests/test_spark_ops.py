@@ -237,3 +237,46 @@ def test_parcels_orphan_reunion_kernel():
     for osm, bg in (("A", A), ("B", B)):
         c = G.centroid(bg)
         assert G.contains_point(geoms[osm], c[0], c[1])
+
+
+def test_sjoin_how_right(spark, world):
+    """J2: geopandas sjoin how='right' — keep unmatched build rows."""
+    from prclz_spark.operators.sjoin import sjoin
+
+    lines, gadm, bldgs, res = world
+    # add a region nothing intersects
+    extra = spark.createDataFrame(
+        [("TST.FAR_1", G.wkb_dumps(G.box(99.0, 99.0, 99.1, 99.1)))],
+        "gadm string, geometry binary",
+    )
+    gadm2 = gadm.unionByName(extra, allowMissingColumns=True)
+    out = sjoin(lines, gadm2, "osm_id", "gadm", res=res, how="right").toPandas()
+    far = out[out.gadm == "TST.FAR_1"]
+    assert len(far) == 1 and far.osm_id.isna().all()  # kept, null probe attrs
+    assert out[out.gadm != "TST.FAR_1"].osm_id.notna().all()
+
+
+def test_street_graph_parquet_roundtrip(spark, tmp_path):
+    """S10: a StreetGraph survives a Parquet edge-list round trip with
+    identical structure, weights, terminals, and Steiner answer."""
+    from prclz_spark.kernels.reblock import StreetGraph
+
+    g = StreetGraph.from_polygons(
+        [np.asarray([(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)], dtype=float),
+         np.asarray([(1, 0), (2, 0), (2, 1), (1, 1), (1, 0)], dtype=float)],
+        [0, 1],
+    )
+    g.add_node_to_closest_edge((0.5, 0.0), terminal=True)
+    g.add_node_to_closest_edge((2.0, 0.5), terminal=True)
+    df = spark.createDataFrame(g.to_edge_rows(), StreetGraph.EDGE_SCHEMA)
+    path = str(tmp_path / "graph.pq")
+    df.write.parquet(path)
+    rows = [tuple(r) for r in spark.read.parquet(path).collect()]
+    g2 = StreetGraph.from_edge_rows(rows)
+    assert g2.stats() == g.stats()
+    assert sorted(g2.terminals()) == sorted(g.terminals())
+    g.steiner_tree_approx()
+    g2.steiner_tree_approx()
+    n1, e1 = g.steiner_segments()
+    n2, e2 = g2.steiner_segments()
+    assert {frozenset(s) for s in n1} == {frozenset(s) for s in n2}
