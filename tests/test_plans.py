@@ -38,3 +38,28 @@ def test_multiway_join_broadcasts_dims(spark):
     q = E.queries()["multiway_join_revenue"](spark, "/root/testdata/sf0.001")
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # nation dim broadcast
+
+
+def test_reblock_cogroup_linear_shuffles(spark):
+    """VERDICT r1 #5: the reblock stage must cogroup parcels and building
+    centroids (two linear shuffles) — never join them into a per-block
+    P×B cross product before the kernel."""
+    from prclz_spark.operators.blocks import extract_blocks
+    from prclz_spark.operators.parcels import tessellate
+    from prclz_spark.operators.reblock_op import reblock
+
+    lines, gadm, bldgs = FX.geo_world(spark, 4, 4)
+    res = C.choose_resolution(*FX.grid_params(4, 4), n_features=64)
+    blocks = extract_blocks(lines, gadm, res)
+    # materialize parcels so the inspected plan is reblock's own subtree
+    # (tessellate's internal block_id join is co-partitioned with its
+    # downstream groupBy — a deliberate SMJ, out of scope here)
+    parcels = tessellate(blocks, bldgs, res).localCheckpoint()
+    rb = reblock(blocks, parcels, bldgs, res)
+    plan = rb._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    # the parcels and buildings sides meet ONLY in the cogroup: no
+    # SortMergeJoin/ShuffledHashJoin anywhere (the only joins are broadcast:
+    # block geometry onto parcels, PIP cover cells onto centroids)
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
