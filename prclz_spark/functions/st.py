@@ -256,6 +256,20 @@ def _map_coords(g: G.Geom, fn) -> G.Geom:
 
 
 @pandas_udf(BinaryType())
+def st_geomfromona(s: pd.Series) -> pd.Series:
+    """ONA survey text → Polygon (`prclz/utils.py:12-15` `parse_ona_text`):
+    ';'-separated '<lat> <lon> <t> <z>' tuples; the polygon takes (lon, lat)."""
+    def f(t):
+        if t is None:
+            return None
+        coords = [c.split() for c in t.split(";")]
+        ring = [(float(x), float(y)) for (y, x, _t, _z) in coords]
+        return G.wkb_dumps(G.polygon(ring))
+
+    return s.map(f)
+
+
+@pandas_udf(BinaryType())
 def st_linemerge(s: pd.Series) -> pd.Series:
     """Merge a MultiLineString's segments into maximal linestrings by
     chaining through degree-2 endpoints (`shapely.ops.linemerge` analogue,

@@ -79,3 +79,20 @@ def test_write_geojson_partitioned(spark, tmp_path):
     assert back.count() == out.count()
     line = json.loads(back.first().value)
     assert line["type"] == "Feature" and "coordinates" in line["geometry"]
+
+
+def test_st_geomfromona(spark):
+    """ONA survey text parse (prclz/utils.py:12-15): '<lat> <lon> <t> <z>'
+    tuples; polygon takes (lon, lat)."""
+    from pyspark.sql import functions as F
+
+    from prclz_spark import geom as G
+    from prclz_spark.functions.st import st_area, st_geomfromona
+
+    txt = "10.0 20.0 0 0;10.0 21.0 0 0;11.0 21.0 0 0;11.0 20.0 0 0;10.0 20.0 0 0"
+    df = spark.createDataFrame([(txt,)], "t string")
+    row = df.select(st_area(st_geomfromona(F.col("t"))).alias("a"),
+                    st_geomfromona(F.col("t")).alias("g")).collect()[0]
+    assert abs(row.a - 1.0) < 1e-12
+    g = G.wkb_loads(bytes(row.g))
+    assert g.kind == G.POLYGON and tuple(g.data[0][0]) == (20.0, 10.0)  # (lon, lat)
