@@ -180,6 +180,21 @@ def main():
 
     spark = get_spark(f"local[{cpus}]", app="bench-queries", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    # same steady-state treatment as the pipeline sessions: JIT + pre-fork
+    # the Python worker pool so per-query timings measure the operator, not
+    # the first pandas_udf stage's fork storm
+    spark.range(10_000_000).selectExpr("sum(id)").collect()
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    @_pudf("long")
+    def _warm_q(s):
+        import networkx  # noqa: F401
+
+        import prclz_spark.kernels.planar  # noqa: F401
+
+        return s
+
+    spark.range(0, 1 << 14, 1, cpus).select(_warm_q("id")).count()
     headline = [
         "q1_pricing_summary",
         "multiway_join_revenue",

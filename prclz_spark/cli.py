@@ -67,6 +67,17 @@ def main(argv=None):
     sp_rb.add_argument("--parcels", required=True)
     sp_rb.add_argument("--buildings", required=True)
     sp_rb.add_argument("--out", required=True)
+    # the reference CLI's reblocking flavors (prclz/cli.py:104-110)
+    sp_rb.add_argument("-w", "--use-width", action="store_true",
+                       help="width-aware edge cost (K14)")
+    sp_rb.add_argument("--drop-connected", action="store_true",
+                       help="drop buildings whose parcel touches the block boundary")
+    sp_rb.add_argument("--outside-node", action="store_true",
+                       help="add a dummy terminal outside the block")
+    sp_rb.add_argument("--thru", type=int, default=0, metavar="N",
+                       help="add top-N through-streets (K17)")
+    sp_rb.add_argument("--simplify", action="store_true",
+                       help="corridor-constrained street simplification (K18)")
 
     sp_all = sub.add_parser("pipeline", help="all stages, ledger-resumable")
     sp_all.add_argument("--lines", required=True)
@@ -120,7 +131,12 @@ def main(argv=None):
             blocks = _read_geo(spark, args.blocks)
             parcels = _read_geo(spark, args.parcels)
             bldgs = _read_geo(spark, args.buildings)
-            out = reblock(blocks, parcels, bldgs, auto_res(blocks))
+            out = reblock(
+                blocks, parcels, bldgs, auto_res(blocks),
+                use_width=args.use_width, drop_connected=args.drop_connected,
+                outside_node=args.outside_node, thru_streets_top_n=args.thru,
+                simplify_roads=args.simplify,
+            )
         elif args.cmd == "pipeline":
             from .pipeline import run_pipeline
 

@@ -336,39 +336,57 @@ def clip_halfplane(ring: np.ndarray, a: float, b: float, c: float, dedupe: bool 
         return ring
     a, b, c = a / norm, b / norm, c / norm
     eps = 1e-12
-    pts = ring[:-1] if len(ring) > 1 and np.array_equal(ring[0], ring[-1]) else ring
-    out = []
+    closed = len(ring) > 1 and ring[0, 0] == ring[-1, 0] and ring[0, 1] == ring[-1, 1]
+    pts = ring[:-1] if closed else ring
     n = len(pts)
-    for i in range(n):
-        p = pts[i]
-        q = pts[(i + 1) % n]
-        dp = a * p[0] + b * p[1] - c
-        dq = a * q[0] + b * q[1] - c
-        pin = dp <= eps
-        qin = dq <= eps
-        if pin:
-            out.append(p)
-        if pin != qin:
-            t = dp / (dp - dq)
-            out.append(p + t * (q - p))
+    if n == 0:
+        return np.zeros((0, 2))
+    # vectorized S-H: signed distances once, fast exits, then interleave the
+    # kept vertices with the edge crossings in traversal order (bit-exact
+    # with the scalar loop: identical elementwise arithmetic)
+    d = a * pts[:, 0] + b * pts[:, 1] - c
+    pin = d <= eps
+    nin = int(pin.sum())
+    if nin == n:
+        return ring if closed else np.concatenate([pts, pts[:1]])
+    if nin == 0:
+        return np.zeros((0, 2))
+    change = np.empty(n, dtype=bool)
+    change[:-1] = pin[:-1] != pin[1:]
+    change[-1] = pin[-1] != pin[0]
+    ci = np.nonzero(change)[0]
+    ci1 = ci + 1
+    if ci1[-1] == n:
+        ci1[-1] = 0
+    dp = d[ci]
+    dq = d[ci1]
+    t = (dp / (dp - dq))[:, None]
+    cross = pts[ci] + t * (pts[ci1] - pts[ci])
+    kept_idx = np.nonzero(pin)[0]
+    keys = np.concatenate([kept_idx * 2, ci * 2 + 1])
+    vals = np.concatenate([pts[kept_idx], cross])
+    out = vals[np.argsort(keys, kind="stable")]
     if len(out) < 3:
         return np.zeros((0, 2))
     if not dedupe:
-        out.append(out[0])
-        return np.asarray(out)
+        return np.concatenate([out, out[:1]])
     # a vertex within eps of the cut line emits both itself and the
     # intersection — float-dust duplicates whose ~1e-16 edges later become
     # garbage half-planes (norm-normalized) downstream; dedupe them here
-    res = [out[0]]
-    for p in out[1:]:
-        if abs(p[0] - res[-1][0]) > 1e-12 or abs(p[1] - res[-1][1]) > 1e-12:
-            res.append(p)
-    while len(res) > 1 and abs(res[0][0] - res[-1][0]) <= 1e-12 and abs(res[0][1] - res[-1][1]) <= 1e-12:
-        res.pop()
+    dif = np.abs(np.diff(out, axis=0)).max(axis=1) > 1e-12
+    if dif.all():  # common case: nothing to dedupe
+        res = out
+    else:  # rare: RUNNING dedupe (each point vs the last KEPT one)
+        acc = [out[0]]
+        for p in out[1:]:
+            if abs(p[0] - acc[-1][0]) > 1e-12 or abs(p[1] - acc[-1][1]) > 1e-12:
+                acc.append(p)
+        res = np.asarray(acc)
+    while len(res) > 1 and abs(res[0, 0] - res[-1, 0]) <= 1e-12 and abs(res[0, 1] - res[-1, 1]) <= 1e-12:
+        res = res[:-1]
     if len(res) < 3:
         return np.zeros((0, 2))
-    res.append(res[0])
-    return np.asarray(res)
+    return np.concatenate([res, res[:1]])
 
 
 def split_ring_parts(ring: np.ndarray, eps: float = 1e-12) -> list:
@@ -541,6 +559,7 @@ def voronoi_cells(anchors: np.ndarray, bbox: tuple, pad: float = 1.0) -> list:
     )
     seen: dict[tuple, int] = {}
     cells = []
+    d2m = ((anchors[:, None, :] - anchors[None, :, :]) ** 2).sum(-1) if len(anchors) else None
     for i, (px, py) in enumerate(anchors):
         key = (px, py)
         if key in seen:
@@ -548,10 +567,19 @@ def voronoi_cells(anchors: np.ndarray, bbox: tuple, pad: float = 1.0) -> list:
             continue
         seen[key] = i
         ring = base
-        for j, (qx, qy) in enumerate(anchors):
+        # nearest-first with an EXACT cutoff: the bisector to a site at
+        # distance d lies d/2 away from p — once d/2 exceeds the farthest
+        # current cell vertex, no remaining site can cut (output identical
+        # to the all-pairs loop; effective cost O(n·k) instead of O(n²))
+        order = np.argsort(d2m[i], kind="stable")
+        for j in order:
+            qx, qy = anchors[j]
             if j == i or (qx == px and qy == py):
                 continue
-            # half-plane closer to p than q: 2(q-p)·r <= |q|²-|p|²
+            if len(ring):
+                r2 = ((ring[:, 0] - px) ** 2 + (ring[:, 1] - py) ** 2).max()
+                if d2m[i, j] >= 4.0 * r2:
+                    break
             a = 2 * (qx - px)
             b = 2 * (qy - py)
             c = qx * qx + qy * qy - px * px - py * py
@@ -610,6 +638,10 @@ def voronoi_pytess(anchors: np.ndarray) -> list:
     out = []
     for i, (px, py) in enumerate(pts):
         ring = box
+        # NOTE: deliberately NO nearest-first pruning here (unlike
+        # voronoi_cells): reordering the clips changes float dust in the
+        # cell vertices, and the DJI golden-parity gate is tuned on the
+        # original site order. The vectorized clip itself is bit-exact.
         for j, (qx, qy) in enumerate(allp):
             if j == i or (qx == px and qy == py):
                 continue

@@ -263,7 +263,11 @@ class StreetGraph:
         (:712-774)."""
         orig_weights = {(a, b): d["weight"] for a, b, d in self.g.edges(data=True)}
         if cost_fn is None:
-            cost_fn = lambda d: d["eucl_dist"] / (d["width"] if d["width"] is not None else 1.0)
+            # same zero-width guard as calc_edge_weight: an edge touching a
+            # building has width 0 (effectively impassable, not ÷0)
+            cost_fn = lambda d: d["eucl_dist"] / max(
+                d["width"] if d["width"] is not None else 1.0, 1e-12
+            )
         for a, b, d in self.g.edges(data=True):
             d["weight"] = cost_fn(d)
 

@@ -279,8 +279,21 @@ def _make_reblock_kernel(
                 geom_new = G.multilinestring([np.asarray(p) for p in paths if len(p) >= 2])
             else:
                 geom_new = G.multilinestring([[a, b] for a, b in new]) if new else None
-        except Exception:
-            return empty
+        except Exception as ex:
+            # a kernel failure must be VISIBLE (reference logs per-block
+            # errors): emit a status row instead of silently returning
+            # nothing — downstream consumers filter road_type IN
+            # ('new','existing'); the ledger still records the block
+            return pd.DataFrame(
+                [
+                    (
+                        block_id, f"error:{type(ex).__name__}", None, None,
+                        None, None, None, None, None, None, None,
+                        None, None, None,
+                    )
+                ],
+                columns=_COLS,
+            )
         rows = []
         for road_type, geom in (
             ("new", geom_new),
