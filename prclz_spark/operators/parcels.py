@@ -195,6 +195,12 @@ def _reunite_orphans(per_bldg: dict, bldg_geoms: dict) -> dict:
 
 
 def _parcels_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    # single-param wrapper: applyInPandas switches to (key, pdf) calling
+    # convention for ANY 2+-param callable, defaults included
+    return _parcels_kernel_impl(pdf, 0.0)
+
+
+def _parcels_kernel_impl(pdf: pd.DataFrame, inward_offset: float) -> pd.DataFrame:
     block_id = pdf["block_id"].iloc[0]
     block = G.wkb_loads(bytes(pdf["block_geom"].iloc[0]))
     ring = block.data[0] if block.kind == G.POLYGON else block.data[0][0]
@@ -212,7 +218,23 @@ def _parcels_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     for _, r in bldg.iterrows():
         g = G.wkb_loads(bytes(r["bldg_geom"]))
         bldg_geoms[r["osm_id"]] = g
-        rings = [g.data[0]] if g.kind == G.POLYGON else [p[0] for p in g.data]
+        seed_geom = g
+        if inward_offset > 0:
+            # momepy's inward-offset seeding (`momepy.Tessellation` shrinks
+            # the footprint before sampling so no cell cuts into a
+            # building): erode via the boolean-overlay buffer; a footprint
+            # thinner than 2·offset keeps its raw boundary (momepy's
+            # shrink fallback)
+            from ..kernels import overlay as OV
+
+            er = OV.buffer(g, -inward_offset)
+            if er is not None:
+                seed_geom = er
+        rings = (
+            [seed_geom.data[0]]
+            if seed_geom.kind == G.POLYGON
+            else [p[0] for p in seed_geom.data]
+        )
         for rr in rings:
             pts = densify_ring(rr, step)
             samples.append(pts)
@@ -244,8 +266,15 @@ def _parcels_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["block_id", "parcel_id", "osm_id", "geometry"])
 
 
-def tessellate(blocks: DataFrame, buildings: DataFrame, res: int) -> DataFrame:
-    """blocks × buildings → parcels(block_id, parcel_id, osm_id, geometry)."""
+def tessellate(
+    blocks: DataFrame, buildings: DataFrame, res: int, inward_offset: float = 0.0
+) -> DataFrame:
+    """blocks × buildings → parcels(block_id, parcel_id, osm_id, geometry).
+
+    ``inward_offset > 0`` enables momepy's inward-offset seeding (shrink
+    each footprint by the offset before boundary sampling, so no parcel
+    boundary cuts into a building — `momepy.Tessellation`'s documented
+    behavior); 0 (default) samples the raw boundary."""
     pts = building_centroids(buildings)
     assigned = pip_join(pts, blocks, "osm_id", "block_id", res=res, how="inner").select(
         "osm_id", "block_id"
@@ -257,4 +286,11 @@ def tessellate(blocks: DataFrame, buildings: DataFrame, res: int) -> DataFrame:
         .join(bldg_geoms, "osm_id", "left")
         .select("block_id", "block_geom", "osm_id", "bldg_geom")
     )
+    if inward_offset > 0:
+        off = float(inward_offset)
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _parcels_kernel_impl(pdf, off)
+
+        return grouped.groupBy("block_id").applyInPandas(kernel, _OUT_SCHEMA)
     return grouped.groupBy("block_id").applyInPandas(_parcels_kernel, _OUT_SCHEMA)

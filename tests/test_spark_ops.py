@@ -280,3 +280,35 @@ def test_street_graph_parquet_roundtrip(spark, tmp_path):
     n1, e1 = g.steiner_segments()
     n2, e2 = g2.steiner_segments()
     assert {frozenset(s) for s in n1} == {frozenset(s) for s in n2}
+
+
+def test_tessellate_inward_offset_keeps_buildings_whole(spark):
+    """momepy inward-offset seeding: with the offset on, no parcel boundary
+    cuts into a building — every building polygon is fully inside its own
+    parcel (momepy.Tessellation's contract), not merely centroid-inside."""
+    from prclz_spark.operators.parcels import tessellate
+
+    blocks = spark.createDataFrame(
+        [("B1", G.wkb_dumps(G.box(0, 0, 10, 10)))], "block_id string, geometry binary"
+    )
+    rows = []
+    i = 0
+    for x in range(2, 10, 3):
+        for y in range(2, 10, 3):
+            rows.append((f"b{i}", G.wkb_dumps(G.box(x - 1.0, y - 1.0, x + 1.0, y + 1.0))))
+            i += 1
+    bldgs = spark.createDataFrame(rows, "osm_id string, geometry binary")
+    parcels = tessellate(blocks, bldgs, res=12, inward_offset=0.25).toPandas()
+    geoms = {r.osm_id: G.wkb_loads(bytes(r.geometry)) for r in parcels.itertuples()}
+    for osm, bw in rows:
+        bg = G.wkb_loads(bytes(bw))
+        pg = geoms[osm]
+        # sample the building boundary densely: all points inside the parcel
+        ring = bg.data[0]
+        import numpy as _np
+
+        ts = _np.linspace(0, 1, 9)[:-1]
+        for k in range(len(ring) - 1):
+            for t in ts:
+                p = ring[k] + t * (ring[k + 1] - ring[k])
+                assert G.contains_point(pg, float(p[0]), float(p[1])), (osm, p)
