@@ -161,14 +161,25 @@ def main():
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
 
     # --- two-parallelism scaling evidence (same job, same input) ---------
-    n2 = timed_pipeline("local[2]", 16, reps=2)
+    # co-tenant load on this VM drifts on minute scales (±20-35% even for
+    # the no-Spark control); BRACKET the slow local[2] phase with local[8]
+    # runs on both sides and min-merge, so a drift during one phase cannot
+    # skew the ratio in either direction
     n8 = timed_pipeline("local[8]", 64, reps=2)
+    n2 = timed_pipeline("local[2]", 16, reps=2)
+    n8b = timed_pipeline("local[8]", 64, reps=1)
+    if n8b["sec"] < n8["sec"]:
+        n8 = n8b
     n32 = timed_pipeline(f"local[{cpus}]", cpus * 8, reps=2)
     eff_2_8 = round((n2["sec"] / n8["sec"]) / 4.0, 3)
     eff_8_32 = round((n8["sec"] / n32["sec"]) / (cpus / 8.0), 3)
 
     # --- hardware control (no Spark): what this VM itself loses ----------
-    c2, c8, c32 = mp_control(2), mp_control(8), mp_control(cpus)
+    # same bracketing: n8 measured on both sides of the slow n2 phase
+    c8 = mp_control(8)
+    c2 = mp_control(2)
+    c8 = max(c8, mp_control(8))
+    c32 = mp_control(cpus)
     hw_2_8 = round((c8 / c2) / 4.0, 3)
     hw_8_32 = round((c32 / c8) / (cpus / 8.0), 3)
     engine_2_8 = round(min(eff_2_8 / hw_2_8, 1.0) if hw_2_8 else 0.0, 3)
