@@ -263,25 +263,42 @@ def embedding_near_pairs(
     n_planes: int = 16,
     cos_threshold: float = 0.95,
     seed: int = 42,
+    n_tables: int = 4,
 ) -> DataFrame:
-    """Random-hyperplane LSH buckets → exact cosine verify within buckets."""
+    """Random-hyperplane LSH buckets → exact cosine verify within buckets.
+
+    `n_tables` independent plane sets (amplification): a pair is a
+    candidate if it collides in ANY table, so recall for cosine≈c pairs is
+    1-(1-p^k)^T with p = 1-acos(c)/π — one table of 16 planes misses ~60%
+    of 0.95-cos pairs, four tables miss ~2%. Each table's bucket id is
+    (table << n_planes) | signature, so one explode + one self-join covers
+    all tables."""
     rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(n_planes, dim))
+    planes = rng.normal(size=(n_tables, n_planes, dim))
 
     pows = np.int64(1) << np.arange(n_planes, dtype=np.int64)
 
-    @pandas_udf(LongType())
-    def _bucket(vecs: pd.Series) -> pd.Series:
+    @pandas_udf(ArrayType(LongType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
         if not len(vecs):
-            return pd.Series([], dtype="int64")
+            return pd.Series([], dtype=object)
         arr = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        bits = (arr @ planes.T) > 0  # one (batch × dim)·(dim × planes) matmul
-        return pd.Series(bits.astype(np.int64) @ pows, dtype="int64")
+        # all tables in one (batch × dim) · (dim × tables·planes) matmul
+        bits = (arr @ planes.transpose(2, 0, 1).reshape(dim, -1)).reshape(
+            len(arr), n_tables, n_planes
+        ) > 0
+        sigs = bits.astype(np.int64) @ pows  # (batch, tables)
+        table_tag = (np.arange(n_tables, dtype=np.int64) + 1) << n_planes
+        return pd.Series(list(sigs + table_tag[None, :]))
 
-    b = df.select(F.col(id_col), F.col(vec_col), _bucket(F.col(vec_col)).alias("bucket"))
+    b = df.select(F.col(id_col), F.col(vec_col), F.explode(_buckets(F.col(vec_col))).alias("bucket"))
     l = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket")
     r = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket")
-    cand = l.join(r, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    cand = (
+        l.join(r, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     dot = F.expr(
         "aggregate(zip_with(v_a, v_b, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (a, x) -> a + x)"
     )

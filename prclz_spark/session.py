@@ -9,10 +9,18 @@ from pyspark.sql import SparkSession
 
 def get_spark(master: str | None = None, app: str = "prclz-spark", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    master = master or f"local[{cpus}]"
     sp = shuffle_partitions if shuffle_partitions is not None else int(cpus) if cpus.isdigit() else 32
+    if master is None:
+        # under spark-submit the cluster master arrives via spark.master in
+        # the system properties — never clobber it with a local default
+        from pyspark import SparkConf
+
+        master = None if SparkConf().contains("spark.master") else f"local[{cpus}]"
+    builder = SparkSession.builder
+    if master is not None:
+        builder = builder.master(master)
     return (
-        SparkSession.builder.master(master)
+        builder
         .appName(app)
         # AQE skew-join splitting on top of our explicit hot-cell salting
         # (SURVEY.md §4 item 2). Partition COALESCING is disabled: AQE sizes
