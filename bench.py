@@ -59,6 +59,37 @@ def run_pipeline(spark, lines, gadm, bldgs, res) -> dict:
     return {"blocks": n_blocks}
 
 
+def _proc_tree_cpu() -> float:
+    """Total CPU seconds (utime+stime, incl. reaped children) of this
+    process and every live descendant — the driver JVM and its Python/Arrow
+    workers. CPU time is what co-tenant load can NOT inflate (it steals our
+    wall-clock, not our cycles), so the CPU-based scaling ratio survives
+    busy phases that wreck the wall-clock ratio (VERDICT r2 item #10)."""
+    clk = os.sysconf("SC_CLK_TCK")
+    info: dict[int, tuple[int, int]] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+            # utime+stime of the process + cutime+cstime of reaped children
+            ticks = int(parts[11]) + int(parts[12]) + int(parts[13]) + int(parts[14])
+            info[int(d)] = (int(parts[1]), ticks)
+        except OSError:
+            continue
+    children: dict[int, list[int]] = {}
+    for p, (pp, _) in info.items():
+        children.setdefault(pp, []).append(p)
+    total, stack = 0, [os.getpid()]
+    while stack:
+        p = stack.pop()
+        if p in info:
+            total += info[p][1]
+        stack.extend(children.get(p, []))
+    return total / clk
+
+
 def timed_pipeline(master: str, shuffle_partitions: int, reps: int = 2) -> dict:
     from prclz_spark import cells as C
     from prclz_spark import fixtures as FX
@@ -104,16 +135,25 @@ def timed_pipeline(master: str, shuffle_partitions: int, reps: int = 2) -> dict:
         # best-of-N: this VM's wall-clock noise is ±20-35% (co-tenant/turbo
         # effects, measured even for pure multiprocessing off Spark), so the
         # min is the only stable estimator of steady-state throughput
-        wall = float("inf")
+        wall, cpu = float("inf"), float("inf")
         for _ in range(reps):
+            c0 = _proc_tree_cpu()
             t0 = time.time()
             counts = run_pipeline(spark, lines, gadm, bldgs, res)
-            wall = min(wall, time.time() - t0)
+            w = time.time() - t0
+            c = _proc_tree_cpu() - c0
+            if w < wall:
+                wall, cpu = w, c
         counts["buildings"] = n_bldgs
     finally:
         spark.stop()
     items = counts["blocks"] + counts["buildings"]
-    return {**counts, "sec": round(wall, 2), "items_per_sec": round(items / wall, 1)}
+    return {
+        **counts,
+        "sec": round(wall, 2),
+        "cpu_sec": round(cpu, 2),
+        "items_per_sec": round(items / wall, 1),
+    }
 
 
 # --- hardware control: the same kernel load, bare multiprocessing ---------
@@ -182,20 +222,25 @@ def main():
         k8 = max(k8, mp_control(8))
         return k2, k8
 
-    # min-merge across passes SPREAD IN TIME: co-tenant bursts inflate
-    # individual samples one-sidedly, so the min over a wide window is the
-    # estimator of the unloaded machine (BASELINE.md protocol)
-    n2, n8 = scaling_pass()
-    c2, c8 = control_pass()
-    n2b, n8b = scaling_pass()
-    n2, n8 = merge(n2, n2b), merge(n8, n8b)
+    # min-merge across a FIXED, unconditional number of passes spread in
+    # time: co-tenant bursts inflate individual samples one-sidedly, so the
+    # min over a wide window estimates the unloaded machine (BASELINE.md
+    # protocol). The pass count does NOT depend on the outcome — the r2
+    # retry-only-on-miss rule was a one-sided stopping rule that biased the
+    # reported efficiency upward (ADVICE r2); every sample is also reported
+    # verbatim so the estimator is auditable.
+    n_passes = int(os.environ.get("BENCH_SCALING_PASSES", "3"))
+    samples: list[tuple[dict, dict]] = []
+    c2, c8 = 0.0, 0.0
+    for i in range(n_passes):
+        samples.append(scaling_pass())
+        if i < 2:
+            c2i, c8i = control_pass()
+            c2, c8 = max(c2, c2i), max(c8, c8i)
+    n2, n8 = samples[0]
+    for p2, p8 in samples[1:]:
+        n2, n8 = merge(n2, p2), merge(n8, p8)
     eff_2_8 = round((n2["sec"] / n8["sec"]) / 4.0, 3)
-    if eff_2_8 < 0.8:  # one bounded retry on a miss (documented)
-        c2b, c8b = control_pass()
-        c2, c8 = max(c2, c2b), max(c8, c8b)
-        n2c, n8c = scaling_pass()
-        n2, n8 = merge(n2, n2c), merge(n8, n8c)
-        eff_2_8 = round((n2["sec"] / n8["sec"]) / 4.0, 3)
     hw_2_8 = round((c8 / c2) / 4.0, 3)
     n32 = timed_pipeline(f"local[{cpus}]", cpus * 8, reps=2)
     eff_8_32 = round((n8["sec"] / n32["sec"]) / (cpus / 8.0), 3)
@@ -203,6 +248,12 @@ def main():
     hw_8_32 = round((c32 / c8) / (cpus / 8.0), 3)
     engine_2_8 = round(min(eff_2_8 / hw_2_8, 1.0) if hw_2_8 else 0.0, 3)
     engine_8_32 = round(min(eff_8_32 / hw_8_32, 1.0) if hw_8_32 else 0.0, 3)
+    # CPU-time work-invariance: total CPU seconds burned by the job at N vs
+    # 4N cores. Co-tenant load steals wall-clock but not our cycles, so
+    # cpu(N)/cpu(4N) ≈ 1 says the engine does no extra work at higher
+    # parallelism — the noise-immune half of the scaling claim.
+    cpu_2_8 = round(n2["cpu_sec"] / n8["cpu_sec"], 3) if n8.get("cpu_sec") else None
+    cpu_8_32 = round(n8["cpu_sec"] / n32["cpu_sec"], 3) if n32.get("cpu_sec") else None
 
     # --- headline queries at sf ------------------------------------------
     import __spark_entry__ as E
@@ -268,9 +319,21 @@ def main():
             "geo_grid": f"{GEO_NX}x{GEO_NX}",
             "blocks": n32["blocks"],
             "buildings": n32["buildings"],
-            "local2": {"sec": n2["sec"], "items_per_sec": n2["items_per_sec"]},
-            "local8": {"sec": n8["sec"], "items_per_sec": n8["items_per_sec"]},
-            f"local{cpus}": {"sec": n32["sec"], "items_per_sec": n32["items_per_sec"]},
+            "local2": {
+                "sec": n2["sec"], "cpu_sec": n2["cpu_sec"], "items_per_sec": n2["items_per_sec"]
+            },
+            "local8": {
+                "sec": n8["sec"], "cpu_sec": n8["cpu_sec"], "items_per_sec": n8["items_per_sec"]
+            },
+            f"local{cpus}": {
+                "sec": n32["sec"], "cpu_sec": n32["cpu_sec"],
+                "items_per_sec": n32["items_per_sec"],
+            },
+            # every raw sample (fixed pass count, min-merged above): the
+            # estimator is auditable, not outcome-conditioned
+            "scaling_samples": [
+                {"local2_sec": p2["sec"], "local8_sec": p8["sec"]} for p2, p8 in samples
+            ],
             # N vs 4N (2 -> 8 cores): the pair where the HARDWARE can still
             # scale (see hw_control) — the north_rule gate
             "scaling_efficiency": eff_2_8,
@@ -285,6 +348,10 @@ def main():
             # engine efficiency = spark wall efficiency / hardware ceiling
             "engine_efficiency_2to8": engine_2_8,
             "engine_efficiency_8to32": engine_8_32,
+            # CPU-time work-invariance ratio (≈1 ⇒ no extra work at 4N):
+            # the co-tenant-noise-immune complement to the wall ratios
+            "cpu_work_invariance_2to8": cpu_2_8,
+            "cpu_work_invariance_8to32": cpu_8_32,
         },
     }
     print(json.dumps(out))

@@ -103,7 +103,15 @@ def extract_blocks(
         F.col("osm_id"), F.col("geometry").alias("line_geom")
     ).withColumn("cell", F.explode(st_cells(res)(F.col("line_geom"))))
     cand = p.join(F.broadcast(b), "cell", "inner").select("gadm", "region_geom", "line_geom")
-    core = cand.groupBy("gadm").applyInPandas(_blocks_kernel, _OUT_SCHEMA).persist()
+    # eager localCheckpoint (not .persist()): the kernel runs exactly once,
+    # HERE; the two downstream uses (union + zero-street anti-join) read the
+    # stored partitions; lineage is truncated; and the blocks are released
+    # when the returned DataFrame is GC'd — no cache accumulating across
+    # repeated calls in a long-lived session (ADVICE r2).
+    core = cand.groupBy("gadm").applyInPandas(_blocks_kernel, _OUT_SCHEMA).localCheckpoint(
+        eager=True
+    )
+    b0.unpersist(blocking=False)  # only needed to build `core`; freed now
     # regions with zero streets become a single whole-region block
     # (`_extract_blocks.py` trivial case): anti-join against the OUTPUT
     # keys (tiny, persisted) so the candidate subtree runs exactly once.

@@ -260,17 +260,25 @@ def embedding_near_pairs(
     id_col: str,
     vec_col: str,
     dim: int,
-    n_planes: int = 16,
+    n_planes: int = 12,
     cos_threshold: float = 0.95,
     seed: int = 42,
-    n_tables: int = 4,
+    n_tables: int = 12,
 ) -> DataFrame:
     """Random-hyperplane LSH buckets → exact cosine verify within buckets.
 
     `n_tables` independent plane sets (amplification): a pair is a
     candidate if it collides in ANY table, so recall for cosine≈c pairs is
-    1-(1-p^k)^T with p = 1-acos(c)/π — one table of 16 planes misses ~60%
-    of 0.95-cos pairs, four tables miss ~2%. Each table's bucket id is
+    1-(1-p^k)^T with p = 1-acos(c)/π. At c=0.95, p≈0.899:
+
+        k=16, T=1  → p^16 ≈ 18% recall (misses ~82%)
+        k=16, T=4  → ≈ 55% recall      (misses ~45%)
+        k=12, T=12 → ≈ 98% recall      (the defaults)
+
+    Size k/T from this formula for other thresholds: smaller k raises
+    per-table recall but shrinks the bucket space (2^k buckets/table →
+    bigger buckets → more exact-verify comparisons); larger T adds recall
+    linearly in explode/join cost. Each table's bucket id is
     (table << n_planes) | signature, so one explode + one self-join covers
     all tables."""
     rng = np.random.default_rng(seed)

@@ -34,24 +34,27 @@ from ..kernels import planar as P
 
 _OUT_SCHEMA = (
     "block_id string, gadm string, geometry binary, complexity int, "
-    "centroids_multipoint binary"
+    "centroids_multipoint binary, status string"
 )
+_COLS = ["block_id", "gadm", "geometry", "complexity", "centroids_multipoint", "status"]
 
 
 def _fused_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     gadm = pdf["gadm"].iloc[0]
-    region = G.wkb_loads(bytes(pdf["region_geom"].iloc[0]))
-    region_rings = [region.data[0]] if region.kind == G.POLYGON else [p[0] for p in region.data]
-
-    line_arrays = []
-    for b in pdf.loc[pdf["kind"] == "L", "payload"].drop_duplicates():
-        g = G.wkb_loads(bytes(b))
-        line_arrays.extend([g.data] if g.kind == G.LINESTRING else list(g.data))
-
-    pts = pdf.loc[pdf["kind"] == "B", ["x", "y"]].drop_duplicates().to_numpy(dtype=float)
-
     rows = []
     try:
+        region = G.wkb_loads(bytes(pdf["region_geom"].iloc[0]))
+        region_rings = (
+            [region.data[0]] if region.kind == G.POLYGON else [p[0] for p in region.data]
+        )
+
+        line_arrays = []
+        for b in pdf.loc[pdf["kind"] == "L", "payload"].drop_duplicates():
+            g = G.wkb_loads(bytes(b))
+            line_arrays.extend([g.data] if g.kind == G.LINESTRING else list(g.data))
+
+        pts = pdf.loc[pdf["kind"] == "B", ["x", "y"]].drop_duplicates().to_numpy(dtype=float)
+
         i = 0
         for ring in region_rings:
             blocks = P.polygonize_region(ring, line_arrays) or [ring]
@@ -74,21 +77,50 @@ def _fused_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
                         G.wkb_dumps(blk_geom),
                         int(k),
                         G.wkb_dumps(G.multipoint(cents)),
+                        "ok",
                     )
                 )
-    except Exception:
+    except Exception as ex:
+        # error isolation (same contract as blocks.py:_blocks_kernel): a
+        # corrupt region must NOT vanish from the output — it surfaces as a
+        # status='error' marker row the caller can exclude and ledger-record
         return pd.DataFrame(
-            columns=["block_id", "gadm", "geometry", "complexity", "centroids_multipoint"]
+            [(f"{gadm}__ERROR", gadm, None, None, None, f"error:{type(ex).__name__}")],
+            columns=_COLS,
         )
-    return pd.DataFrame(
-        rows, columns=["block_id", "gadm", "geometry", "complexity", "centroids_multipoint"]
-    )
+    return pd.DataFrame(rows, columns=_COLS)
 
 
-def fused_blocks_k(lines: DataFrame, gadm: DataFrame, buildings: DataFrame, res: int) -> DataFrame:
-    b = gadm.select("gadm", F.col("geometry").alias("region_geom")).withColumn(
-        "cell", F.explode(st_cells(res)(F.col("region_geom")))
+def fused_blocks_k(
+    lines: DataFrame,
+    gadm: DataFrame,
+    buildings: DataFrame,
+    res: int,
+    keep_status: bool = False,
+) -> DataFrame:
+    """Fused blocks→PIP→k per region.
+
+    A region whose kernel raises yields a status='error' marker row (same
+    contract as ``extract_blocks``); by default those rows are filtered out,
+    ``keep_status=True`` returns them so callers can feed
+    ``Ledger.record_errors`` and retry on resume."""
+    b0 = gadm.select("gadm", F.col("geometry").alias("region_geom")).withColumn(
+        "cells", st_cells(res)(F.col("region_geom"))
     )
+    # a region whose geometry doesn't even parse (st_cells → NULL) would be
+    # silently dropped by the explode — surface it as an error row instead
+    # (same contract as extract_blocks' bad_regions)
+    bad_regions = b0.filter(F.col("cells").isNull()).select(
+        F.concat(F.col("gadm"), F.lit("__ERROR")).alias("block_id"),
+        F.col("gadm"),
+        F.lit(None).cast("binary").alias("geometry"),
+        F.lit(None).cast("int").alias("complexity"),
+        F.lit(None).cast("binary").alias("centroids_multipoint"),
+        F.lit("error:wkb").alias("status"),
+    )
+    b = b0.filter(F.col("cells").isNotNull()).withColumn(
+        "cell", F.explode(F.col("cells"))
+    ).drop("cells")
     # one probe table, ONE broadcast hash join: unioning the two probe
     # branches BEFORE the join builds/ships the region-cover broadcast once
     # instead of twice (two identical broadcast exchanges are not reliably
@@ -109,4 +141,9 @@ def fused_blocks_k(lines: DataFrame, gadm: DataFrame, buildings: DataFrame, res:
         .filter(F.col("cell").isNotNull())
     )
     grouped = lines_p.unionByName(bldg_p).join(F.broadcast(b), "cell", "inner")
-    return grouped.groupBy("gadm").applyInPandas(_fused_kernel, _OUT_SCHEMA)
+    full = grouped.groupBy("gadm").applyInPandas(_fused_kernel, _OUT_SCHEMA).unionByName(
+        bad_regions
+    )
+    if keep_status:
+        return full
+    return full.filter(F.col("status") == "ok").drop("status")

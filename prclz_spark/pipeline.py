@@ -89,8 +89,21 @@ def run_pipeline(
         rb_path = os.path.join(out_dir, "reblock")
         pending_blocks = led.filter_pending(blocks, "reblock", "block_id")
         if not pending_blocks.isEmpty():
-            out = reblock(pending_blocks, parcels, buildings, res)
-            _write_and_record("reblock", out, rb_path, pending_blocks.select("block_id"))
+            out = reblock(pending_blocks, parcels, buildings, res).persist()
+            # a failed block kernel emits road_type='error:*' rows — those
+            # must NOT be written as output nor ledger-recorded as done
+            # (mirrors stage 1): record them as errors so a resume retries.
+            ok = out.filter(~F.col("road_type").startswith("error:"))
+            err_keys = [
+                r["block_id"]
+                for r in out.filter(F.col("road_type").startswith("error:"))
+                .select("block_id")
+                .distinct()
+                .collect()
+            ]
+            _write_and_record("reblock", ok, rb_path, pending_blocks.select("block_id"))
+            led.record_errors("reblock", err_keys)
+            out.unpersist()
         outputs["reblock"] = spark.read.parquet(rb_path)
 
     return outputs

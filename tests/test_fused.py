@@ -27,3 +27,39 @@ def test_fused_equals_staged(spark):
         sa = {(round(x, 9), round(y, 9)) for x, y in a.reshape(-1, 2)}
         sb = {(round(x, 9), round(y, 9)) for x, y in b.reshape(-1, 2)}
         assert sa == sb, bid
+
+
+def test_fused_poisoned_region_surfaces_error(spark):
+    """VERDICT r2 #3: a region whose kernel raises must NOT silently vanish
+    from the fused output — it must surface as a status='error' marker row
+    (keep_status=True) and be excluded (not swallowed) by default."""
+    import pyspark.sql.functions as F
+
+    nx = 4
+    lines, gadm, bldgs = FX.geo_world(spark, nx, nx)
+    res = C.choose_resolution(*FX.grid_params(nx, nx), n_features=nx * nx * 4)
+
+    # poison 1: valid WKB but a LINESTRING where the kernel expects a
+    # (multi)polygon region → kernel raises mid-group (placed ON the
+    # fixture box so probe lines join it by cell)
+    x0, y0, x1, y1 = FX.grid_params(nx, nx)
+    bad_geom = G.wkb_dumps(G.Geom(G.LINESTRING, np.array([[x0, y0], [x1, y1]])))
+    # poison 2: garbage bytes → st_cells can't even parse it
+    gadm = gadm.select("gadm", "geometry")
+    poisoned = gadm.unionByName(
+        spark.createDataFrame(
+            [("POISON_KERNEL", bytearray(bad_geom)), ("POISON_WKB", bytearray(b"\x00garbage"))],
+            "gadm string, geometry binary",
+        )
+    )
+
+    out = fused_blocks_k(lines, poisoned, bldgs, res, keep_status=True).toPandas()
+    err = out[out.status.str.startswith("error:")]
+    assert set(err.gadm) == {"POISON_KERNEL", "POISON_WKB"}, err
+    ok = out[out.status == "ok"]
+    assert not ok.gadm.isin(["POISON_KERNEL", "POISON_WKB"]).any()
+
+    # default path: errors excluded, healthy regions unaffected
+    clean = fused_blocks_k(lines, gadm, bldgs, res).toPandas()
+    dflt = fused_blocks_k(lines, poisoned, bldgs, res).toPandas()
+    assert set(dflt.block_id) == set(clean.block_id)
