@@ -565,6 +565,106 @@ def _q_geo_reblock(spark, sf_dir):  # K19: Steiner street reblocking per block
     )
 
 
+def _q_geo_reblock_golden(spark, sf_dir):
+    """K10+K12+K19 against the reference's OWN golden answers
+    (`/root/reference/tests/test_reblock.py:85-130`): the 2×2 grid with 2, 3
+    and 4 terminal points, run through the full distributed reblock operator
+    (PIP assignment → cogroup → kernel), decomposed into canonical segments.
+    The DuckDB oracle is the constant table of the reference's published WKT
+    linestring sets. ``reweight_existing=False`` because the reference's
+    basic Steiner tests never call `update_edge_types`. The three cases are
+    laid out at disjoint x-offsets (0/10/20) so the PIP join assigns each
+    terminal to its own case; the offset is subtracted back out before
+    comparison."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    from prclz_spark import geom as G
+    from prclz_spark.operators.reblock_op import reblock
+
+    cases = {"g2": (0.0, 2), "g3": (10.0, 3), "g4": (20.0, 4)}
+    points = [(2.0, 2.0), (0.0, 0.2), (1.8, 1.0), (0.8, 2.0)]
+
+    def grid_cells(off):
+        out = []
+        for i in range(2):
+            for j in range(2):
+                if i == 0 and j == 1:  # the triangle cell
+                    out.append([(off, 1.0), (off + 1, 1.0), (off + 1, 2.0), (off, 1.0)])
+                else:
+                    out.append(
+                        [
+                            (off + i, float(j)), (off + i + 1, float(j)),
+                            (off + i + 1, j + 1.0), (off + i, j + 1.0),
+                            (off + i, float(j)),
+                        ]
+                    )
+        return out
+
+    blocks_rows, parcel_rows, bldg_rows = [], [], []
+    eps = 1e-3
+    for cid, (off, k) in cases.items():
+        # block polygon enlarged by a margin: three of the four reference
+        # terminals sit exactly ON the 2×2 grid boundary, and a boundary
+        # point's ray-cast PIP classification is parity-fragile. With
+        # reweight_existing=False the block geometry's ONLY role is the PIP
+        # assignment, so the margin changes nothing else.
+        m = 0.5
+        ring = [
+            (off - m, -m), (off + 2 + m, -m), (off + 2 + m, 2 + m),
+            (off - m, 2 + m), (off - m, -m),
+        ]
+        blocks_rows.append((cid, G.wkb_dumps(G.polygon(ring))))
+        for i, c in enumerate(grid_cells(off)):
+            parcel_rows.append((cid, i, f"{cid}_p{i}", G.wkb_dumps(G.polygon(c))))
+        for i, (x, y) in enumerate(points[:k]):
+            bldg_rows.append(
+                (f"{cid}_b{i}", G.wkb_dumps(G.box(off + x - eps, y - eps, off + x + eps, y + eps)))
+            )
+    blocks = spark.createDataFrame(blocks_rows, "block_id string, geometry binary")
+    parcels = spark.createDataFrame(
+        parcel_rows, "block_id string, parcel_id long, osm_id string, geometry binary"
+    )
+    bldgs = spark.createDataFrame(bldg_rows, "osm_id string, geometry binary")
+    rb = reblock(blocks, parcels, bldgs, res=12, reweight_existing=False)
+
+    @pandas_udf(ArrayType(ArrayType(DoubleType())))
+    def _segs(geoms: pd.Series) -> pd.Series:
+        out = []
+        for b in geoms:
+            g = G.wkb_loads(bytes(b))
+            arrs = [g.data] if g.kind == G.LINESTRING else g.data
+            ss = []
+            for a in arrs:
+                for i in range(len(a) - 1):
+                    p = (float(a[i][0]), float(a[i][1]))
+                    q = (float(a[i + 1][0]), float(a[i + 1][1]))
+                    if q < p:
+                        p, q = q, p
+                    ss.append([p[0], p[1], q[0], q[1]])
+            out.append(ss)
+        return pd.Series(out)
+
+    off_expr = (
+        F.when(F.col("block_id") == "g3", 10.0)
+        .when(F.col("block_id") == "g4", 20.0)
+        .otherwise(0.0)
+    )
+    e = rb.select(
+        "block_id", "road_type", F.explode(_segs(F.col("geometry"))).alias("s"),
+        off_expr.alias("off"),
+    )
+    return e.select(
+        F.col("block_id").alias("case_id"),
+        "road_type",
+        F.round(F.col("s")[0] - F.col("off"), 6).alias("xa"),
+        F.round(F.col("s")[1], 6).alias("ya"),
+        F.round(F.col("s")[2] - F.col("off"), 6).alias("xb"),
+        F.round(F.col("s")[3], 6).alias("yb"),
+    ).orderBy("case_id", "xa", "ya", "xb", "yb")
+
+
 def _q_geo_parcels_orphans(spark, sf_dir):
     """K5+J9 orphan reunion on a U-shaped block, closed-form oracle.
 
@@ -636,7 +736,12 @@ def _q_geo_reblock_full(spark, sf_dir):
     )
 
 
-def _q_images_roundtrip(spark, sf_dir):  # decode → re-encode PSNR invariant
+def _q_images_roundtrip(spark, sf_dir):
+    """Decode → re-encode PSNR invariant, closed-form oracle (north_rule
+    "decoded-pixel allclose, PSNR≥40dB for lossy"): the fixture has 64 jpeg
+    (i%4==0) and 192 png images, and decode∘encode is pixel-stable for both
+    codecs (png lossless; the jpeg stand-in's quantization is idempotent on
+    already-decoded pixels), so min PSNR ≥ 40 dB must hold for every group."""
     from prclz_spark import images as IM
 
     imgs = IM.images_table(spark, 256)
@@ -646,20 +751,25 @@ def _q_images_roundtrip(spark, sf_dir):  # decode → re-encode PSNR invariant
         .groupBy("fmt")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.min("psnr"), 2).alias("min_psnr"),
+            (F.min("psnr") >= 40.0).alias("min_psnr_ge_40db"),
         )
+        .orderBy("fmt")
     )
 
 
-def _q_phash_dedup(spark, sf_dir):  # near-duplicate detection via phash
+def _q_phash_dedup(spark, sf_dir):
+    """Near-duplicate detection via phash buckets, closed-form oracle: the
+    128 even-id images get PNG-re-encoded copies under new ids (a simulated
+    re-crawl; exact-pixel dedup would miss them). All 256 fixture phashes
+    are distinct and re-encoding is phash-preserving (both verified by
+    phash_pair_match + unit tests), so the bucket histogram is exactly
+    {copies=1: 128, copies=2: 128}."""
     from prclz_spark import images as IM
 
     imgs = IM.images_table(spark, 256)
-    # simulate a re-crawl: re-encoded copies (lossy) of half the corpus get
-    # new ids; exact-pixel dedup would miss them, phash buckets catch them
     u = IM.make_udfs()
     dups = (
-        imgs.filter(F.pmod(F.xxhash64("image_id"), F.lit(2)) == 0)
+        imgs.filter(F.substring("image_id", 5, 8).cast("int") % 2 == 0)
         .withColumn("bytes", u["img_reencode_png"](F.col("bytes"), F.col("fmt")))
         .withColumn("fmt", F.lit("png"))
         .withColumn("image_id", F.concat(F.lit("re_"), F.col("image_id")))
@@ -671,6 +781,7 @@ def _q_phash_dedup(spark, sf_dir):  # near-duplicate detection via phash
         .agg(F.count("*").alias("copies"), F.min("image_id").alias("keep_id"))
         .groupBy("copies")
         .agg(F.count("*").alias("n_buckets"))
+        .orderBy("copies")
     )
 
 
@@ -809,7 +920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_k_complexity": _q_geo_complexity,
         "geo_parcels": _q_geo_parcels,
         "geo_parcels_orphans": _q_geo_parcels_orphans,
-        "geo_reblock_steiner": _q_geo_reblock,
+        "geo_reblock_steiner": _q_geo_reblock_golden,
+        "geo_reblock_world": _q_geo_reblock,
         "geo_reblock_full": _q_geo_reblock_full,
         "images_roundtrip_psnr": _q_images_roundtrip,
         "phash_dedup_buckets": _q_phash_dedup,
@@ -1085,7 +1197,48 @@ def oracle_sql() -> dict[str, str]:
                    true AS b_has_topright,
                    false AS a_has_topright
         """,
-        # geo_blocks_pipeline / geo_k_complexity / geo_parcels / images /
-        # dedup-LSH: no SQL oracle (per-group planar-graph kernels, binary
-        # payloads, probabilistic ops) → rows-only driver check
+        # the reference's own golden Steiner answers, verbatim
+        # (/root/reference/tests/test_reblock.py:88-129), as canonical
+        # lex-sorted segments
+        "geo_reblock_steiner": """
+            SELECT case_id, road_type,
+                   CAST(xa AS DOUBLE) AS xa, CAST(ya AS DOUBLE) AS ya,
+                   CAST(xb AS DOUBLE) AS xb, CAST(yb AS DOUBLE) AS yb
+            FROM (VALUES
+                ('g2','new', 0.0,0.2, 0.0,1.0),
+                ('g2','new', 0.0,1.0, 1.0,2.0),
+                ('g2','new', 1.0,2.0, 2.0,2.0),
+                ('g3','new', 0.0,0.2, 0.0,1.0),
+                ('g3','new', 0.0,1.0, 1.0,1.0),
+                ('g3','new', 1.0,1.0, 1.8,1.0),
+                ('g3','new', 1.8,1.0, 2.0,1.0),
+                ('g3','new', 2.0,1.0, 2.0,2.0),
+                ('g4','new', 0.0,0.2, 0.0,1.0),
+                ('g4','new', 0.0,1.0, 0.9,1.9),
+                ('g4','new', 0.9,1.9, 1.0,2.0),
+                ('g4','new', 1.0,2.0, 2.0,2.0),
+                ('g4','new', 1.8,1.0, 2.0,1.0),
+                ('g4','new', 2.0,1.0, 2.0,2.0)
+            ) AS t(case_id, road_type, xa, ya, xb, yb)
+            ORDER BY case_id, xa, ya, xb, yb
+        """,
+        # closed forms proven in docstrings + unit tests: 64 jpeg / 192 png
+        # fixture images, decode∘encode pixel-stable for both codecs
+        "images_roundtrip_psnr": """
+            SELECT fmt, CAST(n AS BIGINT) AS n, min_psnr_ge_40db
+            FROM (VALUES ('jpeg', 64, true), ('png', 192, true))
+                 AS t(fmt, n, min_psnr_ge_40db)
+            ORDER BY fmt
+        """,
+        # 256 distinct phashes + phash-preserving re-encode ⇒ exactly 128
+        # singleton buckets and 128 pair buckets
+        "phash_dedup_buckets": """
+            SELECT CAST(copies AS BIGINT) AS copies,
+                   CAST(n_buckets AS BIGINT) AS n_buckets
+            FROM (VALUES (1, 128), (2, 128)) AS t(copies, n_buckets)
+            ORDER BY copies
+        """,
+        # geo_k_complexity / geo_parcels / geo_reblock_world / geo_reblock_full
+        # / dedup-LSH / ANN tiers: no SQL oracle (per-group planar-graph
+        # kernels, binary payloads, probabilistic ops) → rows-only check
     }

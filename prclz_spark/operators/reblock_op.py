@@ -172,6 +172,7 @@ def _make_reblock_kernel(
     outside_node: bool,
     thru_streets_top_n: int,
     simplify_roads: bool,
+    reweight_existing: bool = True,
 ):
     def kernel(key, parcels_pdf: pd.DataFrame, bldgs_pdf: pd.DataFrame) -> pd.DataFrame:
         block_id = key[0]
@@ -235,14 +236,18 @@ def _make_reblock_kernel(
             bldg_time = time.perf_counter() - t0
 
             # [6] snap block coords to graph vertices, then reweight the
-            # existing streets to 0 (J11 + K13)
-            nodes = np.asarray(list(sg.g.nodes()), dtype=np.float64)
+            # existing streets to 0 (J11 + K13). ``reweight_existing=False``
+            # keeps pure-Euclidean Steiner semantics (the reference's
+            # TestBasicSteinerApprox, tests/test_reblock.py:72-130, never
+            # calls update_edge_types).
             missing = total = 0
-            for ring in block_rings:
-                snapped = _snap_ring(np.asarray(ring, dtype=np.float64), nodes)
-                m, t = sg.update_edge_types(snapped, check=True)
-                missing += m or 0
-                total += t or 0
+            if reweight_existing:
+                nodes = np.asarray(list(sg.g.nodes()), dtype=np.float64)
+                for ring in block_rings:
+                    snapped = _snap_ring(np.asarray(ring, dtype=np.float64), nodes)
+                    m, t = sg.update_edge_types(snapped, check=True)
+                    missing += m or 0
+                    total += t or 0
 
             # [7] width-aware cost
             if (use_width or simplify_roads) and "bldg_geom" in bldgs_pdf.columns:
@@ -326,6 +331,7 @@ def reblock(
     outside_node: bool = False,
     thru_streets_top_n: int = 0,
     simplify_roads: bool = False,
+    reweight_existing: bool = True,
 ) -> DataFrame:
     """blocks × parcels × buildings → (block_id, road_type ∈ {new, existing},
     geometry MultiLineString, summary + timing metrics).
@@ -349,7 +355,8 @@ def reblock(
         "block_id", "parcel_id", "osm_id", F.col("geometry").alias("parcel_geom")
     ).join(F.broadcast(blk), "block_id", "inner")
     kernel = _make_reblock_kernel(
-        use_width, drop_connected, outside_node, thru_streets_top_n, simplify_roads
+        use_width, drop_connected, outside_node, thru_streets_top_n, simplify_roads,
+        reweight_existing,
     )
     return (
         pcl.groupBy("block_id")
