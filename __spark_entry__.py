@@ -702,6 +702,53 @@ def _q_geo_parcels_orphans(spark, sf_dir):
     )
 
 
+def _q_geo_parcels_offset(spark, sf_dir):
+    """K4 momepy inward-offset seeding, closed-form oracle
+    (`momepy.Tessellation` shrink semantics; reference delegates at
+    `prclz/_parcels.py:52-63`).
+
+    Block (0,0)-(8,6); building A = box(1,1)-(5,5), building B = thin box
+    (5.4,2.9)-(5.6,3.1). Probe point (5.15, 3.0) sits in the gap.
+    * offset=0: both seed their raw boundaries → the A|B bisector near y=3
+      is x=5.2 → probe belongs to A (0.15 vs 0.25).
+    * offset=0.15: A erodes to x=4.85; B (width 0.2 < 2·offset) keeps its
+      raw boundary (momepy's shrink fallback) → bisector moves to x=5.125
+      → probe belongs to B (0.30 vs 0.25).
+    Both modes partition the block exactly (total area 48)."""
+    from prclz_spark import geom as G
+    from prclz_spark.functions.st import st_area, st_contains_xy
+    from prclz_spark.operators.parcels import tessellate
+
+    blocks = spark.createDataFrame(
+        [("OFF1", G.wkb_dumps(G.box(0.0, 0.0, 8.0, 6.0)))], "block_id string, geometry binary"
+    )
+    bldgs = spark.createDataFrame(
+        [
+            ("A", G.wkb_dumps(G.box(1.0, 1.0, 5.0, 5.0))),
+            ("B", G.wkb_dumps(G.box(5.4, 2.9, 5.6, 3.1))),
+        ],
+        "osm_id string, geometry binary",
+    )
+
+    def summarize(parcels, mode):
+        per = parcels.select(
+            F.lit(mode).alias("mode"),
+            "osm_id",
+            st_area(F.col("geometry")).alias("area"),
+            st_contains_xy(F.col("geometry"), F.lit(5.15), F.lit(3.0)).alias("has_probe"),
+        )
+        return per.groupBy("mode").agg(
+            F.count("*").alias("n_parcels"),
+            F.round(F.sum("area"), 4).alias("total_area"),
+            F.max(F.when(F.col("osm_id") == "A", F.col("has_probe"))).alias("a_has_probe"),
+            F.max(F.when(F.col("osm_id") == "B", F.col("has_probe"))).alias("b_has_probe"),
+        )
+
+    raw = summarize(tessellate(blocks, bldgs, res=12), "raw")
+    off = summarize(tessellate(blocks, bldgs, res=12, inward_offset=0.15), "offset")
+    return raw.unionByName(off).orderBy("mode")
+
+
 def _q_geo_reblock_full(spark, sf_dir):
     """K19 with every reference step ON (`prclz/reblock/_reblock.py:140-220`):
     drop already-connected buildings, outside dummy node, K17 through-
@@ -920,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_k_complexity": _q_geo_complexity,
         "geo_parcels": _q_geo_parcels,
         "geo_parcels_orphans": _q_geo_parcels_orphans,
+        "geo_parcels_offset": _q_geo_parcels_offset,
         "geo_reblock_steiner": _q_geo_reblock_golden,
         "geo_reblock_world": _q_geo_reblock,
         "geo_reblock_full": _q_geo_reblock_full,
@@ -1196,6 +1244,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(7.0 AS DOUBLE) AS total_area,
                    true AS b_has_topright,
                    false AS a_has_topright
+        """,
+        "geo_parcels_offset": """
+            SELECT mode, CAST(n_parcels AS BIGINT) AS n_parcels,
+                   CAST(total_area AS DOUBLE) AS total_area,
+                   a_has_probe, b_has_probe
+            FROM (VALUES
+                ('offset', 2, 48.0, false, true),
+                ('raw',    2, 48.0, true,  false)
+            ) AS t(mode, n_parcels, total_area, a_has_probe, b_has_probe)
+            ORDER BY mode
         """,
         # the reference's own golden Steiner answers, verbatim
         # (/root/reference/tests/test_reblock.py:88-129), as canonical

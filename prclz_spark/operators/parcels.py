@@ -162,6 +162,15 @@ def _reunite_orphans(per_bldg: dict, bldg_geoms: dict) -> dict:
     concat+dissolve)."""
     final_cells: dict = {}
     orphan_parts: list = []
+    # vectorized bbox prefilter: exact intersects runs only against
+    # buildings whose bounding box overlaps the part's — turns the
+    # O(parts×buildings) exact scan into a cheap mask + a few exact tests
+    owners_list = list(bldg_geoms)
+    bb = (
+        np.array([G.bounds(bldg_geoms[o]) for o in owners_list])
+        if owners_list
+        else np.zeros((0, 4))
+    )
     for owner in sorted(per_bldg):
         parts = _connected_parts(per_bldg[owner])
         if len(parts) == 1:  # connected parcel: never orphan-tested
@@ -169,7 +178,14 @@ def _reunite_orphans(per_bldg: dict, bldg_geoms: dict) -> dict:
             continue
         for part in parts:
             pg = _part_geom(part)
-            if any(G.intersects(pg, bg) for bg in bldg_geoms.values()):
+            pts_all = np.vstack(part)
+            pxmin, pymin = pts_all.min(axis=0)
+            pxmax, pymax = pts_all.max(axis=0)
+            cand = np.nonzero(
+                (bb[:, 0] <= pxmax) & (bb[:, 2] >= pxmin)
+                & (bb[:, 1] <= pymax) & (bb[:, 3] >= pymin)
+            )[0]
+            if any(G.intersects(pg, bldg_geoms[owners_list[i]]) for i in cand):
                 final_cells.setdefault(owner, []).extend(part)
             else:
                 orphan_parts.append(part)
