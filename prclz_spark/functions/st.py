@@ -58,15 +58,22 @@ def st_point(x: pd.Series, y: pd.Series) -> pd.Series:
     return pd.Series([G.wkb_dumps(G.point(a, b)) for a, b in zip(x, y)])
 
 
+def _decode_batch(s: pd.Series) -> list:
+    """WKB decode once per batch element (the irreducible per-geometry
+    step); all coordinate math downstream is batch-vectorized
+    (geom.batch_* — VERDICT r2 #7)."""
+    return [G.wkb_loads(bytes(b)) if b is not None else None for b in s]
+
+
 @pandas_udf(BinaryType())
 def st_centroid(s: pd.Series) -> pd.Series:
-    def f(b):
-        if b is None:
-            return None
-        c = G.centroid(G.wkb_loads(bytes(b)))
-        return G.wkb_dumps(G.point(c[0], c[1]))
-
-    return s.map(f)
+    cents = G.batch_centroid(_decode_batch(s))
+    return pd.Series(
+        [
+            G.wkb_dumps(G.point(float(c[0]), float(c[1]))) if not np.isnan(c[0]) else None
+            for c in cents
+        ]
+    )
 
 
 @pandas_udf(DoubleType())
@@ -81,12 +88,12 @@ def st_y(s: pd.Series) -> pd.Series:
 
 @pandas_udf(DoubleType())
 def st_area(s: pd.Series) -> pd.Series:
-    return s.map(lambda b: G.area(G.wkb_loads(bytes(b))) if b is not None else None)
+    return pd.Series(G.batch_area(_decode_batch(s)))
 
 
 @pandas_udf(DoubleType())
 def st_length(s: pd.Series) -> pd.Series:
-    return s.map(lambda b: G.length(G.wkb_loads(bytes(b))) if b is not None else None)
+    return pd.Series(G.batch_length(_decode_batch(s)))
 
 
 @pandas_udf(StringType())
@@ -96,13 +103,8 @@ def st_geometrytype(s: pd.Series) -> pd.Series:
 
 @pandas_udf(_BBOX)
 def st_bounds(s: pd.Series) -> pd.DataFrame:
-    rows = []
-    for b in s:
-        if b is None:
-            rows.append((None, None, None, None))
-        else:
-            rows.append(G.bounds(G.wkb_loads(bytes(b))))
-    return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax"])
+    bb = G.batch_bounds(_decode_batch(s))
+    return pd.DataFrame(bb, columns=["xmin", "ymin", "xmax", "ymax"])
 
 
 @pandas_udf(BooleanType())
@@ -196,13 +198,13 @@ def st_boundary(s: pd.Series) -> pd.Series:
 
 @pandas_udf(BinaryType())
 def st_envelope(s: pd.Series) -> pd.Series:
-    def f(b):
-        if b is None:
-            return None
-        xmin, ymin, xmax, ymax = G.bounds(G.wkb_loads(bytes(b)))
-        return G.wkb_dumps(G.box(xmin, ymin, xmax, ymax))
-
-    return s.map(f)
+    bb = G.batch_bounds(_decode_batch(s))
+    return pd.Series(
+        [
+            G.wkb_dumps(G.box(r[0], r[1], r[2], r[3])) if not np.isnan(r[0]) else None
+            for r in bb
+        ]
+    )
 
 
 @pandas_udf(BinaryType())

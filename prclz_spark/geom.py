@@ -402,6 +402,224 @@ def _all_coords(g: Geom):
 
 
 # ---------------------------------------------------------------------------
+# Batch measures — one vectorized pass over a whole Arrow batch
+# ---------------------------------------------------------------------------
+# The per-geometry WKB decode is irreducible, but the coordinate math after
+# decode is not: these helpers flatten every part/ring of a batch into ONE
+# concatenated coordinate table and compute shoelace/centroid/length/bounds
+# with reduceat + bincount segment reductions (the pattern proven hot-path
+# in functions/st.st_centroid_xy_cell). Semantics match area()/centroid()/
+# length()/bounds() exactly (same formulas, same degenerate fallbacks).
+
+
+def _part_table(parts: list, owners: list):
+    """parts: list of (ni,2) arrays; owners: geom index per part.
+    → coords (N,2), starts (P+1,), owner (P,)."""
+    coords = np.vstack(parts)
+    lens = np.fromiter((len(p) for p in parts), dtype=np.int64, count=len(parts))
+    starts = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(lens)])
+    return coords, starts, np.asarray(owners, dtype=np.int64), lens
+
+
+def _polygon_batch(geoms: list, idxs: np.ndarray, m: int):
+    """Vectorized area + centroid for the POLYGON/MULTIPOLYGON geoms at
+    positions `idxs` of `geoms`; results land at those positions of the
+    returned length-m arrays."""
+    parts, owners, shell = [], [], []
+    for i in idxs:
+        g = geoms[i]
+        polys = [g.data] if g.kind == POLYGON else g.data
+        for rings in polys:
+            for j, r in enumerate(rings):
+                parts.append(np.asarray(r, dtype=np.float64))
+                owners.append(i)
+                shell.append(j == 0)
+    areas = np.zeros(m)
+    cents = np.full((m, 2), np.nan)
+    if not parts:
+        return areas, cents
+    coords, starts, owner, lens = _part_table(parts, owners)
+    n = len(coords)
+    x, y = coords[:, 0], coords[:, 1]
+    cross = np.zeros(n)
+    cross[:-1] = x[:-1] * y[1:] - x[1:] * y[:-1]
+    cxv = np.zeros(n)
+    cyv = np.zeros(n)
+    cxv[:-1] = (x[:-1] + x[1:]) * cross[:-1]
+    cyv[:-1] = (y[:-1] + y[1:]) * cross[:-1]
+    ends = starts[1:] - 1  # last coordinate of each ring: no outgoing segment
+    cross[ends] = 0.0
+    cxv[ends] = 0.0
+    cyv[ends] = 0.0
+    ring_a = 0.5 * np.add.reduceat(cross, starts[:-1])
+    ring_cx = np.add.reduceat(cxv, starts[:-1])
+    ring_cy = np.add.reduceat(cyv, starts[:-1])
+    sign = np.where(np.asarray(shell), 1.0, -1.0)
+    w = sign * np.abs(ring_a)
+    areas += np.bincount(owner, weights=w, minlength=m)
+    nz = ring_a != 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rcx = np.where(nz, ring_cx / (6 * ring_a), 0.0)
+        rcy = np.where(nz, ring_cy / (6 * ring_a), 0.0)
+    wc = np.where(nz, w, 0.0)
+    acc_x = np.bincount(owner, weights=wc * rcx, minlength=m)
+    acc_y = np.bincount(owner, weights=wc * rcy, minlength=m)
+    tot = np.bincount(owner, weights=wc, minlength=m)
+    ok = tot != 0
+    cents[ok, 0] = acc_x[ok] / tot[ok]
+    cents[ok, 1] = acc_y[ok] / tot[ok]
+    # degenerate polygons (all rings zero-area): mean of all coordinates
+    # (matches centroid()'s fallback, closing vertex included)
+    bad = np.zeros(m, dtype=bool)
+    bad[idxs] = True
+    bad &= ~ok
+    if bad.any():
+        co = np.repeat(owner, lens)
+        csum_x = np.bincount(co, weights=x, minlength=m)
+        csum_y = np.bincount(co, weights=y, minlength=m)
+        cn = np.bincount(co, minlength=m)
+        cents[bad, 0] = csum_x[bad] / cn[bad]
+        cents[bad, 1] = csum_y[bad] / cn[bad]
+    return areas, cents
+
+
+def _line_batch_centroid(geoms: list, idxs: np.ndarray, cents: np.ndarray):
+    parts, owners = [], []
+    for i in idxs:
+        g = geoms[i]
+        lines = [g.data] if g.kind == LINESTRING else g.data
+        for a in lines:
+            parts.append(np.asarray(a, dtype=np.float64))
+            owners.append(i)
+    if not parts:
+        return
+    m = len(cents)
+    coords, starts, owner, lens = _part_table(parts, owners)
+    n = len(coords)
+    x, y = coords[:, 0], coords[:, 1]
+    w = np.zeros(n)
+    wx = np.zeros(n)
+    wy = np.zeros(n)
+    seg = np.hypot(x[1:] - x[:-1], y[1:] - y[:-1])
+    w[:-1] = seg
+    wx[:-1] = seg * 0.5 * (x[:-1] + x[1:])
+    wy[:-1] = seg * 0.5 * (y[:-1] + y[1:])
+    ends = starts[1:] - 1
+    w[ends] = 0.0
+    wx[ends] = 0.0
+    wy[ends] = 0.0
+    pw = np.add.reduceat(w, starts[:-1])
+    pwx = np.add.reduceat(wx, starts[:-1])
+    pwy = np.add.reduceat(wy, starts[:-1])
+    tot = np.bincount(owner, weights=pw, minlength=m)
+    ax = np.bincount(owner, weights=pwx, minlength=m)
+    ay = np.bincount(owner, weights=pwy, minlength=m)
+    ok = np.zeros(m, dtype=bool)
+    ok[idxs] = True
+    nz = ok & (tot != 0)
+    cents[nz, 0] = ax[nz] / tot[nz]
+    cents[nz, 1] = ay[nz] / tot[nz]
+    bad = ok & (tot == 0)  # zero-length: mean of all vertices
+    if bad.any():
+        co = np.repeat(owner, lens)
+        cn = np.bincount(co, minlength=m)
+        cents[bad, 0] = np.bincount(co, weights=x, minlength=m)[bad] / cn[bad]
+        cents[bad, 1] = np.bincount(co, weights=y, minlength=m)[bad] / cn[bad]
+
+
+def batch_area(geoms: list) -> np.ndarray:
+    """area() over a list of Geom|None → float array (nan for None)."""
+    m = len(geoms)
+    out = np.zeros(m)
+    kinds = np.array([-1 if g is None else g.kind for g in geoms])
+    out[kinds == -1] = np.nan
+    poly_idx = np.nonzero((kinds == POLYGON) | (kinds == MULTIPOLYGON))[0]
+    if len(poly_idx):
+        areas, _ = _polygon_batch(geoms, poly_idx, m)
+        out[poly_idx] = areas[poly_idx]
+    return out
+
+
+def batch_centroid(geoms: list) -> np.ndarray:
+    """centroid() over a list of Geom|None → (m,2) array (nan for None)."""
+    m = len(geoms)
+    cents = np.full((m, 2), np.nan)
+    kinds = np.array([-1 if g is None else g.kind for g in geoms])
+    poly_idx = np.nonzero((kinds == POLYGON) | (kinds == MULTIPOLYGON))[0]
+    if len(poly_idx):
+        _, pc = _polygon_batch(geoms, poly_idx, m)
+        cents[poly_idx] = pc[poly_idx]
+    line_idx = np.nonzero((kinds == LINESTRING) | (kinds == MULTILINESTRING))[0]
+    if len(line_idx):
+        _line_batch_centroid(geoms, line_idx, cents)
+    for i in np.nonzero(kinds == POINT)[0]:
+        cents[i] = np.asarray(geoms[i].data, dtype=np.float64)
+    for i in np.nonzero(kinds == MULTIPOINT)[0]:
+        cents[i] = geoms[i].data.mean(axis=0)
+    return cents
+
+
+def batch_length(geoms: list) -> np.ndarray:
+    """length() over a list of Geom|None → float array (nan for None)."""
+    m = len(geoms)
+    out = np.zeros(m)
+    parts, owners = [], []
+    for i, g in enumerate(geoms):
+        if g is None:
+            out[i] = np.nan
+            continue
+        if g.kind == LINESTRING:
+            arrs = [g.data]
+        elif g.kind in (MULTILINESTRING, POLYGON):
+            arrs = list(g.data)
+        elif g.kind == MULTIPOLYGON:
+            arrs = [r for rings in g.data for r in rings]
+        else:
+            continue
+        for a in arrs:
+            parts.append(np.asarray(a, dtype=np.float64))
+            owners.append(i)
+    if not parts:
+        return out
+    coords, starts, owner, _lens = _part_table(parts, owners)
+    n = len(coords)
+    x, y = coords[:, 0], coords[:, 1]
+    w = np.zeros(n)
+    w[:-1] = np.hypot(x[1:] - x[:-1], y[1:] - y[:-1])
+    w[starts[1:] - 1] = 0.0
+    pw = np.add.reduceat(w, starts[:-1])
+    out += np.bincount(owner, weights=pw, minlength=m)
+    return out
+
+
+def batch_bounds(geoms: list) -> np.ndarray:
+    """bounds() over a list of Geom|None → (m,4) xmin,ymin,xmax,ymax."""
+    m = len(geoms)
+    out = np.full((m, 4), np.nan)
+    parts, owners = [], []
+    for i, g in enumerate(geoms):
+        if g is None:
+            continue
+        for a in _all_coords(g):
+            parts.append(np.asarray(a, dtype=np.float64).reshape(-1, 2))
+            owners.append(i)
+    if not parts:
+        return out
+    coords, starts, owner, _lens = _part_table(parts, owners)
+    pmin = np.minimum.reduceat(coords, starts[:-1], axis=0)
+    pmax = np.maximum.reduceat(coords, starts[:-1], axis=0)
+    gmin = np.full((m, 2), np.inf)
+    gmax = np.full((m, 2), -np.inf)
+    np.minimum.at(gmin, owner, pmin)
+    np.maximum.at(gmax, owner, pmax)
+    has = np.zeros(m, dtype=bool)
+    has[owner] = True
+    out[has, 0:2] = gmin[has]
+    out[has, 2:4] = gmax[has]
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Predicates
 # ---------------------------------------------------------------------------
 
