@@ -95,6 +95,29 @@ def _region_from_predicate(pieces: list, pred) -> G.Geom | None:
     out_edges: dict = {}
     for u, w in directed:
         out_edges.setdefault(u, []).append(w)
+
+    def _pick(prev_k, cur_k, cands):
+        """At a vertex shared by several result loops, continue with the
+        most-counterclockwise turn relative to the incoming edge — each
+        simple loop then closes on itself instead of fusing with a loop
+        that merely touches this vertex (two components pinching into one
+        12-vertex polygon, ADVICE r2). Exact U-turns are least preferred."""
+        if len(cands) == 1:
+            return cands[0]
+        cx, cy = coords[cur_k]
+        px, py = coords[prev_k]
+        vx, vy = cx - px, cy - py
+        best, best_a = None, -math.inf
+        for cand in cands:
+            wx, wy = coords[cand]
+            ox, oy = wx - cx, wy - cy
+            ang = math.atan2(vx * oy - vy * ox, vx * ox + vy * oy)
+            if ang >= math.pi - 1e-12:  # U-turn: demote to the bottom
+                ang -= 2 * math.pi
+            if ang > best_a:
+                best, best_a = cand, ang
+        return best
+
     used: set = set()
     loops = []
     for u0, w0 in directed:
@@ -102,18 +125,15 @@ def _region_from_predicate(pieces: list, pred) -> G.Geom | None:
             continue
         path = [u0, w0]
         used.add((u0, w0))
-        cur = w0
+        prev, cur = u0, w0
         while cur != u0:
-            nxt = None
-            for cand in out_edges.get(cur, []):
-                if (cur, cand) not in used:
-                    nxt = cand
-                    break
-            if nxt is None:
+            cands = [c for c in out_edges.get(cur, []) if (cur, c) not in used]
+            if not cands:
                 break
+            nxt = _pick(prev, cur, cands)
             used.add((cur, nxt))
             path.append(nxt)
-            cur = nxt
+            prev, cur = cur, nxt
         if cur == u0 and len(path) >= 4:
             arr = np.asarray([coords[k] for k in path], dtype=np.float64)
             if abs(_signed_area(arr)) > 0:

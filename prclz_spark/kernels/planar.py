@@ -51,64 +51,151 @@ def _snap(v: float) -> float:
     return round(v / QUANTUM) * QUANTUM
 
 
+def _candidate_pairs(p: np.ndarray, q: np.ndarray) -> tuple:
+    """Bucketed-grid candidate pruning: (i, j) index arrays (i < j) of every
+    segment pair whose bounding boxes share a grid cell. Two intersecting or
+    collinear-overlapping segments always have overlapping bboxes, and two
+    overlapping bboxes always share at least one cell of a grid covering
+    them — so the candidate set provably contains every cutting pair."""
+    m = len(p)
+    xmin = np.minimum(p[:, 0], q[:, 0])
+    xmax = np.maximum(p[:, 0], q[:, 0])
+    ymin = np.minimum(p[:, 1], q[:, 1])
+    ymax = np.maximum(p[:, 1], q[:, 1])
+    gx0, gy0 = float(xmin.min()), float(ymin.min())
+    extent = max(float(xmax.max()) - gx0, float(ymax.max()) - gy0)
+    seg_len = np.hypot(q[:, 0] - p[:, 0], q[:, 1] - p[:, 1])
+    nz = seg_len > 0
+    cell = float(np.median(seg_len[nz])) if nz.any() else 1.0
+    cell = max(cell, (extent or 1.0) / 2048.0, 1e-12)
+    ix0 = np.floor((xmin - gx0) / cell).astype(np.int64)
+    ix1 = np.floor((xmax - gx0) / cell).astype(np.int64)
+    iy0 = np.floor((ymin - gy0) / cell).astype(np.int64)
+    iy1 = np.floor((ymax - gy0) / cell).astype(np.int64)
+    ncells = (ix1 - ix0 + 1) * (iy1 - iy0 + 1)
+    cap = 4096  # a segment spanning >cap cells pairs against everything
+    glob = np.nonzero(ncells > cap)[0]
+    cell_ids, seg_ids = [], []
+    shift = np.int64(1) << np.int64(32)
+    for i in np.nonzero(ncells <= cap)[0]:
+        xs = np.arange(ix0[i], ix1[i] + 1, dtype=np.int64)
+        ys = np.arange(iy0[i], iy1[i] + 1, dtype=np.int64)
+        cid = (xs[:, None] * shift + ys[None, :]).ravel()
+        cell_ids.append(cid)
+        seg_ids.append(np.full(len(cid), i, dtype=np.int64))
+    ii_parts, jj_parts = [], []
+    if cell_ids:
+        cid = np.concatenate(cell_ids)
+        sid = np.concatenate(seg_ids)
+        order = np.argsort(cid, kind="stable")
+        cid, sid = cid[order], sid[order]
+        bstart = np.nonzero(np.r_[True, cid[1:] != cid[:-1]])[0]
+        bend = np.r_[bstart[1:], len(cid)]
+        for s, e in zip(bstart, bend):
+            k = e - s
+            if k < 2:
+                continue
+            ids = np.sort(sid[s:e])
+            a, b = np.triu_indices(k, 1)
+            ii_parts.append(ids[a])
+            jj_parts.append(ids[b])
+    for g in glob:
+        others = np.arange(m, dtype=np.int64)
+        ii_parts.append(np.minimum(g, others))
+        jj_parts.append(np.maximum(g, others))
+    if not ii_parts:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    ii = np.concatenate(ii_parts)
+    jj = np.concatenate(jj_parts)
+    keep = ii != jj
+    key = np.unique(ii[keep] * np.int64(m) + jj[keep])
+    ii, jj = key // m, key % m
+    # exact bbox-overlap refine (cheap; cuts the cell-sharing false positives)
+    ov = (
+        (xmin[ii] <= xmax[jj]) & (xmax[ii] >= xmin[jj])
+        & (ymin[ii] <= ymax[jj]) & (ymax[ii] >= ymin[jj])
+    )
+    return ii[ov], jj[ov]
+
+
 def node_segments(segs: np.ndarray) -> list:
     """segs (m,4) → list of (x0,y0,x1,y1) pieces split at all crossings.
 
     The arrangement step that `shapely.ops.polygonize` performs implicitly
-    for the reference (`prclz/blocks/_methods.py:85`)."""
+    for the reference (`prclz/blocks/_methods.py:85`). Candidate pairs come
+    from a bucketed grid (≈O(m + pairs), VERDICT r2 #8 — formerly all-pairs
+    O(m²)); the per-pair intersection math is one vectorized pass and is
+    bit-identical to the quadratic noder (tests/test_overlay.py asserts)."""
     m = len(segs)
     if m == 0:
         return []
-    cuts: list[list[float]] = [[] for _ in range(m)]
     p = segs[:, :2]
     q = segs[:, 2:]
     d = q - p
-    for i in range(m):
-        # vectorized intersection of segment i against j>i
-        js = np.arange(i + 1, m)
-        if not len(js):
-            continue
-        ri = d[i]
-        rj = d[js]
-        denom = ri[0] * rj[:, 1] - ri[1] * rj[:, 0]
-        dp = p[js] - p[i]
+    idx_list = [np.arange(m, dtype=np.int64), np.arange(m, dtype=np.int64)]
+    t_list = [np.zeros(m), np.ones(m)]
+    i_arr, j_arr = _candidate_pairs(p, q)
+    if len(i_arr):
+        ri = d[i_arr]
+        rj = d[j_arr]
+        denom = ri[:, 0] * rj[:, 1] - ri[:, 1] * rj[:, 0]
+        dp = p[j_arr] - p[i_arr]
+        cross_pr = dp[:, 0] * ri[:, 1] - dp[:, 1] * ri[:, 0]
         with np.errstate(divide="ignore", invalid="ignore"):
             t = (dp[:, 0] * rj[:, 1] - dp[:, 1] * rj[:, 0]) / denom
-            u = (dp[:, 0] * ri[1] - dp[:, 1] * ri[0]) / denom
-        ok = (denom != 0) & (t >= -1e-12) & (t <= 1 + 1e-12) & (u >= -1e-12) & (u <= 1 + 1e-12)
-        for idx, j in enumerate(js):
-            if not ok[idx]:
-                # collinear overlap: cut at each other's endpoints projected
-                if denom[idx] == 0 and (dp[idx, 0] * ri[1] - dp[idx, 1] * ri[0]) == 0:
-                    li2 = float(ri @ ri)
-                    lj2 = float(rj[idx] @ rj[idx])
-                    if li2 > 0:
-                        for pt in (p[j], q[j]):
-                            tt = float((pt - p[i]) @ ri) / li2
-                            if 1e-12 < tt < 1 - 1e-12:
-                                cuts[i].append(tt)
-                    if lj2 > 0:
-                        for pt in (p[i], q[i]):
-                            uu = float((pt - p[j]) @ rj[idx]) / lj2
-                            if 1e-12 < uu < 1 - 1e-12:
-                                cuts[j].append(uu)
+            u = cross_pr / denom
+        ok = (
+            (denom != 0)
+            & (t >= -1e-12) & (t <= 1 + 1e-12)
+            & (u >= -1e-12) & (u <= 1 + 1e-12)
+        )
+        tt = np.clip(t, 0, 1)
+        uu = np.clip(u, 0, 1)
+        cut_i = ok & (tt > 1e-12) & (tt < 1 - 1e-12)
+        cut_j = ok & (uu > 1e-12) & (uu < 1 - 1e-12)
+        idx_list += [i_arr[cut_i], j_arr[cut_j]]
+        t_list += [tt[cut_i], uu[cut_j]]
+        col_i: list = []
+        col_t: list = []
+        # collinear overlap: cut at each other's endpoints projected.
+        # BOTH segments must be non-degenerate: a zero-length segment has
+        # d = 0, so denom == 0 and cross == 0 hold against EVERY segment and
+        # the projection would phantom-cut segments it is nowhere near (the
+        # same float-dust family as geom.point_in_ring's zero-length guard).
+        for idx in np.nonzero((denom == 0) & (cross_pr == 0))[0]:
+            i, j = int(i_arr[idx]), int(j_arr[idx])
+            li2 = float(d[i] @ d[i])
+            lj2 = float(d[j] @ d[j])
+            if li2 <= 0 or lj2 <= 0:
                 continue
-            tt = float(np.clip(t[idx], 0, 1))
-            uu = float(np.clip(u[idx], 0, 1))
-            if 1e-12 < tt < 1 - 1e-12:
-                cuts[i].append(tt)
-            if 1e-12 < uu < 1 - 1e-12:
-                cuts[j].append(uu)
-    pieces = []
-    for i in range(m):
-        ts = sorted(set([0.0, 1.0] + cuts[i]))
-        for a, b in zip(ts[:-1], ts[1:]):
-            x0, y0 = p[i] + a * d[i]
-            x1, y1 = p[i] + b * d[i]
-            x0, y0, x1, y1 = _snap(x0), _snap(y0), _snap(x1), _snap(y1)
-            if (x0, y0) != (x1, y1):
-                pieces.append((x0, y0, x1, y1))
-    return pieces
+            for pt in (p[j], q[j]):
+                ti = float((pt - p[i]) @ d[i]) / li2
+                if 1e-12 < ti < 1 - 1e-12:
+                    col_i.append(i)
+                    col_t.append(ti)
+            for pt in (p[i], q[i]):
+                uj = float((pt - p[j]) @ d[j]) / lj2
+                if 1e-12 < uj < 1 - 1e-12:
+                    col_i.append(j)
+                    col_t.append(uj)
+        if col_i:
+            idx_list.append(np.asarray(col_i, dtype=np.int64))
+            t_list.append(np.asarray(col_t))
+    # vectorized piece assembly: sort (segment, t), dedupe exact-equal cut
+    # params, emit one piece per consecutive pair within a segment
+    all_i = np.concatenate(idx_list)
+    all_t = np.concatenate(t_list)
+    order = np.lexsort((all_t, all_i))
+    si, st = all_i[order], all_t[order]
+    keep = np.r_[True, (si[1:] != si[:-1]) | (st[1:] != st[:-1])]
+    si, st = si[keep], st[keep]
+    same = si[1:] == si[:-1]
+    iis = si[:-1][same]
+    pt0 = p[iis] + st[:-1][same][:, None] * d[iis]
+    pt1 = p[iis] + st[1:][same][:, None] * d[iis]
+    allc = np.round(np.hstack([pt0, pt1]) / QUANTUM) * QUANTUM
+    nz = (allc[:, 0] != allc[:, 2]) | (allc[:, 1] != allc[:, 3])
+    return list(map(tuple, allc[nz]))
 
 
 # ---------------------------------------------------------------------------
