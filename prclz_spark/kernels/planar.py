@@ -244,12 +244,29 @@ def _cluster_vertices(pts: np.ndarray, eps: float) -> np.ndarray:
     return np.array([find(i) for i in range(n)])
 
 
-def graph_from_rings(rings, eps: float = SNAP) -> nx.Graph:
+INSERT_EPS = 1e-11  # vertex-on-edge tolerance: float-dust scale ONLY.
+# GEOS computes a shared intersection point once (exact), so two cells'
+# copies coincide to ~1e-13 of a degree; real gaps at the 1e-8 SNAP scale
+# are geometry GEOS would keep apart — inserting across them manufactures
+# shared vertices, and the weak dual (faces-sharing-a-VERTEX) then
+# over-connects (measured: k jumps of +2..+4 on detailed blocks).
+
+
+def graph_from_rings(rings, eps: float = SNAP, insert_on_edges: bool = True) -> nx.Graph:
     """Rings share nodes by coordinate identity — the node-dedup behavior of
     `PlanarGraph.from_polygons` (topology.py:193-204). pytess emits each
     shared Voronoi vertex once (exact float match); our cells are clipped
-    independently, so eps-close vertices are clustered to a representative
-    to restore the shared-node property."""
+    independently, so two consistency repairs restore the shared-topology
+    property GEOS gives the reference for free:
+
+    1. eps-close vertices are clustered to a representative (as before);
+    2. vertex-on-edge insertion: a canonical vertex lying within eps of the
+       INTERIOR of another ring's edge splits that edge. Without this, two
+       cells' copies of the same boundary can subdivide differently (one
+       cell's clip kept a block vertex the other's dropped), leaving
+       dust-separated parallel chains whose crossings spawn phantom sliver
+       faces — the round-2 DJI ±1 mechanism (e.g. 3-cell blocks losing the
+       shared circumcenter ⇒ weak dual path instead of triangle)."""
     if not rings:
         return nx.Graph()
     all_pts = np.vstack([np.asarray(r, dtype=np.float64) for r in rings])
@@ -257,7 +274,7 @@ def graph_from_rings(rings, eps: float = SNAP) -> nx.Graph:
     canon = [
         (float(all_pts[rep[i], 0]), float(all_pts[rep[i], 1])) for i in range(len(all_pts))
     ]
-    g = nx.Graph()
+    edges = set()
     off = 0
     for ring in rings:
         m = len(ring)
@@ -265,8 +282,43 @@ def graph_from_rings(rings, eps: float = SNAP) -> nx.Graph:
             a = canon[off + i]
             b = canon[off + i + 1]
             if a != b:
-                g.add_edge(a, b)
+                edges.add((a, b) if a <= b else (b, a))
         off += m
+    g = nx.Graph()
+    if not insert_on_edges:
+        for a, b in edges:
+            g.add_edge(a, b)
+        return g
+    verts = np.asarray(sorted({c for c in canon}), dtype=np.float64)
+    vx, vy = verts[:, 0], verts[:, 1]
+    ieps = INSERT_EPS
+    for a, b in edges:
+        ax, ay = a
+        bx, by = b
+        dx, dy = bx - ax, by - ay
+        l2 = dx * dx + dy * dy
+        # candidates: vertices within the edge bbox (+ieps)
+        lo_x, hi_x = min(ax, bx) - ieps, max(ax, bx) + ieps
+        lo_y, hi_y = min(ay, by) - ieps, max(ay, by) + ieps
+        mask = (vx >= lo_x) & (vx <= hi_x) & (vy >= lo_y) & (vy <= hi_y)
+        if mask.any():
+            cx = vx[mask] - ax
+            cy = vy[mask] - ay
+            t = (cx * dx + cy * dy) / l2
+            # perpendicular distance via the cross product
+            dist = np.abs(cx * dy - cy * dx) / np.sqrt(l2)
+            inner = (t > 1e-12) & (t < 1 - 1e-12) & (dist <= ieps)
+            if inner.any():
+                idx = np.nonzero(mask)[0][inner]
+                order = np.argsort(t[inner], kind="stable")
+                chain = [a] + [
+                    (float(verts[i, 0]), float(verts[i, 1])) for i in idx[order]
+                ] + [b]
+                for u, w in zip(chain[:-1], chain[1:]):
+                    if u != w:
+                        g.add_edge(u, w)
+                continue
+        g.add_edge(a, b)
     return g
 
 
@@ -382,7 +434,16 @@ def weak_dual(g: nx.Graph) -> nx.Graph:
     faces = inner_faces(g)
     edge_sets = [face_undirected_edges(f) for f in faces]
     cents = [face_centroid(f) for f in faces]
+    # Reference-faithful option (S0_CFG['selfloops']): the reference
+    # compares each face against its rtree `nearest` list, which INCLUDES
+    # the face itself (distance 0) — the set intersection is then the
+    # face's full edge set, so every face gets a SELF-LOOP at its centroid
+    # (topology.py:365-375). Termination still holds: trace_faces returns
+    # [] below 2 nodes, so isolated self-looped faces die one level later.
+    selfloops = S0_CFG.get("selfloops", False)
     for i in range(len(faces)):
+        if selfloops:
+            dual.add_edge(cents[i], cents[i])
         for j in range(i + 1, len(faces)):
             if edge_sets[i] & edge_sets[j]:
                 dual.add_edge(cents[i], cents[j])
@@ -702,24 +763,54 @@ def voronoi_pytess(anchors: np.ndarray) -> list:
     pts = np.asarray(uniq)
     xmin, ymin = pts.min(axis=0)
     xmax, ymax = pts.max(axis=0)
-    xbuff = (xmax - xmin)  # buffer_percent=100
-    ybuff = (ymax - ymin)
-    corners = np.array(
-        [
-            [xmin - xbuff, ymin - ybuff],
-            [xmax + xbuff, ymin - ybuff],
-            [xmax + xbuff, ymax + ybuff],
-            [xmin - xbuff, ymax + ybuff],
-        ]
-    )
-    allp = np.vstack([pts, corners])
+    # pytess's actual dummy-site layout (buffer_percent=100): four MID-SIDE
+    # points — (min-x - width, ȳ), (max-x + width, ȳ), (x̄, min-y - height),
+    # (x̄, max-y + height) — with the perpendicular coordinate at the MEAN
+    # of the real sites (pytess `bufferbox`; its corner variant is
+    # commented out in the library). The dummy layout decides how the
+    # outermost real cells are truncated, which for sparse blocks reaches
+    # deep into the block interior — corner dummies (the r2 approximation)
+    # truncate differently and cost golden parity.
+    xbuff = xmax - xmin
+    ybuff = ymax - ymin
+    midx = float(pts[:, 0].mean())
+    midy = float(pts[:, 1].mean())
+    if S0_CFG["dummies"] == "corner":
+        dummies = np.array(
+            [
+                [xmin - xbuff, ymin - ybuff],
+                [xmax + xbuff, ymin - ybuff],
+                [xmax + xbuff, ymax + ybuff],
+                [xmin - xbuff, ymax + ybuff],
+            ]
+        )
+    else:
+        dummies = np.array(
+            [
+                [xmin - xbuff, midy],
+                [xmax + xbuff, midy],
+                [midx, ymin - ybuff],
+                [midx, ymax + ybuff],
+            ]
+        )
+    allp = np.vstack([pts, dummies])
+    # huge frame: pytess cells are circumcenter polygons with no frame at
+    # all; any real site interior to the dummy hull has a bounded cell, so
+    # a far-away frame leaves those cells' vertex sets = pure triple
+    # points. The pad is PER-AXIS: a zero-extent axis keeps a zero-height/
+    # width frame, so exactly-collinear anchor sets yield flat cells that
+    # the downstream `len < 4` clip filter drops — emulating Fortune's
+    # degenerate all-collinear behavior (golden k=0 rows; also the r2
+    # zero-height-box behavior the unit tests pin).
+    pad_x = 50.0 * xbuff
+    pad_y = 50.0 * ybuff
     box = np.array(
         [
-            [xmin - xbuff, ymin - ybuff],
-            [xmax + xbuff, ymin - ybuff],
-            [xmax + xbuff, ymax + ybuff],
-            [xmin - xbuff, ymax + ybuff],
-            [xmin - xbuff, ymin - ybuff],
+            [xmin - pad_x, ymin - pad_y],
+            [xmax + pad_x, ymin - pad_y],
+            [xmax + pad_x, ymax + pad_y],
+            [xmin - pad_x, ymax + pad_y],
+            [xmin - pad_x, ymin - pad_y],
         ]
     )
     out = []
@@ -743,23 +834,93 @@ def voronoi_pytess(anchors: np.ndarray) -> list:
     return out
 
 
+# s0-construction configuration (ablation-tunable; production values are
+# the DJI-golden-parity optimum measured by tools/dji_ablate.py:
+# single-arrangement union of canonicalized cells, corner dummies, no dual
+# self-loops — 138/196 exact vs the golden fixture at kernel level, up
+# from 135 in round 2).
+S0_CFG = {
+    "dummies": "corner",   # empirically beats pytess's mid-side layout here
+    "canon": True,         # unify dust-duplicate cell vertices across cells
+    "snap": True,          # snap clip outputs back to canonical cell verts
+    "cluster": SNAP,       # graph vertex clustering eps (non-arrangement)
+    "insert": False,       # vertex-on-edge insertion (non-arrangement)
+    "arrangement": True,   # one noded arrangement over all kept rings
+    "selfloops": False,    # reference code implies self-pairs; measured off
+}
+
+
+def _canonicalize_cells(cells: list, eps: float = SNAP) -> list:
+    """Unify dust-duplicate cell vertices ACROSS cells to one shared float
+    pair — the property pytess gives the reference for free: every Voronoi
+    vertex (triple-point circumcenter) is computed ONCE and appears
+    verbatim in every incident cell's polygon, so GEOS keeps it verbatim in
+    every clipped ring and `PlanarGraph.from_polygons`' exact-identity node
+    dedup (topology.py:193-204) shares it. Our half-plane clipping computes
+    each cell's copy independently (~1e-11 dust apart); cluster and snap
+    to the representative BEFORE the block clip."""
+    if not cells:
+        return cells
+    all_pts = np.vstack([c for (_a, c) in cells])
+    rep = _cluster_vertices(all_pts, eps)
+    canon = all_pts[rep]
+    out = []
+    off = 0
+    for (a, c) in cells:
+        m = len(c)
+        out.append((a, canon[off : off + m].copy()))
+        off += m
+    return out
+
+
+def _snap_to_canon(ring: np.ndarray, canon: np.ndarray, eps: float = 1e-9) -> np.ndarray:
+    """Snap clip-output vertices that are dust-recomputations of a canonical
+    cell vertex back to the canonical float pair (GEOS keeps inside-vertices
+    verbatim; our Sutherland-Hodgman re-derives them as edge crossings)."""
+    if not len(ring) or not len(canon):
+        return ring
+    ring = np.asarray(ring, dtype=np.float64).copy()
+    cx, cy = canon[:, 0], canon[:, 1]
+    for i in range(len(ring)):
+        x, y = ring[i]
+        m = (np.abs(cx - x) <= eps) & (np.abs(cy - y) <= eps)
+        if m.any():
+            j = int(np.nonzero(m)[0][0])
+            ring[i, 0] = cx[j]
+            ring[i, 1] = cy[j]
+    return ring
+
+
 def s0_graph(block_ring: np.ndarray, centroids: np.ndarray, boundary_set=None) -> nx.Graph:
     """The s0 approximation (`_complexity.py:16-45`): Voronoi cells of the
-    building centroids, each intersected with the block, fed to a planar
-    graph with shared-vertex node dedup. Anchors on the block boundary and
-    degenerate (≤2-vertex) cells are dropped, as in the reference."""
+    building centroids (pytess dummy-site framing), each intersected with
+    the block, fed to a planar graph with the reference's EXACT-identity
+    node dedup. Anchors on the block boundary and degenerate (≤2-vertex)
+    cells are dropped, as in the reference.
+
+    Node-sharing model (matches GEOS+pytess, see _canonicalize_cells):
+    triple points are shared verbatim across cells; per-cell clip crossing
+    points stay distinct (GEOS computes them per intersection call from
+    opposite-oriented edges — they differ in dust there too, and the
+    weak dual's shared-EDGE adjacency never unifies them)."""
     centroids = np.asarray(centroids, dtype=np.float64).reshape(-1, 2)
     if boundary_set is None:
         boundary_set = {(float(x), float(y)) for x, y in block_ring}
     rings = []
     from .. import geom as _G
 
-    for (cx, cy), cell in voronoi_pytess(centroids):
+    cells = voronoi_pytess(centroids)
+    if S0_CFG["canon"]:
+        cells = _canonicalize_cells(cells)
+    canon = np.vstack([c for (_a, c) in cells]) if cells else np.zeros((0, 2))
+    for (cx, cy), cell in cells:
         if (cx, cy) in boundary_set or len(cell) <= 3:
             continue
         inter = clip_convex(block_ring, cell)
         if len(inter) < 4:
             continue
+        if S0_CFG["snap"]:
+            inter = _snap_to_canon(inter, canon)
         parts = split_ring_parts(inter)
         if len(parts) <= 1:
             rings.append(inter if not parts else parts[0])
@@ -770,7 +931,40 @@ def s0_graph(block_ring: np.ndarray, centroids: np.ndarray, boundary_set=None) -
                 if _G.point_in_ring(cx, cy, part):
                     rings.append(part)
                     break
-    return graph_from_rings(rings)
+    if S0_CFG.get("arrangement"):
+        # single noded arrangement over every kept ring: shared boundaries
+        # are computed once (QUANTUM snap merges the two cells' dust-apart
+        # copies into identical pieces), so the union graph is sliver-free
+        # and chains are exactly shared — the property JTS's normalized
+        # robust intersection gives the reference's per-cell overlays.
+        segs = []
+        for rg in rings:
+            rg = np.asarray(rg, dtype=np.float64)
+            if len(rg) >= 2:
+                segs.append(np.hstack([rg[:-1], rg[1:]]))
+        if not segs:
+            return nx.Graph()
+        return graph_from_segments(node_segments(np.vstack(segs)))
+    if S0_CFG["cluster"] is None:
+        return graph_from_rings_exact(rings)
+    return graph_from_rings(
+        rings, eps=S0_CFG["cluster"], insert_on_edges=S0_CFG["insert"]
+    )
+
+
+def graph_from_rings_exact(rings) -> nx.Graph:
+    """Exact-coordinate-identity union graph — the reference's
+    `PlanarGraph.from_polygons` node semantics (topology.py:193-204): no
+    clustering, no tolerance; nodes merge iff their float pairs are equal."""
+    g = nx.Graph()
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        for i in range(len(r) - 1):
+            a = (float(r[i, 0]), float(r[i, 1]))
+            b = (float(r[i + 1, 0]), float(r[i + 1, 1]))
+            if a != b:
+                g.add_edge(a, b)
+    return g
 
 
 def block_complexity(block_ring: np.ndarray, centroids: np.ndarray) -> int:
