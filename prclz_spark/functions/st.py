@@ -367,6 +367,92 @@ def st_buffer(dist: float):
 
 
 @pandas_udf(BinaryType())
+def st_nearest_points(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Nearest point of geometry `a` to geometry `b` (a POINT on `a`) —
+    `shapely.ops.nearest_points(a, b)[0]` as an engine UDF (reference use:
+    `prclz/reblock/_reblock.py:125-130`, `prclz/_parcels.py:139`). The
+    probe location on `b` is its closest vertex/edge sample to `a`'s
+    nearest structure, computed by the same mutual-projection kernel the
+    reblock operator uses in-kernel."""
+    def one(xb, yb):
+        if xb is None or yb is None:
+            return None
+        ga = G.wkb_loads(bytes(xb))
+        gb = G.wkb_loads(bytes(yb))
+        # mutual refinement: project each of b's vertices onto a, keep the
+        # closest; one extra pass a→b→a sharpens edge-edge cases
+        vb = np.vstack(G._all_coords(gb))
+        best = None
+        bd = np.inf
+        for (qx, qy) in vb:
+            p = G.nearest_point_on(ga, float(qx), float(qy))
+            d = float(np.hypot(p[0] - qx, p[1] - qy))
+            if d < bd:
+                bd, best = d, (p, (qx, qy))
+        p, q = best
+        # refine: nearest point of b to p, then of a to that
+        q2 = G.nearest_point_on(gb, float(p[0]), float(p[1]))
+        p2 = G.nearest_point_on(ga, float(q2[0]), float(q2[1]))
+        return G.wkb_dumps(G.point(float(p2[0]), float(p2[1])))
+
+    return pd.Series([one(x, y) for x, y in zip(a, b)])
+
+
+def st_offset_curve(dist: float):
+    """Offset a linestring by `dist` to its left (negative → right) —
+    `shapely.parallel_offset` analogue, the width-polygon primitive the
+    reference uses at `prclz/reblock/_reblock_graph.py:853-858`. Straight
+    per-segment offsets joined by clipping consecutive segments at their
+    intersection (miter joins; falls back to the bevel point when segments
+    are near-parallel)."""
+
+    @pandas_udf(BinaryType())
+    def _f(s: pd.Series) -> pd.Series:
+        def one(b):
+            if b is None:
+                return None
+            g = G.wkb_loads(bytes(b))
+            lines = [g.data] if g.kind == G.LINESTRING else list(g.data)
+            out = []
+            for arr in lines:
+                arr = np.asarray(arr, dtype=np.float64)
+                if len(arr) >= 2:  # drop consecutive duplicate vertices
+                    keep = np.concatenate(
+                        [[True], np.abs(np.diff(arr, axis=0)).sum(axis=1) > 0]
+                    )
+                    arr = arr[keep]
+                if len(arr) < 2:
+                    continue
+                d = np.diff(arr, axis=0)
+                ln = np.hypot(d[:, 0], d[:, 1])
+                n = np.stack([-d[:, 1] / ln, d[:, 0] / ln], axis=1) * dist
+                p0 = arr[:-1] + n
+                p1 = arr[1:] + n
+                pts = [p0[0]]
+                for i in range(len(d) - 1):
+                    # miter: intersect offset segment i with i+1
+                    r, sgv = d[i], d[i + 1]
+                    denom = r[0] * sgv[1] - r[1] * sgv[0]
+                    if abs(denom) < 1e-12 * float(ln[i] * ln[i + 1]):
+                        pts.append(p1[i])  # bevel at near-parallel joints
+                        continue
+                    dp = p0[i + 1] - p0[i]
+                    t = (dp[0] * sgv[1] - dp[1] * sgv[0]) / denom
+                    pts.append(p0[i] + t * r)
+                pts.append(p1[-1])
+                out.append(np.asarray(pts))
+            if not out:
+                return None
+            if len(out) == 1:
+                return G.wkb_dumps(G.linestring(out[0]))
+            return G.wkb_dumps(G.multilinestring(out))
+
+        return s.map(one)
+
+    return _f
+
+
+@pandas_udf(BinaryType())
 def st_minimum_rotated_rectangle(s: pd.Series) -> pd.Series:
     def f(b):
         if b is None:
