@@ -407,6 +407,46 @@ def _q_minhash_jaccard_exact(spark, sf_dir):
     )
 
 
+def _q_winnow_fingerprint(spark, sf_dir):
+    """Winnowing fingerprints (MOSS, SIGMOD'03) per document: k=8-gram
+    rolling hashes → sliding-window(4) minima → distinct. Oracled by a
+    DuckDB replication of the identical polynomial hash + window min over
+    ASCII-sanitized text (byte k-grams == char k-grams after sanitize)."""
+    from prclz_spark.operators.dedup import winnow_fingerprints
+
+    docs = (
+        _load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 30)
+        .select("doc_id", F.regexp_replace(F.col("text"), "[^ -~]", "").alias("s"))
+        .filter(F.length("s") >= 11)
+    )
+    fps = winnow_fingerprints(docs, "doc_id", "s", k=8, w=4)
+    return fps.groupBy("doc_id").agg(
+        F.count("*").alias("n_fp"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )
+
+
+def _q_winnow_near_pairs(spark, sf_dir):
+    """Fingerprint-sharing near-dup candidates over docs + planted clones
+    (95% prefix copies): pairs sharing ≥ 5 winnowed fingerprints."""
+    from prclz_spark.operators.dedup import winnow_near_pairs
+
+    docs = (
+        _load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", F.regexp_replace(F.col("text"), "[^ -~]", "").alias("s"))
+        .filter(F.length("s") >= 11)
+    )
+    clones = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"),
+        F.expr("substring(s, 1, cast(length(s) * 0.95 as int))").alias("s"),
+    )
+    corpus = docs.unionByName(clones)
+    return winnow_near_pairs(corpus, "doc_id", "s", k=8, w=4, min_shared=5)
+
+
 def _q_ann_ivf_topk(spark, sf_dir):  # IVF (k-means coarse quantizer) ANN
     from prclz_spark.operators.ann import ivf_topk
 
@@ -891,6 +931,59 @@ def _q_tile_region_assignment(spark, sf_dir):
     return assigned.groupBy("gadm").agg(F.count("*").alias("n_tiles"))
 
 
+# DuckDB replication of the engine's polynomial k-gram rolling hash
+# (h = (h·FNV + byte) mod 2^64 over 8 ASCII chars, masked to 63 bits) —
+# validated char-for-char against dedup._kgram_hash_seq.
+_WINNOW_HASH_EXPR = "0::HUGEINT"
+for _j in range(8):
+    _WINNOW_HASH_EXPR = (
+        f"(({_WINNOW_HASH_EXPR}) * 1099511628211"
+        f" + ascii(substring(s, i + {_j}, 1))) % 18446744073709551616"
+    )
+_WINNOW_HASH_EXPR = f"(({_WINNOW_HASH_EXPR}) % 9223372036854775808)"
+
+# per-doc winnowed fingerprint sets (k=8, w=4) as a DuckDB CTE bundle
+_WINNOW_FPS_CTE = f"""
+      SELECT doc_id,
+             list_distinct([list_min(hs[j:j+3]) for j in range(1, len(hs) - 2)]) AS fps
+      FROM (
+        SELECT doc_id, [{_WINNOW_HASH_EXPR} for i in range(1, length(s) - 6)] AS hs
+        FROM f
+      )
+"""
+
+_WINNOW_FP_ORACLE = f"""
+    WITH f AS (
+      SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS s
+      FROM documents WHERE doc_id < 30 AND length(regexp_replace(text, '[^ -~]', '', 'g')) >= 11
+    ), wn AS (
+      {_WINNOW_FPS_CTE}
+    )
+    SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+           CAST(list_min(fps) AS BIGINT) AS min_fp,
+           CAST(list_max(fps) AS BIGINT) AS max_fp
+    FROM wn
+"""
+
+_WINNOW_PAIRS_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS s
+      FROM documents WHERE doc_id < 60 AND length(regexp_replace(text, '[^ -~]', '', 'g')) >= 11
+    ), f AS (
+      SELECT doc_id, s FROM d
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id,
+             substring(s, 1, CAST(FLOOR(length(s) * 0.95) AS INT)) AS s
+      FROM d WHERE doc_id % 4 = 0
+    ), wn AS (
+      {_WINNOW_FPS_CTE}
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(length(list_intersect(a.fps, b.fps)) AS BIGINT) AS shared
+    FROM wn a JOIN wn b ON a.doc_id < b.doc_id
+    WHERE length(list_intersect(a.fps, b.fps)) >= 5
+"""
+
 _TILE_REGION_ORACLE = """
     WITH tiles AS (
       SELECT i,
@@ -961,6 +1054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "minhash_lsh_neardup": _q_minhash_lsh,
         "minhash_jaccard_exact": _q_minhash_jaccard_exact,
+        "winnow_fingerprint": _q_winnow_fingerprint,
+        "winnow_near_pairs": _q_winnow_near_pairs,
         "simhash_neardup": _q_simhash_dedup,
         "embedding_lsh_neardup": _q_embedding_near_dup,
         "geo_blocks_pipeline": _q_geo_blocks,
@@ -1154,6 +1249,8 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings WHERE vec_id < 300
         """,
         "tile_region_assignment": _TILE_REGION_ORACLE,
+        "winnow_fingerprint": _WINNOW_FP_ORACLE,
+        "winnow_near_pairs": _WINNOW_PAIRS_ORACLE,
         # exact k-shingle Jaccard computed from raw character shingles —
         # must match the engine's hashed-shingle-set Jaccard exactly
         "minhash_jaccard_exact": """

@@ -57,14 +57,15 @@ def _poly_hash_bytes(data: bytes) -> np.uint64:
         return np.uint64((codes * rev[::-1]).sum(dtype=np.uint64))
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Distinct k-shingle hashes (polynomial rolling hash, uint64).
+def _kgram_hash_seq(text: str, k: int) -> np.ndarray:
+    """Position-ordered k-gram hashes (polynomial rolling hash, uint64) —
+    one hash per byte offset, duplicates kept.
 
     Fully vectorized: the per-byte prefix recurrence run = run·base + c is
     re-expressed with modular inverses — prefix[i+1] = base^(i+1)·Σ_{j≤i}
     c_j·inv^(j+1) (mod 2^64) — so the whole document hashes in a handful of
     numpy ops (cumprod + cumsum), no Python per-character loop.
-    Multi-byte chars just extend the shingle (the full UTF-8 encoding is
+    Multi-byte chars just extend the k-gram (the full UTF-8 encoding is
     hashed — no truncation)."""
     if len(text) < k:
         h = _poly_hash_bytes(text.encode("utf-8", "replace")) & np.uint64(0x7FFFFFFFFFFFFFFF)
@@ -80,7 +81,12 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
         prefix[1:] = s * basep  # prefix[i+1] = hash of codes[:i+1]
         powk = basep[k - 1]  # base^k
         h = prefix[k:] - prefix[:-k] * powk
-    return np.unique(h)
+    return h
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Distinct k-shingle hashes (see _kgram_hash_seq)."""
+    return np.unique(_kgram_hash_seq(text, k))
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str, num_perm: int = 64, k: int = 5) -> DataFrame:
@@ -252,6 +258,73 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: i
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
         "id_a", "id_b", "hamming"
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer–Wilkerson–Aiken, MOSS,
+    SIGMOD'03): hash every k-gram with the polynomial rolling hash, slide a
+    window of ``w`` consecutive hashes, keep each window's minimum, emit the
+    distinct selected hashes per document as ``(id_col, fp: bigint)`` rows.
+
+    Guarantee: any substring of length ≥ k + w − 1 shared by two documents
+    contributes at least one shared fingerprint; expected density ≈ 2/(w+1)
+    of all k-grams, so fingerprint volume is a small constant fraction of
+    the corpus. Hashes are masked to 63 bits (non-negative int64).
+
+    Scale: one Arrow pass; per-doc hashing is the vectorized prefix trick
+    (_kgram_hash_seq) and the sliding min is a stride-tricks window — no
+    per-character or per-window Python. Downstream near-dup candidates come
+    from a self-equi-join on ``fp`` (see winnow_near_pairs) — only docs
+    sharing a fingerprint are ever paired, never all-pairs.
+    """
+    mask = np.uint64(0x7FFFFFFFFFFFFFFF)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _fps(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            h = _kgram_hash_seq(t or "", k) & mask
+            if len(h) >= w:
+                mins = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+            else:  # shorter than one window: whole doc is one window
+                mins = h.min(keepdims=True)
+            out.append(np.unique(mins).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), F.explode(_fps(F.col(text_col))).alias("fp"))
+
+
+def winnow_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Near-dup candidate pairs = documents sharing ≥ ``min_shared`` winnowed
+    fingerprints. Fingerprints occurring in more than ``max_df`` documents
+    (boilerplate k-grams — headers, licence text) are dropped before the
+    self-join: at corpus scale a single ubiquitous fingerprint would
+    otherwise create an O(df²) hot bucket, the same skew defusal as LSH
+    band caps. Returns (id_a, id_b, shared)."""
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+    rare = fps.groupBy("fp").agg(F.count("*").alias("df_cnt")).filter(
+        F.col("df_cnt") <= max_df
+    )
+    fps = fps.join(rare.select("fp"), "fp")
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
     )
 
 

@@ -183,3 +183,72 @@ def test_minhash_shingle_vectorized_fast():
         _shingle_hashes_loop(t, 5)
     slow = (time.perf_counter() - t0) * 10
     assert slow / fast >= 10, (slow, fast)
+
+
+# --- winnowing fingerprints (MOSS) -----------------------------------------
+
+
+def _winnow_naive(text: str, k: int = 8, w: int = 4) -> set[int]:
+    """Straightforward per-window reference implementation."""
+    codes = text.encode("utf-8", "replace")
+    base = np.uint64(1099511628211)
+    mask = np.uint64(0x7FFFFFFFFFFFFFFF)
+    hs = []
+    with np.errstate(over="ignore"):
+        if len(codes) < k:
+            from prclz_spark.operators.dedup import _poly_hash_bytes
+
+            hs = [int(_poly_hash_bytes(codes) & mask)]
+        else:
+            for i in range(len(codes) - k + 1):
+                h = np.uint64(0)
+                for c in codes[i : i + k]:
+                    h = h * base + np.uint64(c)
+                hs.append(int(h & mask))
+    if len(hs) < w:
+        return {min(hs)}
+    return {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+
+
+def test_winnow_matches_naive(spark):
+    from prclz_spark.operators.dedup import winnow_fingerprints
+
+    rng = np.random.default_rng(7)
+    texts = [
+        "".join(chr(int(c)) for c in rng.integers(32, 127, size=int(n)))
+        for n in rng.integers(3, 400, size=15)
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = winnow_fingerprints(df, "doc_id", "text").toPandas()
+    by_doc = got.groupby("doc_id").fp.apply(lambda s: set(int(x) for x in s)).to_dict()
+    for i, t in enumerate(texts):
+        assert by_doc[i] == _winnow_naive(t), i
+
+
+def test_winnow_shared_substring_guarantee():
+    # MOSS guarantee: any shared substring of length >= k + w - 1 yields at
+    # least one shared fingerprint (k=8, w=4 -> 11 chars).
+    rng = np.random.default_rng(11)
+    core = "the shared eleven-plus character span"
+    for trial in range(20):
+        pre_a = "".join(chr(int(c)) for c in rng.integers(32, 127, size=50))
+        pre_b = "".join(chr(int(c)) for c in rng.integers(32, 127, size=50))
+        assert _winnow_naive(pre_a + core) & _winnow_naive(core + pre_b), trial
+
+
+def test_winnow_near_pairs_planted(spark):
+    from prclz_spark.operators.dedup import winnow_near_pairs
+
+    rng = np.random.default_rng(3)
+    texts = [
+        "".join(chr(int(c)) for c in rng.integers(32, 127, size=300)) for _ in range(40)
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    # plant clones of every 5th doc (same text, one char appended)
+    rows += [(i + 1000, texts[i] + "x") for i in range(0, 40, 5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = winnow_near_pairs(df, "doc_id", "text", min_shared=5).toPandas()
+    found = set(zip(pairs.id_a.astype(int), pairs.id_b.astype(int)))
+    # all clones found, nothing else: random 300-char strings share no
+    # 11-char substring (chance ~ 95^-11)
+    assert found == {(i, i + 1000) for i in range(0, 40, 5)}, found
