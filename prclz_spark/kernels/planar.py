@@ -484,6 +484,50 @@ def weak_dual_sequence_len(g0: nx.Graph, max_k: int = 64) -> int:
 # Convex clipping + half-plane Voronoi
 # ---------------------------------------------------------------------------
 
+def _clip_halfplane_scalar(ring, pts, a, b, c, closed, dedupe, eps):
+    """Scalar S-H step over Python floats — see clip_halfplane (bit-exact
+    with its vectorized branch; every operation is the same IEEE double op
+    in the same order)."""
+    xs = pts[:, 0].tolist()
+    ys = pts[:, 1].tolist()
+    n = len(xs)
+    d = [a * xs[i] + b * ys[i] - c for i in range(n)]
+    nin = 0
+    for v in d:
+        if v <= eps:
+            nin += 1
+    if nin == n:
+        return ring if closed else np.concatenate([pts, pts[:1]])
+    if nin == 0:
+        return np.zeros((0, 2))
+    out = []
+    for i in range(n):
+        j = i + 1 if i + 1 < n else 0
+        dp = d[i]
+        dq = d[j]
+        pin = dp <= eps
+        if pin:
+            out.append((xs[i], ys[i]))
+        if pin != (dq <= eps):
+            t = dp / (dp - dq)
+            out.append((xs[i] + t * (xs[j] - xs[i]), ys[i] + t * (ys[j] - ys[i])))
+    if len(out) < 3:
+        return np.zeros((0, 2))
+    if not dedupe:
+        out.append(out[0])
+        return np.asarray(out)
+    res = [out[0]]
+    for p in out[1:]:
+        if abs(p[0] - res[-1][0]) > 1e-12 or abs(p[1] - res[-1][1]) > 1e-12:
+            res.append(p)
+    while len(res) > 1 and abs(res[0][0] - res[-1][0]) <= 1e-12 and abs(res[0][1] - res[-1][1]) <= 1e-12:
+        res.pop()
+    if len(res) < 3:
+        return np.zeros((0, 2))
+    res.append(res[0])
+    return np.asarray(res)
+
+
 def clip_halfplane(ring: np.ndarray, a: float, b: float, c: float, dedupe: bool = True) -> np.ndarray:
     """Sutherland–Hodgman step: keep points with a*x + b*y <= c.
     ring: open or closed (n,2); returns closed ring or empty array.
@@ -506,6 +550,13 @@ def clip_halfplane(ring: np.ndarray, a: float, b: float, c: float, dedupe: bool 
     n = len(pts)
     if n == 0:
         return np.zeros((0, 2))
+    if n <= 24:
+        # small rings (the overwhelmingly common case: Voronoi cells and
+        # frame boxes have 4-12 vertices) run a pure-Python-float loop —
+        # identical IEEE arithmetic in identical order to the vectorized
+        # path below (bit-exact, asserted in tests), but without numpy's
+        # ~40µs small-array dispatch overhead (~10× on the hot path)
+        return _clip_halfplane_scalar(ring, pts, a, b, c, closed, dedupe, eps)
     # vectorized S-H: signed distances once, fast exits, then interleave the
     # kept vertices with the edge crossings in traversal order (bit-exact
     # with the scalar loop: identical elementwise arithmetic)
@@ -691,14 +742,37 @@ def clip_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
     x, y = clip[:, 0], clip[:, 1]
     if 0.5 * np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]) < 0:
         clip = clip[::-1]
+    p = clip[:-1]
+    q = clip[1:]
+    # inside = left of p→q: (q-p) × (r-p) >= 0  →  a*x+b*y<=c form
+    a = q[:, 1] - p[:, 1]
+    b = -(q[:, 0] - p[:, 0])
+    c = a * p[:, 0] + b * p[:, 1]
+    # batched identity prefilter: replicate clip_halfplane's normalized
+    # signed-distance test for every (edge, subject-vertex) pair at once.
+    # S-H steps only shrink the polygon, and d<=eps is a convex constraint,
+    # so an edge keeping EVERY ORIGINAL subject vertex keeps every later
+    # intermediate ring too — clip_halfplane would hit its nin==n fast path
+    # and return the ring unchanged. Only edges that actually cut (or are
+    # degenerate, norm<1e-15 → identity by guard) need the scalar sequence,
+    # in their original order (bit-exact with the unfiltered loop).
+    spts = subject[:-1] if (
+        len(subject) > 1
+        and subject[0, 0] == subject[-1, 0]
+        and subject[0, 1] == subject[-1, 1]
+    ) else subject
+    if len(spts) == 0:
+        return np.zeros((0, 2))
+    norm = np.hypot(a, b)
+    ok = norm >= 1e-15
+    an = np.where(ok, a / np.where(ok, norm, 1.0), 0.0)
+    bn = np.where(ok, b / np.where(ok, norm, 1.0), 0.0)
+    cn = np.where(ok, c / np.where(ok, norm, 1.0), 0.0)
+    d = an[:, None] * spts[None, :, 0] + bn[:, None] * spts[None, :, 1] - cn[:, None]
+    cuts = np.nonzero(ok & ((d > 1e-12).any(axis=1)))[0]
     out = subject
-    for i in range(len(clip) - 1):
-        p, q = clip[i], clip[i + 1]
-        # inside = left of p→q: (q-p) × (r-p) >= 0  →  a*x+b*y<=c form
-        a = q[1] - p[1]
-        b = -(q[0] - p[0])
-        c = a * p[0] + b * p[1]
-        out = clip_halfplane(out, a, b, c)
+    for i in cuts:
+        out = clip_halfplane(out, a[i], b[i], c[i])
         if len(out) == 0:
             return out
     return out
@@ -831,21 +905,37 @@ def voronoi_pytess(anchors: np.ndarray) -> list:
         ]
     )
     out = []
+    allp_list = allp.tolist()
     for i, (px, py) in enumerate(pts):
         ring = box
-        # NOTE: deliberately NO nearest-first pruning here (unlike
+        # NOTE: deliberately NO nearest-first REORDERING here (unlike
         # voronoi_cells): reordering the clips changes float dust in the
         # cell vertices, and the DJI golden-parity gate is tuned on the
-        # original site order. The vectorized clip itself is bit-exact.
-        for j, (qx, qy) in enumerate(allp):
+        # original site order. Instead, sites that PROVABLY cannot cut the
+        # current cell are skipped in place: if d(site, p) > 2·r(1+δ)
+        # (r = farthest current cell vertex from p), every vertex is
+        # strictly on the keep side, and clip_halfplane's nin==n fast path
+        # would return the ring object unchanged — skipping is bit-exact.
+        # Cost drops from O(n) clips/cell to ~Voronoi-neighbor count.
+        px = float(px)
+        py = float(py)
+        d2row = ((allp[:, 0] - px) ** 2 + (allp[:, 1] - py) ** 2).tolist()
+        r2 = float(((ring[:-1, 0] - px) ** 2 + (ring[:-1, 1] - py) ** 2).max())
+        for j in range(len(allp_list)):
+            qx, qy = allp_list[j]
             if j == i or (qx == px and qy == py):
                 continue
+            if d2row[j] > 4.0 * r2 * (1.0 + 1e-6):
+                continue  # identity clip (proof above)
             a = 2 * (qx - px)
             b = 2 * (qy - py)
             c = qx * qx + qy * qy - px * px - py * py
-            ring = clip_halfplane(ring, a, b, c, dedupe=False)
-            if len(ring) == 0:
-                break
+            new = clip_halfplane(ring, a, b, c, dedupe=False)
+            if new is not ring:  # ring shrank → refresh the radius bound
+                ring = new
+                if len(ring) == 0:
+                    break
+                r2 = float(((ring[:-1, 0] - px) ** 2 + (ring[:-1, 1] - py) ** 2).max())
         if len(ring):
             out.append(((px, py), ring))
     return out

@@ -111,3 +111,81 @@ def test_golden_dji_fixture_replay():
     within1 = hist[-1] + hist[0] + hist[1]
     assert exact >= 155, dict(hist)
     assert within1 >= 185, dict(hist)
+
+
+def test_clip_halfplane_scalar_vectorized_bitexact():
+    """The n<=24 pure-Python fast path and the vectorized branch must be
+    BITWISE identical (the DJI golden-parity gate is tuned on these exact
+    floats), and the voronoi_pytess identity-skip must equal the brute
+    all-sites clip loop."""
+    import math
+
+    rng = np.random.default_rng(5)
+    for _ in range(500):
+        n = int(rng.integers(25, 50))
+        th = np.sort(rng.uniform(0, 2 * np.pi, size=n))
+        pts = np.c_[np.cos(th), np.sin(th)] * rng.uniform(1, 10)
+        ring = np.concatenate([pts, pts[:1]])
+        a, b = rng.normal(size=2)
+        c = float(rng.normal(0, 3))
+        dd = bool(rng.integers(0, 2))
+        norm = math.hypot(a, b)
+        vec = P.clip_halfplane(ring, a, b, c, dedupe=dd)  # vectorized (n>24)
+        sc = P._clip_halfplane_scalar(
+            ring, ring[:-1], a / norm, b / norm, c / norm, True, dd, 1e-12
+        )
+        assert vec.shape == sc.shape and (len(vec) == 0 or np.array_equal(vec, sc))
+
+
+def test_voronoi_pytess_skip_equals_bruteforce():
+    rng = np.random.default_rng(9)
+
+    def brute(anchors):
+        anchors = np.asarray(anchors, float).reshape(-1, 2)
+        uniq, seen = [], set()
+        for x, y in anchors:
+            k = (float(x), float(y))
+            if k not in seen:
+                seen.add(k)
+                uniq.append(k)
+        if len(uniq) < 2:
+            return []
+        pts = np.asarray(uniq)
+        xmin, ymin = pts.min(0)
+        xmax, ymax = pts.max(0)
+        xb, yb = xmax - xmin, ymax - ymin
+        dum = np.array(
+            [[xmin - xb, ymin - yb], [xmax + xb, ymin - yb],
+             [xmax + xb, ymax + yb], [xmin - xb, ymax + yb]]
+        )
+        allp = np.vstack([pts, dum])
+        padx, pady = 50.0 * xb, 50.0 * yb
+        box = np.array(
+            [[xmin - padx, ymin - pady], [xmax + padx, ymin - pady],
+             [xmax + padx, ymax + pady], [xmin - padx, ymax + pady],
+             [xmin - padx, ymin - pady]]
+        )
+        out = []
+        for i, (px, py) in enumerate(pts):
+            ring = box
+            for j, (qx, qy) in enumerate(allp):
+                if j == i or (qx == px and qy == py):
+                    continue
+                ring = P.clip_halfplane(
+                    ring, 2 * (qx - px), 2 * (qy - py),
+                    qx * qx + qy * qy - px * px - py * py, dedupe=False,
+                )
+                if len(ring) == 0:
+                    break
+            if len(ring):
+                out.append(((float(px), float(py)), ring))
+        return out
+
+    for _ in range(60):
+        n = int(rng.integers(2, 40))
+        anc = rng.normal(0, 1, size=(n, 2)) * rng.uniform(0.1, 100)
+        got = P.voronoi_pytess(anc)
+        want = brute(anc)
+        assert len(got) == len(want)
+        for (ga, gr), (wa, wr) in zip(got, want):
+            assert ga == wa and gr.shape == wr.shape and np.array_equal(gr, wr)
