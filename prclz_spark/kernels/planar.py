@@ -484,6 +484,48 @@ def weak_dual_sequence_len(g0: nx.Graph, max_k: int = 64) -> int:
 # Convex clipping + half-plane Voronoi
 # ---------------------------------------------------------------------------
 
+def _clip_halfplane_list(xs, ys, a, b, c):
+    """dedupe=False S-H step over OPEN-ring coordinate lists (the
+    voronoi_pytess hot path) — bit-exact with clip_halfplane(...,
+    dedupe=False): every operation is the same IEEE double op in the same
+    order. Returns the SAME list objects when the clip is an identity
+    (callers test with ``is``); ([], []) when the ring is wiped."""
+    norm = math.hypot(a, b)
+    if norm < 1e-15:
+        return xs, ys
+    a, b, c = a / norm, b / norm, c / norm
+    eps = 1e-12
+    n = len(xs)
+    if n == 0:
+        return xs, ys
+    d = [a * xs[i] + b * ys[i] - c for i in range(n)]
+    nin = 0
+    for v in d:
+        if v <= eps:
+            nin += 1
+    if nin == n:
+        return xs, ys
+    if nin == 0:
+        return [], []
+    ox: list = []
+    oy: list = []
+    for i in range(n):
+        j = i + 1 if i + 1 < n else 0
+        dp = d[i]
+        dq = d[j]
+        pin = dp <= eps
+        if pin:
+            ox.append(xs[i])
+            oy.append(ys[i])
+        if pin != (dq <= eps):
+            t = dp / (dp - dq)
+            ox.append(xs[i] + t * (xs[j] - xs[i]))
+            oy.append(ys[i] + t * (ys[j] - ys[i]))
+    if len(ox) < 3:
+        return [], []
+    return ox, oy
+
+
 def _clip_halfplane_scalar(ring, pts, a, b, c, closed, dedupe, eps):
     """Scalar S-H step over Python floats — see clip_halfplane (bit-exact
     with its vectorized branch; every operation is the same IEEE double op
@@ -906,21 +948,25 @@ def voronoi_pytess(anchors: np.ndarray) -> list:
     )
     out = []
     allp_list = allp.tolist()
+    box_x = box[:-1, 0].tolist()
+    box_y = box[:-1, 1].tolist()
     for i, (px, py) in enumerate(pts):
-        ring = box
         # NOTE: deliberately NO nearest-first REORDERING here (unlike
         # voronoi_cells): reordering the clips changes float dust in the
         # cell vertices, and the DJI golden-parity gate is tuned on the
         # original site order. Instead, sites that PROVABLY cannot cut the
         # current cell are skipped in place: if d(site, p) > 2·r(1+δ)
         # (r = farthest current cell vertex from p), every vertex is
-        # strictly on the keep side, and clip_halfplane's nin==n fast path
-        # would return the ring object unchanged — skipping is bit-exact.
-        # Cost drops from O(n) clips/cell to ~Voronoi-neighbor count.
+        # strictly on the keep side, and the clip's nin==n fast path
+        # would return the ring unchanged — skipping is bit-exact. The
+        # ring lives as plain Python coordinate lists between clips
+        # (_clip_halfplane_list): same IEEE ops, no per-clip ndarray⇄list
+        # conversion.
         px = float(px)
         py = float(py)
         d2row = ((allp[:, 0] - px) ** 2 + (allp[:, 1] - py) ** 2).tolist()
-        r2 = float(((ring[:-1, 0] - px) ** 2 + (ring[:-1, 1] - py) ** 2).max())
+        xs, ys = box_x, box_y
+        r2 = max((x - px) ** 2 + (y - py) ** 2 for x, y in zip(xs, ys))
         for j in range(len(allp_list)):
             qx, qy = allp_list[j]
             if j == i or (qx == px and qy == py):
@@ -930,13 +976,17 @@ def voronoi_pytess(anchors: np.ndarray) -> list:
             a = 2 * (qx - px)
             b = 2 * (qy - py)
             c = qx * qx + qy * qy - px * px - py * py
-            new = clip_halfplane(ring, a, b, c, dedupe=False)
-            if new is not ring:  # ring shrank → refresh the radius bound
-                ring = new
-                if len(ring) == 0:
+            nxs, nys = _clip_halfplane_list(xs, ys, a, b, c)
+            if nxs is not xs:  # ring shrank → refresh the radius bound
+                xs, ys = nxs, nys
+                if not xs:
                     break
-                r2 = float(((ring[:-1, 0] - px) ** 2 + (ring[:-1, 1] - py) ** 2).max())
-        if len(ring):
+                r2 = max((x - px) ** 2 + (y - py) ** 2 for x, y in zip(xs, ys))
+        if xs:
+            ring = np.empty((len(xs) + 1, 2))
+            ring[:-1, 0] = xs
+            ring[:-1, 1] = ys
+            ring[-1] = ring[0]
             out.append(((px, py), ring))
     return out
 
