@@ -931,6 +931,116 @@ def _q_tile_region_assignment(spark, sf_dir):
     return assigned.groupBy("gadm").agg(F.count("*").alias("n_tiles"))
 
 
+# ---- DuckDB replications of the integer-exact dedup pipelines ----------
+# These oracles recompute the ENGINE'S OWN hashes in SQL (HUGEINT modular
+# arithmetic emulating uint64 wraparound), so the LSH/banding pipelines are
+# value-checked end to end, not just row-counted. Float-free by design:
+# every quantity is integer until the final ratio (k/64, exact in binary).
+
+_M64 = 1 << 64
+_FNV_B = 1099511628211
+
+
+def _sql_poly_hash(k: int, var: str = "s", idx: str = "i") -> str:
+    """Nested-expression uint64 polynomial hash of a k-char substring."""
+    expr = "0::HUGEINT"
+    for j in range(k):
+        expr = (
+            f"(({expr}) * {_FNV_B}"
+            f" + ascii(substring({var}, {idx} + {j}, 1))) % {_M64}"
+        )
+    return expr
+
+
+def _minhash_sig_sql() -> str:
+    """CTE body: (doc_id, sig) with the engine's 64-perm MinHash signature
+    over 5-char shingles — emulates numpy's uint64 overflow order:
+    ((a*x) mod 2^64 + b) mod 2^64 mod P."""
+    from prclz_spark.operators.dedup import _P, _perm_params
+
+    a, b = _perm_params(64)
+    av = ", ".join(str(int(x)) for x in a)
+    bv = ", ".join(str(int(x)) for x in b)
+    return f"""
+      SELECT doc_id, list(mv ORDER BY p) AS sig
+      FROM (
+        SELECT doc_id, pr.p AS p,
+               MIN(CAST(((pa.A[pr.p+1] * x) % {_M64} + pa.B[pr.p+1]) % {_M64} % {_P}
+                        AS BIGINT)) AS mv
+        FROM (
+          SELECT doc_id,
+                 unnest(list_distinct([{_sql_poly_hash(5)}
+                                       for i in range(1, length(s) - 3)])) AS x
+          FROM f
+        ), (SELECT [{av}]::HUGEINT[] AS A, [{bv}]::HUGEINT[] AS B) pa,
+        generate_series(0, 63) pr(p)
+        GROUP BY doc_id, pr.p
+      ) GROUP BY doc_id
+"""
+
+
+_MINHASH_LSH_ORACLE_TMPL = """
+    WITH d AS (
+      SELECT doc_id, text AS s FROM documents WHERE doc_id < 400
+    ), f AS (
+      SELECT doc_id, s FROM d
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             substring(s, 1, CAST(FLOOR(length(s) * 0.9) AS INT)) AS s
+      FROM d WHERE doc_id % 2 = 0
+    ), sg AS (
+      {SIG}
+    )
+    SELECT id_a, id_b, ROUND(CAST(ag AS DOUBLE) / 64, 4) AS jaccard_est
+    FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             [a.sig[i] = b.sig[i] for i in range(1, 65)] AS eq
+      FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+    ), LATERAL (SELECT length(list_filter(eq, x -> x)) AS ag) t
+    WHERE ag >= 32
+      AND length(list_filter(range(0, 16),
+                 bnd -> eq[bnd*4+1] AND eq[bnd*4+2] AND eq[bnd*4+3] AND eq[bnd*4+4])) > 0
+"""
+
+_SIMHASH_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, text AS s FROM documents WHERE doc_id < 400
+    ), f AS (
+      SELECT doc_id, s FROM d
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, s || ' extra token' AS s FROM d
+      WHERE doc_id % 2 = 0
+    ), th AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(0::HUGEINT,
+                 [ascii(substring(tok, i, 1))::HUGEINT
+                  for i in range(1, length(tok) + 1)]),
+               (acc, x) -> (acc * {_FNV_B} + x) % {_M64}) AS h
+      FROM (SELECT doc_id,
+                   unnest(list_filter(string_split(s, ' '), x -> x != '')) AS tok
+            FROM f)
+    ), votes AS (
+      SELECT doc_id, b.bit,
+             SUM(CASE WHEN (h // (1::HUGEINT << b.bit)) % 2 = 1
+                      THEN 1 ELSE -1 END) AS v
+      FROM th, generate_series(0, 63) b(bit)
+      GROUP BY doc_id, b.bit
+    ), sig AS (
+      SELECT doc_id,
+             SUM(CASE WHEN v > 0 THEN (1::HUGEINT << bit) ELSE 0::HUGEINT END) AS u
+      FROM votes GROUP BY doc_id
+    ), s64 AS (
+      SELECT doc_id,
+             CAST(CASE WHEN u >= {1 << 63} THEN u - {_M64} ELSE u END AS BIGINT) AS h
+      FROM sig
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+    FROM s64 a JOIN s64 b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.h, b.h)) <= 3
+"""
+
 # DuckDB replication of the engine's polynomial k-gram rolling hash
 # (h = (h·FNV + byte) mod 2^64 over 8 ASCII chars, masked to 63 bits) —
 # validated char-for-char against dedup._kgram_hash_seq.
@@ -1251,6 +1361,8 @@ def oracle_sql() -> dict[str, str]:
         "tile_region_assignment": _TILE_REGION_ORACLE,
         "winnow_fingerprint": _WINNOW_FP_ORACLE,
         "winnow_near_pairs": _WINNOW_PAIRS_ORACLE,
+        "minhash_lsh_neardup": _MINHASH_LSH_ORACLE_TMPL.format(SIG=_minhash_sig_sql()),
+        "simhash_neardup": _SIMHASH_ORACLE,
         # exact k-shingle Jaccard computed from raw character shingles —
         # must match the engine's hashed-shingle-set Jaccard exactly
         "minhash_jaccard_exact": """

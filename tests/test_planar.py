@@ -189,3 +189,43 @@ def test_voronoi_pytess_skip_equals_bruteforce():
         assert len(got) == len(want)
         for (ga, gr), (wa, wr) in zip(got, want):
             assert ga == wa and gr.shape == wr.shape and np.array_equal(gr, wr)
+
+
+def test_clip_convex_prefilter_equals_sequential():
+    """clip_convex's batched identity-edge prefilter must be bitwise equal
+    to running every clip edge through clip_halfplane sequentially."""
+    rng = np.random.default_rng(13)
+
+    def seq(subject, clip):
+        x, y = clip[:, 0], clip[:, 1]
+        if 0.5 * np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]) < 0:
+            clip = clip[::-1]
+        out = subject
+        for i in range(len(clip) - 1):
+            p, q = clip[i], clip[i + 1]
+            a = q[1] - p[1]
+            b = -(q[0] - p[0])
+            c = a * p[0] + b * p[1]
+            out = P.clip_halfplane(out, a, b, c)
+            if len(out) == 0:
+                return out
+        return out
+
+    for trial in range(300):
+        # concave-ish subject: jittered star ring
+        n = int(rng.integers(4, 12))
+        th = np.sort(rng.uniform(0, 2 * np.pi, size=n))
+        rad = rng.uniform(0.5, 3.0, size=n)
+        pts = np.c_[np.cos(th) * rad, np.sin(th) * rad] + rng.normal(0, 2, size=2)
+        subject = np.concatenate([pts, pts[:1]])
+        # convex clip: box or regular polygon
+        m = int(rng.integers(3, 8))
+        thc = np.linspace(0, 2 * np.pi, m, endpoint=False) + rng.uniform(0, 1)
+        r = rng.uniform(0.5, 3.0)
+        cp = np.c_[np.cos(thc), np.sin(thc)] * r + rng.normal(0, 1, size=2)
+        clip = np.concatenate([cp, cp[:1]])
+        if rng.integers(0, 2):
+            clip = clip[::-1]
+        got = P.clip_convex(subject, clip)
+        want = seq(subject, clip)
+        assert got.shape == want.shape and (len(got) == 0 or np.array_equal(got, want)), trial
