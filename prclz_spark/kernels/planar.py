@@ -484,12 +484,12 @@ def weak_dual_sequence_len(g0: nx.Graph, max_k: int = 64) -> int:
 # Convex clipping + half-plane Voronoi
 # ---------------------------------------------------------------------------
 
-def _clip_halfplane_list(xs, ys, a, b, c):
-    """dedupe=False S-H step over OPEN-ring coordinate lists (the
-    voronoi_pytess hot path) — bit-exact with clip_halfplane(...,
-    dedupe=False): every operation is the same IEEE double op in the same
-    order. Returns the SAME list objects when the clip is an identity
-    (callers test with ``is``); ([], []) when the ring is wiped."""
+def _clip_halfplane_list(xs, ys, a, b, c, dedupe=False):
+    """S-H step over OPEN-ring coordinate lists (the voronoi hot paths) —
+    bit-exact with clip_halfplane: every operation is the same IEEE double
+    op in the same order. Returns the SAME list objects when the clip is
+    an identity (callers test with ``is``); ([], []) when the ring is
+    wiped."""
     norm = math.hypot(a, b)
     if norm < 1e-15:
         return xs, ys
@@ -523,7 +523,20 @@ def _clip_halfplane_list(xs, ys, a, b, c):
             oy.append(ys[i] + t * (ys[j] - ys[i]))
     if len(ox) < 3:
         return [], []
-    return ox, oy
+    if not dedupe:
+        return ox, oy
+    rx = [ox[0]]
+    ry = [oy[0]]
+    for idx in range(1, len(ox)):
+        if abs(ox[idx] - rx[-1]) > 1e-12 or abs(oy[idx] - ry[-1]) > 1e-12:
+            rx.append(ox[idx])
+            ry.append(oy[idx])
+    while len(rx) > 1 and abs(rx[0] - rx[-1]) <= 1e-12 and abs(ry[0] - ry[-1]) <= 1e-12:
+        rx.pop()
+        ry.pop()
+    if len(rx) < 3:
+        return [], []
+    return rx, ry
 
 
 def _clip_halfplane_scalar(ring, pts, a, b, c, closed, dedupe, eps):
@@ -841,32 +854,51 @@ def voronoi_cells(anchors: np.ndarray, bbox: tuple, pad: float = 1.0) -> list:
     seen: dict[tuple, int] = {}
     cells = []
     d2m = ((anchors[:, None, :] - anchors[None, :, :]) ** 2).sum(-1) if len(anchors) else None
-    for i, (px, py) in enumerate(anchors):
+    base_x = base[:-1, 0].tolist()
+    base_y = base[:-1, 1].tolist()
+    anchors_list = anchors.tolist()
+    for i in range(len(anchors_list)):
+        px, py = anchors_list[i]
         key = (px, py)
         if key in seen:
             cells.append(np.zeros((0, 2)))
             continue
         seen[key] = i
-        ring = base
         # nearest-first with an EXACT cutoff: the bisector to a site at
         # distance d lies d/2 away from p — once d/2 exceeds the farthest
         # current cell vertex, no remaining site can cut (output identical
-        # to the all-pairs loop; effective cost O(n·k) instead of O(n²))
+        # to the all-pairs loop; effective cost O(n·k) instead of O(n²)).
+        # The ring lives as plain Python coordinate lists between clips
+        # (_clip_halfplane_list, dedupe=True — bit-exact with the ndarray
+        # path, asserted in tests); r2 is refreshed only when the ring
+        # actually shrank (same value either way: an identity clip leaves
+        # the max distance unchanged).
+        xs, ys = base_x, base_y
+        r2 = max((x - px) ** 2 + (y - py) ** 2 for x, y in zip(xs, ys))
         order = np.argsort(d2m[i], kind="stable")
+        d2row = d2m[i].tolist()
         for j in order:
-            qx, qy = anchors[j]
+            qx, qy = anchors_list[j]
             if j == i or (qx == px and qy == py):
                 continue
-            if len(ring):
-                r2 = ((ring[:, 0] - px) ** 2 + (ring[:, 1] - py) ** 2).max()
-                if d2m[i, j] >= 4.0 * r2:
-                    break
+            if xs and d2row[j] >= 4.0 * r2:
+                break
             a = 2 * (qx - px)
             b = 2 * (qy - py)
             c = qx * qx + qy * qy - px * px - py * py
-            ring = clip_halfplane(ring, a, b, c)
-            if len(ring) == 0:
-                break
+            nxs, nys = _clip_halfplane_list(xs, ys, a, b, c, dedupe=True)
+            if nxs is not xs:
+                xs, ys = nxs, nys
+                if not xs:
+                    break
+                r2 = max((x - px) ** 2 + (y - py) ** 2 for x, y in zip(xs, ys))
+        if xs:
+            ring = np.empty((len(xs) + 1, 2))
+            ring[:-1, 0] = xs
+            ring[:-1, 1] = ys
+            ring[-1] = ring[0]
+        else:
+            ring = np.zeros((0, 2))
         cells.append(ring)
     return cells
 

@@ -229,3 +229,55 @@ def test_clip_convex_prefilter_equals_sequential():
         got = P.clip_convex(subject, clip)
         want = seq(subject, clip)
         assert got.shape == want.shape and (len(got) == 0 or np.array_equal(got, want)), trial
+
+
+def test_voronoi_cells_list_path_equals_ndarray_loop():
+    """voronoi_cells' list-resident rings + cached-r2 cutoff must be
+    bitwise equal to the original ndarray loop (fresh r2 every site,
+    clip_halfplane on closed rings)."""
+    rng = np.random.default_rng(21)
+
+    def brute(anchors, bbox, pad=1.0):
+        anchors = np.asarray(anchors, dtype=np.float64).reshape(-1, 2)
+        xmin, ymin, xmax, ymax = bbox
+        w = max(xmax - xmin, ymax - ymin, 1e-12) * pad
+        base = np.array(
+            [[xmin - w, ymin - w], [xmax + w, ymin - w], [xmax + w, ymax + w],
+             [xmin - w, ymax + w], [xmin - w, ymin - w]]
+        )
+        seen = {}
+        cells = []
+        d2m = ((anchors[:, None, :] - anchors[None, :, :]) ** 2).sum(-1)
+        for i, (px, py) in enumerate(anchors):
+            if (px, py) in seen:
+                cells.append(np.zeros((0, 2)))
+                continue
+            seen[(px, py)] = i
+            ring = base
+            for j in np.argsort(d2m[i], kind="stable"):
+                qx, qy = anchors[j]
+                if j == i or (qx == px and qy == py):
+                    continue
+                if len(ring):
+                    r2 = ((ring[:, 0] - px) ** 2 + (ring[:, 1] - py) ** 2).max()
+                    if d2m[i, j] >= 4.0 * r2:
+                        break
+                ring = P.clip_halfplane(
+                    ring, 2 * (qx - px), 2 * (qy - py),
+                    qx * qx + qy * qy - px * px - py * py,
+                )
+                if len(ring) == 0:
+                    break
+            cells.append(ring)
+        return cells
+
+    for trial in range(30):
+        n = int(rng.integers(2, 80))
+        anc = rng.uniform(0, 1, size=(n, 2))
+        if trial % 5 == 0:
+            anc[: n // 2] = anc[n // 2 : 2 * (n // 2)]  # planted duplicates
+        got = P.voronoi_cells(anc, (0.0, 0.0, 1.0, 1.0))
+        want = brute(anc, (0.0, 0.0, 1.0, 1.0))
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert g.shape == w.shape and (len(g) == 0 or np.array_equal(g, w)), trial
