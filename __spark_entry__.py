@@ -447,6 +447,36 @@ def _q_winnow_near_pairs(spark, sf_dir):
     return winnow_near_pairs(corpus, "doc_id", "s", k=8, w=4, min_shared=5)
 
 
+def _q_iceberg_snapshots(spark, sf_dir):
+    """Iceberg-lite table layer end to end: two appends → per-snapshot
+    time-travel reads must see exactly the committed file sets. Oracled by
+    plain SQL over the same source slices."""
+    import tempfile
+
+    from prclz_spark.sources import iceberg_lite as IL
+
+    d = _load(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("text_len")
+    )
+    t = tempfile.mkdtemp(prefix="iceberg_lite_")
+    IL.create_table(t, "doc_id bigint, text_len int")
+    IL.append(d.filter(F.col("doc_id") < 200), t, stats_cols=["doc_id"])
+    IL.append(d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 400)), t,
+              stats_cols=["doc_id"])
+    out = []
+    for s in (0, 1):
+        snap = IL.read(spark, t, snapshot=s).agg(
+            F.count("*").alias("n_docs"),
+            F.sum("text_len").alias("sum_len"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        ).withColumn("snapshot", F.lit(s))
+        out.append(snap)
+    return out[0].unionByName(out[1]).select(
+        "snapshot", "n_docs", "sum_len", "min_id", "max_id"
+    )
+
+
 def _q_ann_ivf_topk(spark, sf_dir):  # IVF (k-means coarse quantizer) ANN
     from prclz_spark.operators.ann import ivf_topk
 
@@ -1165,6 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_neardup": _q_minhash_lsh,
         "minhash_jaccard_exact": _q_minhash_jaccard_exact,
         "winnow_fingerprint": _q_winnow_fingerprint,
+        "iceberg_snapshots": _q_iceberg_snapshots,
         "winnow_near_pairs": _q_winnow_near_pairs,
         "simhash_neardup": _q_simhash_dedup,
         "embedding_lsh_neardup": _q_embedding_near_dup,
@@ -1363,6 +1394,16 @@ def oracle_sql() -> dict[str, str]:
         "winnow_near_pairs": _WINNOW_PAIRS_ORACLE,
         "minhash_lsh_neardup": _MINHASH_LSH_ORACLE_TMPL.format(SIG=_minhash_sig_sql()),
         "simhash_neardup": _SIMHASH_ORACLE,
+        "iceberg_snapshots": """
+            SELECT 0 AS snapshot, COUNT(*) AS n_docs,
+                   CAST(SUM(length(text)) AS BIGINT) AS sum_len,
+                   MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+            FROM documents WHERE doc_id < 200
+            UNION ALL
+            SELECT 1, COUNT(*), CAST(SUM(length(text)) AS BIGINT),
+                   MIN(doc_id), MAX(doc_id)
+            FROM documents WHERE doc_id < 400
+        """,
         # exact k-shingle Jaccard computed from raw character shingles —
         # must match the engine's hashed-shingle-set Jaccard exactly
         "minhash_jaccard_exact": """

@@ -1,0 +1,178 @@
+"""Iceberg-style table layer: snapshot manifests, time travel, file pruning.
+
+The north rule grounds the engine "over Iceberg tables of image + caption
+pairs". No Iceberg runtime jars exist in this environment, so this module
+implements the *table-format mechanics that matter to a query engine* on
+plain parquet + JSON, Spark-idiomatically:
+
+* **snapshots** — every append commits a new immutable snapshot whose
+  manifest lists the data files it added; a snapshot references its parent,
+  so the full file set of snapshot N is the union of manifests 0..N (the
+  same append-only manifest-list design as Iceberg's).
+* **atomic commits** — data files are written first, then the manifest,
+  then the `version-hint` pointer is atomically replaced (os.replace); a
+  reader never sees a half-committed snapshot, a crashed writer leaves only
+  unreferenced orphan files.
+* **time travel** — ``read(spark, path, snapshot=k)`` reconstructs the file
+  set as of snapshot k.
+* **manifest-level file pruning** — each manifest records per-file min/max
+  stats for the requested columns; ``read`` with a ``prune`` range consults
+  the stats and hands Spark only the files that can match — the
+  metadata-side half of predicate pushdown (Catalyst still pushes the
+  row-level filter into the parquet scan of the surviving files).
+* **per-partition lineage** — manifests record which append produced each
+  file and the row count it carried: the checkpoint/lineage evidence the
+  north rule asks for, at the table layer (the pipeline Ledger provides the
+  same per-region).
+
+Single-writer by design (documented): concurrent appends would race on the
+version hint; a cluster deployment serializes commits through the driver,
+which is exactly Iceberg's single-commit-arbiter model minus the catalog.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _meta_dir(path: str) -> str:
+    return os.path.join(path, "metadata")
+
+
+def _hint_file(path: str) -> str:
+    return os.path.join(_meta_dir(path), "version-hint.txt")
+
+
+def _manifest_file(path: str, snap: int) -> str:
+    return os.path.join(_meta_dir(path), f"manifest-{snap:05d}.json")
+
+
+def current_snapshot(path: str) -> int:
+    """Latest committed snapshot id, or -1 for an empty/new table."""
+    try:
+        with open(_hint_file(path)) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return -1
+
+
+def create_table(path: str, schema_ddl: str) -> None:
+    """Initialize an empty table with a frozen schema (DDL string)."""
+    os.makedirs(_meta_dir(path), exist_ok=True)
+    os.makedirs(os.path.join(path, "data"), exist_ok=True)
+    with open(os.path.join(_meta_dir(path), "schema.json"), "w") as f:
+        json.dump({"schema": schema_ddl}, f)
+
+
+def table_schema(path: str) -> str:
+    with open(os.path.join(_meta_dir(path), "schema.json")) as f:
+        return json.load(f)["schema"]
+
+
+def append(df: DataFrame, path: str, stats_cols: list[str] | None = None) -> int:
+    """Commit ``df`` as a new snapshot; returns the new snapshot id.
+
+    The dataframe's schema must match the table schema exactly (simple
+    names — Iceberg's id-based evolution is out of scope and appends are
+    rejected on mismatch rather than silently coerced).
+
+    ``stats_cols``: columns to record per-file min/max for (enables
+    ``read(..., prune=(col, lo, hi))`` file skipping). Stats are computed
+    distributed — one narrow agg per file via input_file_name().
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    want = spark.createDataFrame([], table_schema(path)).schema
+    if [(f.name, f.dataType) for f in df.schema.fields] != [
+        (f.name, f.dataType) for f in want.fields
+    ]:
+        raise ValueError(
+            f"schema mismatch: table {want.simpleString()} vs append {df.schema.simpleString()}"
+        )
+    snap = current_snapshot(path) + 1
+    out_dir = os.path.join(path, "data", f"snap-{snap:05d}-{uuid.uuid4().hex[:8]}")
+    df.write.parquet(out_dir)
+
+    written = spark.read.parquet(out_dir)
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in stats_cols or []:
+        aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+    per_file = (
+        written.withColumn("_file", F.input_file_name())
+        .groupBy("_file")
+        .agg(*aggs)
+        .collect()
+    )
+    files = []
+    for r in per_file:
+        ent = {"path": r["_file"].replace("file://", ""), "rows": r["_rows"]}
+        for c in stats_cols or []:
+            ent[f"min_{c}"] = r[f"_min_{c}"]
+            ent[f"max_{c}"] = r[f"_max_{c}"]
+        files.append(ent)
+
+    manifest = {
+        "snapshot": snap,
+        "parent": snap - 1 if snap else None,
+        "files": sorted(files, key=lambda e: e["path"]),
+        "stats_cols": stats_cols or [],
+    }
+    with open(_manifest_file(path, snap), "w") as f:
+        json.dump(manifest, f)
+    # atomic pointer flip — readers see the old snapshot until this replace
+    tmp = _hint_file(path) + f".tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(str(snap))
+    os.replace(tmp, _hint_file(path))
+    return snap
+
+
+def _manifests(path: str, snapshot: int) -> list[dict]:
+    out = []
+    for s in range(snapshot + 1):
+        with open(_manifest_file(path, s)) as f:
+            out.append(json.load(f))
+    return out
+
+
+def files_at(path: str, snapshot: int | None = None,
+             prune: tuple[str, object, object] | None = None) -> list[dict]:
+    """File entries visible at ``snapshot`` (default: latest), optionally
+    pruned to files whose [min,max] range for a stats column intersects
+    [lo, hi]."""
+    snap = current_snapshot(path) if snapshot is None else snapshot
+    if snap < 0:
+        return []
+    entries = [e for m in _manifests(path, snap) for e in m["files"]]
+    if prune is not None:
+        col, lo, hi = prune
+        kept = []
+        for e in entries:
+            mn, mx = e.get(f"min_{col}"), e.get(f"max_{col}")
+            if mn is None or mx is None:  # no stats recorded → cannot skip
+                kept.append(e)
+            elif not (mx < lo or mn > hi):
+                kept.append(e)
+        entries = kept
+    return entries
+
+
+def read(spark: SparkSession, path: str, snapshot: int | None = None,
+         prune: tuple[str, object, object] | None = None) -> DataFrame:
+    """DataFrame over the table as of ``snapshot`` (time travel), reading
+    only the files whose manifest stats can match ``prune=(col, lo, hi)``.
+    Row-level filtering stays the caller's job (and Catalyst pushes it into
+    the parquet scan of the surviving files); pruning is purely the
+    metadata-side file skip. An empty file set yields an empty frame with
+    the table schema."""
+    entries = files_at(path, snapshot, prune)
+    if not entries:
+        return spark.createDataFrame([], table_schema(path))
+    return spark.read.schema(
+        spark.createDataFrame([], table_schema(path)).schema
+    ).parquet(*[e["path"] for e in entries])
