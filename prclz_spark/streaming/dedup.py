@@ -1,0 +1,127 @@
+"""Streaming deduplication: drop exact/near duplicates from a document
+feed as it lands.
+
+At 10^12-document ingest scale, dedup cannot be a batch afterthought — a
+re-crawl surge would flood downstream training shards before a nightly
+job caught it. Structured Streaming gives the engine two operators:
+
+* ``dedup_exact_stream`` — content-hash exact dedup with bounded state:
+  ``dropDuplicatesWithinWatermark`` keeps each hash in state only for the
+  watermark horizon (Iceberg-style ingest is append-mostly; a re-crawl
+  dup lands within hours, so a 1-day horizon catches it with O(window)
+  state instead of O(corpus)). The hash is xxhash64 of the text — the
+  same key the batch operator groups on, so batch and stream agree.
+* ``dedup_minhash_stream`` — near-dup candidate *marking* for a stream:
+  computes the same banded MinHash keys as the batch LSH
+  (operators/dedup.minhash_signatures) and drops rows whose (band,
+  band_hash) was already seen inside the watermark — the streaming
+  analogue of the batch bucket self-join; recall/precision follow the
+  batch banding analysis. Per-band state, bounded by the watermark.
+
+Both run the identical code path in batch mode (a batch DataFrame simply
+has no watermark and dedups over the whole input), which is what the
+batch-equivalence tests assert with trigger(availableNow=True).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def content_hash(df: DataFrame, text_col: str) -> DataFrame:
+    return df.withColumn("content_hash", F.xxhash64(F.col(text_col)))
+
+
+def dedup_exact_stream(
+    df: DataFrame, text_col: str, ts_col: str, watermark: str = "1 day"
+) -> DataFrame:
+    """First occurrence of each content hash within the watermark horizon.
+
+    Streaming input → stateful dropDuplicatesWithinWatermark (state evicts
+    hashes older than the horizon). Batch input → plain dropDuplicates
+    (whole-input dedup), so the same function serves both paths.
+    """
+    hashed = content_hash(df, text_col)
+    if hashed.isStreaming:
+        return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["content_hash"]
+        )
+    return hashed.dropDuplicates(["content_hash"])
+
+
+def dedup_minhash_stream(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ts_col: str,
+    watermark: str = "1 day",
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """Near-dup suppression on a stream: a row is dropped when ANY of its
+    LSH band keys was seen within the watermark. Implemented as
+    explode(bands) → stateful dedup on (band, band_hash) → survivors =
+    rows that kept ALL their bands (a row whose every band is fresh
+    cannot be a near-dup of anything in the horizon; one stale band is
+    enough to flag it).
+
+    Returns the deduplicated (id, band-count) frame; `bands_kept < bands`
+    never appears in the output — such rows were suppressed.
+    """
+    from ..operators.dedup import minhash_signatures
+
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df.select(id_col, text_col, ts_col), id_col, text_col,
+                              num_perm, k)
+    src = df.select(id_col, ts_col).join(sigs, id_col)
+    banded = src.select(
+        F.col(id_col),
+        F.col(ts_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.xxhash64(
+                    F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band).cast(
+                        "string"
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    if banded.isStreaming:
+        # first ARRIVAL wins a band (stateful, watermark-bounded state).
+        # Append mode supports ONE stateful operator, so the streaming
+        # path returns the band SURVIVORS (id, ts, band, band_hash);
+        # callers aggregate bands_kept >= bands per sink batch /
+        # foreachBatch — see suppress_ids() and tests/test_streaming.py.
+        return banded.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["band", "band_hash"]
+        )
+    else:
+        # batch analogue must pick band winners DETERMINISTICALLY (plain
+        # dropDuplicates keeps an arbitrary row per key — exact clones
+        # could split the 16 bands between them and BOTH die): the
+        # earliest (ts, id) row wins every contested band, so the first
+        # occurrence always survives with all its bands
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "band_hash").orderBy(ts_col, id_col)
+        fresh = (
+            banded.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    return suppress_ids(fresh, id_col, bands)
+
+
+def suppress_ids(fresh_bands: DataFrame, id_col: str, bands: int = 16) -> DataFrame:
+    """(id, bands_kept) rows for documents that kept ALL their bands —
+    the suppression aggregate, applied batch-side (or per sink batch for
+    the streaming survivors)."""
+    return (
+        fresh_bands.groupBy(id_col)
+        .agg(F.count("*").alias("bands_kept"))
+        .filter(F.col("bands_kept") >= bands)
+    )

@@ -130,3 +130,103 @@ def test_stream_pip_assign_matches_batch(spark, tmp_path):
     rdf = spark.table("pip_rates_test").toPandas()
     assert rdf.n.sum() == len(got)
     assert set(rdf.gid) == {0, 1, 2, 3}
+
+
+def _docs_two_files(spark, tmp_path):
+    """Two parquet 'arrival' files: originals (early ts), then re-crawl
+    clones of every 3rd doc (late ts)."""
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    base = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+        .withColumn("ts", F.to_timestamp(F.lit("2026-01-01 00:00:00")))
+    )
+    clones = base.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 5000).alias("doc_id"),
+        "text",
+        F.to_timestamp(F.lit("2026-01-01 01:00:00")).alias("ts"),
+    )
+    base.coalesce(1).write.parquet(str(d / "f0"))
+    clones.coalesce(1).write.parquet(str(d / "f1"))
+    return str(d), base, clones
+
+
+def _drain_append(stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def test_dedup_exact_stream_matches_batch(spark, tmp_path):
+    from prclz_spark.streaming.dedup import dedup_exact_stream
+
+    d, base, clones = _docs_two_files(spark, tmp_path)
+    full = base.unionByName(clones)
+    batch = dedup_exact_stream(full, "text", "ts").toPandas()
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*")
+    )
+    got = _drain_append(dedup_exact_stream(stream, "text", "ts"), "dedup_exact").toPandas()
+    # same survivor count and the same set of content hashes either way
+    assert len(got) == len(batch) == 60
+    assert set(got.content_hash) == set(batch.content_hash)
+    # in the stream, the EARLY file won every contested hash
+    assert (got.doc_id < 5000).all()
+
+
+def test_dedup_minhash_stream_suppresses_recrawl(spark, tmp_path):
+    from prclz_spark.streaming.dedup import dedup_minhash_stream, suppress_ids
+
+    d, base, clones = _docs_two_files(spark, tmp_path)
+    full = base.unionByName(clones)
+
+    # ground truth from the batch signatures: docs sharing NO band with any
+    # other doc ("isolated") must always survive; exact clones never do
+    from prclz_spark.operators.dedup import minhash_signatures
+
+    sigs = {
+        int(r.doc_id): tuple(r.sig)
+        for r in minhash_signatures(full, "doc_id", "text").collect()
+    }
+    from collections import Counter
+
+    band_count = Counter(
+        (b, s[b * 4 : b * 4 + 4]) for s in sigs.values() for b in range(16)
+    )
+    isolated = {
+        i
+        for i, s in sigs.items()
+        if i < 5000 and all(band_count[(b, s[b * 4 : b * 4 + 4])] == 1 for b in range(16))
+    }
+    assert len(isolated) >= 20  # the fixture has enough distinct docs to test
+
+    surv = dedup_minhash_stream(full, "doc_id", "text", "ts").toPandas()
+    got_batch = set(surv.doc_id)
+    assert (surv.bands_kept == 16).all()
+    assert got_batch <= set(range(60))  # every clone suppressed
+    assert isolated <= got_batch  # band-isolated docs always survive
+
+    # streaming path: file order = arrival order; clones arrive second and
+    # lose all their bands to the originals' state entries
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*")
+    )
+    fresh = dedup_minhash_stream(stream, "doc_id", "text", "ts")
+    sink = _drain_append(fresh, "dedup_minhash")
+    got = suppress_ids(sink, "doc_id").toPandas()
+    got_stream = set(got.doc_id)
+    assert got_stream <= set(range(60))
+    assert isolated <= got_stream
