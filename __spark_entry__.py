@@ -604,7 +604,10 @@ def _q_geo_parcels(spark, sf_dir):
     parcels = tessellate(blocks, bldgs, res)
     return parcels.groupBy("block_id").agg(
         F.count("*").alias("n_parcels"),
-        F.round(F.sum(st_area(F.col("geometry"))) * 1e6, 6).alias("area_e6"),
+        # 4dp: parcels tile the block exactly up to S-H float dust (~4e-8
+        # relative), so the per-block sum rounds to the closed-form cell
+        # area — which is what the DuckDB oracle replays
+        F.round(F.sum(st_area(F.col("geometry"))) * 1e6, 4).alias("area_e6"),
     )
 
 
@@ -1394,6 +1397,33 @@ def oracle_sql() -> dict[str, str]:
         "winnow_near_pairs": _WINNOW_PAIRS_ORACLE,
         "minhash_lsh_neardup": _MINHASH_LSH_ORACLE_TMPL.format(SIG=_minhash_sig_sql()),
         "simhash_neardup": _SIMHASH_ORACLE,
+        # 4×4 world closed form: 14 square-cell blocks (6 ring buildings →
+        # 6 parcels, area CELL²=1e-4 deg² → 100.0e-6) + 2 diagonal cells
+        # (cell_idx%7==3 → cells (0,3) and (2,2)) each split into two
+        # triangles; the 45° diagonal through the ring center splits the 6
+        # buildings 3/3 (ring angles 15°..315°, min |sin(θ-45°)|=0.5 →
+        # margin 0.11·CELL, 4× the multipart-centroid shift). Block ids
+        # replay polygonize's (cj, ci)-ordered face enumeration per
+        # quadrant, diagonal cells claiming two consecutive ids (same
+        # replay as tile_block_coverage).
+        "geo_parcels": """
+            WITH cells AS (
+              SELECT a.i AS ci, b.j AS cj,
+                     CAST(a.i // 2 AS INT) AS gi, CAST(b.j // 2 AS INT) AS gj,
+                     CASE WHEN (a.i * 4 + b.j) % 7 = 3 THEN 2 ELSE 1 END AS nb
+              FROM generate_series(0, 3) a(i), generate_series(0, 3) b(j)
+            ), numbered AS (
+              SELECT *, COALESCE(SUM(nb) OVER (PARTITION BY gi, gj ORDER BY cj, ci
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+              FROM cells
+            )
+            SELECT 'TST.' || CAST(gi + 1 AS VARCHAR) || '.' || CAST(gj + 1 AS VARCHAR)
+                     || '_1_' || CAST(base + s.k AS VARCHAR) AS block_id,
+                   CAST(CASE WHEN nb = 2 THEN 3 ELSE 6 END AS BIGINT) AS n_parcels,
+                   CAST(CASE WHEN nb = 2 THEN 50.0 ELSE 100.0 END AS DOUBLE) AS area_e6
+            FROM numbered, generate_series(0, 1) s(k)
+            WHERE s.k < nb
+        """,
         "iceberg_snapshots": """
             SELECT 0 AS snapshot, COUNT(*) AS n_docs,
                    CAST(SUM(length(text)) AS BIGINT) AS sum_len,
