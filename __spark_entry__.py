@@ -590,7 +590,6 @@ def _q_geo_blocks(spark, sf_dir):
 def _q_geo_complexity(spark, sf_dir):
     return entry(spark)
 
-
 def _q_geo_parcels(spark, sf_dir):
     from prclz_spark import cells as C
     from prclz_spark import fixtures as FX
