@@ -62,6 +62,18 @@ def _candidate_pairs(p: np.ndarray, q: np.ndarray) -> tuple:
     xmax = np.maximum(p[:, 0], q[:, 0])
     ymin = np.minimum(p[:, 1], q[:, 1])
     ymax = np.maximum(p[:, 1], q[:, 1])
+    if m <= 128:
+        # all-pairs beats the bucket machinery below this size (the grid
+        # setup costs ~ms; 128² bbox tests cost ~µs). Same (i<j)-sorted
+        # candidate order and the same bbox refine, so node_segments'
+        # output is unchanged (it is exact per pair regardless of the
+        # candidate superset).
+        ii, jj = np.triu_indices(m, 1)
+        ov = (
+            (xmin[ii] <= xmax[jj]) & (xmax[ii] >= xmin[jj])
+            & (ymin[ii] <= ymax[jj]) & (ymax[ii] >= ymin[jj])
+        )
+        return ii[ov].astype(np.int64), jj[ov].astype(np.int64)
     gx0, gy0 = float(xmin.min()), float(ymin.min())
     extent = max(float(xmax.max()) - gx0, float(ymax.max()) - gy0)
     seg_len = np.hypot(q[:, 0] - p[:, 0], q[:, 1] - p[:, 1])
@@ -343,30 +355,39 @@ def trace_faces(g: nx.Graph) -> list:
     — the face decomposition is identical, only discovery order differs."""
     if g.number_of_nodes() < 2:
         return []
-    emb = rotation_embedding(g)
-    directed = set()
-    for u, v in g.edges():
-        directed.add((u, v))
-        directed.add((v, u))
-    order = sorted(directed)
+    # successor map (prev,cur) → (cur,next): the rotation-system walk as a
+    # PERMUTATION over directed edges. succ is a bijection (next uniquely
+    # determines prev in cur's rotation), so faces are exactly its cycles —
+    # identical decomposition to the step-by-step walk, without the O(deg)
+    # nbrs.index() per step. Seeds iterate in the same sorted directed-edge
+    # order, so the face LIST order (which inner_faces' stable len-sort
+    # depends on for outer-face ties) is unchanged.
+    succ: dict = {}
+    for v in g.nodes():
+        nbrs = list(g.neighbors(v))
+        if not nbrs:
+            continue
+        keys = [math.atan2(nb[0] - v[0], nb[1] - v[1]) for nb in nbrs]
+        order_ix = sorted(range(len(nbrs)), key=keys.__getitem__)  # stable, same keys
+        rot = [nbrs[k] for k in order_ix]
+        deg = len(rot)
+        pos = {nb: t for t, nb in enumerate(rot)}
+        for nb in nbrs:
+            succ[(nb, v)] = (v, rot[(pos[nb] + 1) % deg])
     faces = []
     used = set()
-    for seed in order:
+    for seed in sorted(succ):
         if seed in used:
             continue
         face = [seed]
         used.add(seed)
-        budget = 2 * len(directed) + 4
-        while budget:
+        cur = succ[seed]
+        budget = 2 * len(succ) + 4
+        while cur != seed and budget:
             budget -= 1
-            prev, cur = face[-1]
-            nbrs = emb[cur]
-            nxt = nbrs[(nbrs.index(prev) + 1) % len(nbrs)]
-            cand = (cur, nxt)
-            if cand == face[0]:
-                break
-            face.append(cand)
-            used.add(cand)
+            face.append(cur)
+            used.add(cur)
+            cur = succ[cur]
         faces.append(face)
     return faces
 
