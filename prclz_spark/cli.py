@@ -86,6 +86,19 @@ def main(argv=None):
     sp_all.add_argument("--out", required=True)
     sp_all.add_argument("--no-reblock", action="store_true")
 
+    sp_ing = sub.add_parser(
+        "ingest-images",
+        help="append an image+caption batch to an iceberg-lite table "
+             "(creates the table on first use; snapshots/time-travel via "
+             "sources/iceberg_lite)",
+    )
+    sp_ing.add_argument("--table", required=True, help="table root path")
+    sp_ing.add_argument("--images", default=None,
+                        help="parquet of (image_id,bytes,w,h,fmt,caption,phash); "
+                             "omit to generate --n synthetic tiles")
+    sp_ing.add_argument("--n", type=int, default=256,
+                        help="synthetic tile count when --images is omitted")
+
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -137,6 +150,25 @@ def main(argv=None):
                 outside_node=args.outside_node, thru_streets_top_n=args.thru,
                 simplify_roads=args.simplify,
             )
+        elif args.cmd == "ingest-images":
+            import os as _os
+
+            from . import schemas as S
+            from .sources import iceberg_lite as IL
+
+            if not _os.path.exists(_os.path.join(args.table, "metadata")):
+                ddl = S.IMAGES.simpleString().replace("struct<", "").rstrip(">")
+                IL.create_table(args.table, ddl)
+            if args.images:
+                batch = spark.read.parquet(args.images)
+            else:
+                from . import images as IM
+
+                batch = IM.images_table(spark, args.n)
+            snap = IL.append(batch, args.table, stats_cols=["image_id"])
+            n = IL.read(spark, args.table).count()
+            print(f"committed snapshot {snap}: table now {n} rows", file=sys.stderr)
+            return
         elif args.cmd == "pipeline":
             from .pipeline import run_pipeline
 

@@ -39,3 +39,15 @@ def test_cli_blocks_and_complexity(spark, tmp_path, monkeypatch):
     out = spark.read.option("header", "true").csv(str(tmp_path / "cplx.pq"))
     assert out.count() > 0
     assert "complexity" in out.columns
+
+
+def test_cli_ingest_images(spark, tmp_path):
+    from prclz_spark import cli
+    from prclz_spark.sources import iceberg_lite as IL
+
+    t = str(tmp_path / "imgtbl")
+    cli.main(["ingest-images", "--table", t, "--n", "16"])
+    cli.main(["ingest-images", "--table", t, "--n", "8"])
+    assert IL.current_snapshot(t) == 1
+    assert IL.read(spark, t).count() == 24
+    assert IL.read(spark, t, snapshot=0).count() == 16
