@@ -63,3 +63,36 @@ def test_reblock_cogroup_linear_shuffles(spark):
     # block geometry onto parcels, PIP cover cells onto centroids)
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_winnow_pairs_no_cartesian(spark):
+    """winnow_near_pairs must pair docs ONLY through the fp equi-join —
+    no CartesianProduct / nested-loop join may ever appear (that's the
+    all-pairs O(n²) failure mode at corpus scale)."""
+    from prclz_spark.operators.dedup import winnow_near_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "some text body %d" % i) for i in range(20)], "doc_id long, text string"
+    )
+    plan = winnow_near_pairs(docs, "doc_id", "text")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_iceberg_pruned_scan_pushes_filters(spark, tmp_path):
+    """Manifest pruning composes with Catalyst row-filter pushdown: the
+    surviving files' scan must show PushedFilters on the stats column."""
+    from pyspark.sql import functions as F
+
+    from prclz_spark.sources import iceberg_lite as IL
+
+    t = str(tmp_path / "tbl")
+    IL.create_table(t, "doc_id bigint, v bigint")
+    IL.append(spark.range(50).selectExpr("id as doc_id", "id*3 as v"), t, stats_cols=["v"])
+    IL.append(spark.range(50, 100).selectExpr("id as doc_id", "id*3 as v"), t, stats_cols=["v"])
+    df = IL.read(spark, t, prune=("v", 0, 100)).filter(F.col("v") <= 100)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(v), LessThanOrEqual(v,100)]" in plan
+    # the pruned file set really is smaller
+    assert len(IL.files_at(t, prune=("v", 0, 100))) < len(IL.files_at(t))
