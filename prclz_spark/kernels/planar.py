@@ -232,7 +232,7 @@ def _cluster_vertices(pts: np.ndarray, eps: float) -> np.ndarray:
     Grid-bucket candidate generation (checking the 3×3 neighborhood) makes
     it O(n) and free of round()-boundary artifacts."""
     n = len(pts)
-    parent = np.arange(n)
+    parent = list(range(n))
 
     def find(i):
         while parent[i] != i:
@@ -240,19 +240,26 @@ def _cluster_vertices(pts: np.ndarray, eps: float) -> np.ndarray:
             i = parent[i]
         return i
 
+    # plain-Python coordinate lists: identical merges in identical order,
+    # without numpy scalar-extraction cost on the O(n·9·bucket) inner loop
+    px = pts[:, 0].tolist()
+    py = pts[:, 1].tolist()
     buckets: dict[tuple, list] = {}
-    keys = np.floor(pts / eps).astype(np.int64)
-    for i, (kx, ky) in enumerate(keys):
+    keys = np.floor(pts / eps).astype(np.int64).tolist()
+    for i in range(n):
+        kx, ky = keys[i]
+        xi = px[i]
+        yi = py[i]
         for dx in (-1, 0, 1):
             for dy in (-1, 0, 1):
                 lst = buckets.get((kx + dx, ky + dy))
                 if lst:
                     for j in lst:
-                        if abs(pts[j, 0] - pts[i, 0]) <= eps and abs(pts[j, 1] - pts[i, 1]) <= eps:
+                        if abs(px[j] - xi) <= eps and abs(py[j] - yi) <= eps:
                             ri, rj = find(i), find(j)
                             if ri != rj:
                                 parent[ri] = rj
-        buckets.setdefault((int(kx), int(ky)), []).append(i)
+        buckets.setdefault((kx, ky), []).append(i)
     return np.array([find(i) for i in range(n)])
 
 
@@ -1091,13 +1098,16 @@ def _snap_to_canon(ring: np.ndarray, canon: np.ndarray, eps: float = 1e-9) -> np
         return ring
     ring = np.asarray(ring, dtype=np.float64).copy()
     cx, cy = canon[:, 0], canon[:, 1]
-    for i in range(len(ring)):
-        x, y = ring[i]
-        m = (np.abs(cx - x) <= eps) & (np.abs(cy - y) <= eps)
-        if m.any():
-            j = int(np.nonzero(m)[0][0])
-            ring[i, 0] = cx[j]
-            ring[i, 1] = cy[j]
+    # one (|ring| × |canon|) pass; bool argmax = index of the FIRST match,
+    # identical to the per-vertex nonzero()[0][0] scan it replaces
+    m = (np.abs(cx[None, :] - ring[:, 0:1]) <= eps) & (
+        np.abs(cy[None, :] - ring[:, 1:2]) <= eps
+    )
+    has = m.any(axis=1)
+    if has.any():
+        j = m.argmax(axis=1)
+        ring[has, 0] = cx[j[has]]
+        ring[has, 1] = cy[j[has]]
     return ring
 
 
