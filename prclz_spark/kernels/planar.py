@@ -694,23 +694,31 @@ def split_ring_parts(ring: np.ndarray, eps: float = 1e-12) -> list:
     repeated vertices) into simple sub-rings, mirroring the MultiPolygon
     that GEOS `intersection` would return (`_complexity.py:38-42`)."""
     pts = ring[:-1] if len(ring) > 1 and np.array_equal(ring[0], ring[-1]) else ring
+    # plain-Python coordinate lists (identical float values and identical
+    # key arithmetic — the /eps division is kept verbatim; multiplying by
+    # a precomputed reciprocal would change the rounding keys)
+    px = pts[:, 0].tolist() if len(pts) else []
+    py = pts[:, 1].tolist() if len(pts) else []
     # remove consecutive duplicates
-    keep = [0]
-    for i in range(1, len(pts)):
-        if abs(pts[i][0] - pts[keep[-1]][0]) > eps or abs(pts[i][1] - pts[keep[-1]][1]) > eps:
+    keep = [0] if px else []
+    for i in range(1, len(px)):
+        if abs(px[i] - px[keep[-1]]) > eps or abs(py[i] - py[keep[-1]]) > eps:
             keep.append(i)
-    if len(keep) > 1 and abs(pts[keep[0]][0] - pts[keep[-1]][0]) <= eps and abs(pts[keep[0]][1] - pts[keep[-1]][1]) <= eps:
+    if len(keep) > 1 and abs(px[keep[0]] - px[keep[-1]]) <= eps and abs(py[keep[0]] - py[keep[-1]]) <= eps:
         keep.pop()
-    pts = pts[keep]
-    n = len(pts)
+    px = [px[i] for i in keep]
+    py = [py[i] for i in keep]
+    n = len(px)
     if n < 3:
         return []
     # stack-based loop extraction at repeated vertices
+    d = max(eps, 1e-300)
     out = []
     stack: list[tuple] = []
     index: dict[tuple, int] = {}
     for i in range(n + 1):
-        key = (round(pts[i % n][0] / max(eps, 1e-300)), round(pts[i % n][1] / max(eps, 1e-300)))
+        ii = i % n
+        key = (round(px[ii] / d), round(py[ii] / d))
         if key in index and i < n + 1:
             j = index[key]
             loop = stack[j:]
@@ -723,10 +731,10 @@ def split_ring_parts(ring: np.ndarray, eps: float = 1e-12) -> list:
             stack = stack[:j]
             if i < n:
                 index[key] = len(stack)
-                stack.append((key, pts[i % n]))
+                stack.append((key, (px[ii], py[ii])))
         elif i < n:
             index[key] = len(stack)
-            stack.append((key, pts[i % n]))
+            stack.append((key, (px[ii], py[ii])))
     if len(stack) >= 3:
         out.append(np.asarray([p for (_, p) in stack] + [stack[0][1]]))
     return [r for r in out if _abs_ring_area(r) > 0.0]
