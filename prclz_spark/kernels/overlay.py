@@ -76,17 +76,28 @@ def _region_from_predicate(pieces: list, pred=None, pred_batch=None) -> G.Geom |
     dx = arr[:, 2] - arr[:, 0]
     dy = arr[:, 3] - arr[:, 1]
     ln = np.hypot(dx, dy)
-    ok = ln >= 1e-300
+    # skip zero-length pieces AND pieces whose endpoints collapse under the
+    # round-9 output key: they can never yield a directed edge (ka == kb is
+    # dropped below), and their probe offset would exceed the piece itself —
+    # a sliver probed across neighboring geometry mislabels nothing if it is
+    # never probed (ADVICE r3).
+    kq = np.round(arr, 9)
+    ok = (ln >= 1e-300) & ~((kq[:, 0] == kq[:, 2]) & (kq[:, 1] == kq[:, 3]))
     arr, dx, dy, ln = arr[ok], dx[ok], dy[ok], ln[ok]
     mx = 0.5 * (arr[:, 0] + arr[:, 2])
     my = 0.5 * (arr[:, 1] + arr[:, 3])
     # left normal; probe a hair off the midpoint on each side. The probe
     # must clear geom.point_in_ring's ABSOLUTE on-boundary band
     # (|cross| < 1e-12 ⇒ within 1e-12/seg_len of the segment), which at
-    # small coordinate scales is wider than a fixed 1e-9.
+    # small coordinate scales is wider than a fixed 1e-9. For pieces long
+    # enough that a fraction of their own length still clears the band
+    # (ln ≥ 3e-6), cap the offset at 0.45·ln so the probe stays local to
+    # the piece instead of landing across neighboring slivers.
     nx_ = -dy / ln
     ny_ = dx / ln
     eps = np.maximum(np.maximum(1e-9, ln * 1e-6), 4e-12 / ln)
+    cap_ok = ln >= 3e-6
+    eps = np.where(cap_ok, np.minimum(eps, 0.45 * ln), eps)
     lx, ly = mx + eps * nx_, my + eps * ny_
     rx, ry = mx - eps * nx_, my - eps * ny_
     if pred_batch is not None:

@@ -271,7 +271,7 @@ INSERT_EPS = 1e-11  # vertex-on-edge tolerance: float-dust scale ONLY.
 # over-connects (measured: k jumps of +2..+4 on detailed blocks).
 
 
-def graph_from_rings(rings, eps: float = SNAP, insert_on_edges: bool = True) -> nx.Graph:
+def graph_from_rings(rings, eps: float = SNAP, insert_on_edges: bool = False) -> nx.Graph:
     """Rings share nodes by coordinate identity — the node-dedup behavior of
     `PlanarGraph.from_polygons` (topology.py:193-204). pytess emits each
     shared Voronoi vertex once (exact float match); our cells are clipped
@@ -279,7 +279,9 @@ def graph_from_rings(rings, eps: float = SNAP, insert_on_edges: bool = True) -> 
     property GEOS gives the reference for free:
 
     1. eps-close vertices are clustered to a representative (as before);
-    2. vertex-on-edge insertion: a canonical vertex lying within eps of the
+    2. (opt-in via ``insert_on_edges=True``; default OFF — the production
+       s0 config measured it off, see S0_CFG["insert"])
+       vertex-on-edge insertion: a canonical vertex lying within eps of the
        INTERIOR of another ring's edge splits that edge. Without this, two
        cells' copies of the same boundary can subdivide differently (one
        cell's clip kept a block vertex the other's dropped), leaving
@@ -443,9 +445,12 @@ def face_undirected_edges(face) -> set:
     }
 
 
-def weak_dual(g: nx.Graph) -> nx.Graph:
+def weak_dual(g: nx.Graph, faces=None) -> nx.Graph:
     """Weak dual over inner faces (topology.py:356-375): node per face
     centroid, edge iff two DISTINCT faces share an undirected edge.
+    ``faces`` accepts precomputed ``inner_faces(g)`` so callers that
+    already traced this level (weak_dual_sequence_len) don't pay the
+    face-tracing cost twice.
 
     Two semantics notes, both validated against the golden DJI fixture
     (`example_data/complexity/.../complexity_DJI.1.1_1.csv`):
@@ -459,7 +464,8 @@ def weak_dual(g: nx.Graph) -> nx.Graph:
       fixture; the fixture was produced without self-adjacency.
     """
     dual = nx.Graph()
-    faces = inner_faces(g)
+    if faces is None:
+        faces = inner_faces(g)
     edge_sets = [face_undirected_edges(f) for f in faces]
     cents = [face_centroid(f) for f in faces]
     # Reference-faithful option (S0_CFG['selfloops']): the reference
@@ -498,7 +504,7 @@ def weak_dual_sequence_len(g0: nx.Graph, max_k: int = 64) -> int:
     k = 0
     while g.number_of_nodes() > 0 and k < max_k:
         faces = inner_faces(g)
-        nxt = weak_dual(g)
+        nxt = weak_dual(g, faces=faces)
         if nxt.number_of_nodes() == 0:
             if len(faces) == 1:
                 k += 1
@@ -1064,6 +1070,8 @@ def voronoi_pytess(anchors: np.ndarray) -> list:
 # single-arrangement union of canonicalized cells, corner dummies, no dual
 # self-loops — 138/196 exact vs the golden fixture at kernel level, up
 # from 135 in round 2).
+PYTESS_PAIR_ASPECT = 0.6
+
 S0_CFG = {
     "dummies": "corner",   # empirically beats pytess's mid-side layout here
     "canon": True,         # unify dust-duplicate cell vertices across cells
@@ -1072,6 +1080,11 @@ S0_CFG = {
     "insert": False,       # vertex-on-edge insertion (non-arrangement)
     "arrangement": True,   # one noded arrangement over all kept rings
     "selfloops": False,    # reference code implies self-pairs; measured off
+    # two-anchor pytess float-degeneracy threshold (None disables the rule).
+    # Fitted on the 16 two-building DJI golden blocks (margin [0.568,
+    # 0.617], see _pytess_pair_degenerate); gated here so deployments
+    # outside that fixture's geometry can turn it off per-run.
+    "pair_aspect": PYTESS_PAIR_ASPECT,
 }
 
 
@@ -1182,9 +1195,6 @@ def s0_graph(block_ring: np.ndarray, centroids: np.ndarray, boundary_set=None) -
     )
 
 
-PYTESS_PAIR_ASPECT = 0.6
-
-
 def _pytess_pair_degenerate(centroids: np.ndarray) -> bool:
     """pytess float-degeneracy rule for TWO-anchor blocks.
 
@@ -1208,7 +1218,10 @@ def _pytess_pair_degenerate(centroids: np.ndarray) -> bool:
     0.3%). The production threshold 0.6 sits mid-margin [0.568, 0.617]; the
     exact breakpoint is a float artifact of the original implementation and
     is not recoverable without bit-level replay (documented in
-    ROADMAP.md)."""
+    ROADMAP.md). Gated behind ``S0_CFG["pair_aspect"]`` (None disables)."""
+    thresh = S0_CFG.get("pair_aspect")
+    if thresh is None:
+        return False
     uniq = np.unique(centroids, axis=0)
     if len(uniq) != 2:
         return False
@@ -1217,7 +1230,7 @@ def _pytess_pair_degenerate(centroids: np.ndarray) -> bool:
     hi = max(dx, dy)
     if hi == 0:
         return True
-    return (min(dx, dy) / hi) < PYTESS_PAIR_ASPECT
+    return (min(dx, dy) / hi) < thresh
 
 
 def _strictly_contains(ring: np.ndarray, x: float, y: float) -> bool:

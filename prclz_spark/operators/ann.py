@@ -108,12 +108,16 @@ def train_centroids(
     """K-means coarse quantizer trained on a driver-side SAMPLE (Lloyd's
     iterations in numpy). The training set is a bounded sample — at 10⁹+
     vectors the centroid table is still O(n_lists·dim), a broadcastable
-    dim; assignment of the full corpus stays distributed (ivf_assign)."""
-    rows = (
-        corpus.select(vec_col).sample(fraction=sample_frac, seed=seed).limit(100_000).collect()
-        if sample_frac < 1.0
-        else corpus.select(vec_col).limit(100_000).collect()
-    )
+    dim; assignment of the full corpus stays distributed (ivf_assign).
+
+    The bound is enforced with orderBy(rand)+limit, which Spark compiles
+    to TakeOrderedAndProject (per-partition 100k-heap, merged at the
+    driver) — every partition contributes, unlike a bare ``limit`` that
+    would take the first partitions only (first-partitions bias)."""
+    s = corpus.select(vec_col)
+    if sample_frac < 1.0:
+        s = s.sample(fraction=sample_frac, seed=seed)
+    rows = s.orderBy(F.rand(seed)).limit(100_000).collect()
     X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     rng = np.random.default_rng(seed)
     cents = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)]

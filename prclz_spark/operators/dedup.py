@@ -116,12 +116,18 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
 ) -> DataFrame:
     """Candidate pairs from LSH bands, verified by estimated Jaccard
-    (signature agreement rate — the standard MinHash estimator)."""
+    (signature agreement rate — the standard MinHash estimator).
+
+    Shuffle hygiene (VERDICT r3 #7): the band self-join carries ONLY
+    (id, band, band_hash) — never the 64-long signatures. Shipping the
+    signature with each of the ``bands`` exploded copies (on both join
+    sides) multiplies the exchange by ~2·bands·|sig|; at 10¹⁰ docs that is
+    terabytes of redundant traffic. Signatures are re-joined onto the
+    (much smaller) surviving candidate-pair set instead."""
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(df, id_col, text_col, num_perm, k).cache()
     banded = sigs.select(
         F.col(id_col),
-        F.col("sig"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -131,16 +137,15 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_hash"),
     )
-    left = banded.select(
-        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_hash"
-    )
-    right = banded.select(
-        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "band_hash"
-    )
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     cand = (
         left.join(right, ["band", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+        .join(sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
     )
     est = F.expr(
         "aggregate(zip_with(sig_a, sig_b, (x, y) -> CAST(x = y AS INT)), 0, (acc, v) -> acc + v)"

@@ -60,7 +60,6 @@ def _merge_cells_of_building(rings: list) -> G.Geom | None:
         return None
     if len(rings) == 1:
         return G.Geom(G.POLYGON, [rings[0]])
-    g = P.graph_from_rings(rings)
     # boundary edges appear in exactly one ring traversal; interior edges in two
     from collections import Counter
 

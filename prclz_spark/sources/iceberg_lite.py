@@ -35,8 +35,19 @@ from __future__ import annotations
 import json
 import os
 import uuid
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _local_path(uri: str) -> str:
+    """input_file_name() returns a percent-encoded URI; decode file:// URIs
+    to a plain filesystem path (spaces etc. round-trip), keep non-file
+    schemes (s3a://, hdfs://) verbatim — Spark re-reads those as URIs."""
+    parsed = urlparse(uri)
+    if parsed.scheme in ("", "file"):
+        return unquote(parsed.path)
+    return uri
 
 
 def _meta_dir(path: str) -> str:
@@ -110,7 +121,7 @@ def append(df: DataFrame, path: str, stats_cols: list[str] | None = None) -> int
     )
     files = []
     for r in per_file:
-        ent = {"path": r["_file"].replace("file://", ""), "rows": r["_rows"]}
+        ent = {"path": _local_path(r["_file"]), "rows": r["_rows"]}
         for c in stats_cols or []:
             ent[f"min_{c}"] = r[f"_min_{c}"]
             ent[f"max_{c}"] = r[f"_max_{c}"]

@@ -96,3 +96,31 @@ def test_iceberg_pruned_scan_pushes_filters(spark, tmp_path):
     assert "PushedFilters: [IsNotNull(v), LessThanOrEqual(v,100)]" in plan
     # the pruned file set really is smaller
     assert len(IL.files_at(t, prune=("v", 0, 100))) < len(IL.files_at(t))
+
+
+def test_minhash_band_exchange_ships_no_signatures(spark):
+    """VERDICT r3 #7: the LSH band self-join must exchange ONLY
+    (id, band, band_hash) — the 64-long signatures are re-joined onto
+    surviving candidate pairs, never duplicated bands× through the
+    banded shuffle (terabytes of redundant traffic at 10¹⁰ docs)."""
+    import re
+
+    from prclz_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "text body %d" % i) for i in range(20)], "doc_id long, text string"
+    )
+    out = minhash_lsh_pairs(docs, "doc_id", "text")
+    ex = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    band_exchanges = [
+        b
+        for b in re.split(r"\n(?=\(\d+\) )", ex)
+        if b.startswith("(")
+        and "Exchange" in b.split("\n")[0]
+        and "hashpartitioning(band" in b
+    ]
+    assert band_exchanges, "expected band-keyed exchanges in the plan"
+    for b in band_exchanges:
+        assert "sig" not in b, f"signature column rides the band exchange:\n{b}"
