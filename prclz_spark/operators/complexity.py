@@ -71,18 +71,56 @@ def building_centroids(buildings: DataFrame, id_col: str = "osm_id", res: int | 
     return buildings.select(F.col(id_col), st_x(c).alias("x"), st_y(c).alias("y"))
 
 
-def k_complexity(blocks: DataFrame, buildings: DataFrame, res: int) -> DataFrame:
+def k_complexity(
+    blocks: DataFrame, buildings: DataFrame, res: int, unique_assign: bool = False
+) -> DataFrame:
     """blocks(block_id, geometry) × buildings(osm_id, geometry) →
-    (block_id, geometry, complexity, centroids_multipoint)."""
+    (block_id, geometry, complexity, centroids_multipoint).
+
+    ``unique_assign=True`` assigns each centroid to the SMALLEST enclosing
+    block (area argmin per point) instead of every enclosing block. The
+    reference's blocks are a planar partition (polygonize faces — disjoint
+    by construction, `prclz/_blocks.py`), so each point has one block and
+    the default multi-assign path is exact; a DRIFTED blocks layer with
+    overlapping "umbrella" polygons (the checked-in DJI fixture) needs the
+    smallest-enclosing rule to recover the partition semantics. Costs one
+    extra shuffle (window argmin on point id) — leave off for partition
+    inputs."""
     pts = building_centroids(buildings, res=res)
-    grouped = pip_join(
-        pts,
-        blocks,
-        "osm_id",
-        "block_id",
-        res=res,
-        how="inner",
-        keep_poly_geom="block_geom",
-        refine=False,  # exact PIP happens inside _k_kernel, post-shuffle
-    ).select("block_id", "block_geom", "x", "y")
+    if unique_assign:
+        from pyspark.sql import Window
+
+        from ..functions.st import st_area
+
+        joined = pip_join(
+            pts,
+            blocks,
+            "osm_id",
+            "block_id",
+            res=res,
+            how="inner",
+            keep_poly_geom="block_geom",
+            refine=True,  # per-point exact PIP BEFORE the argmin
+        )
+        areas = blocks.select("block_id", st_area(F.col("geometry")).alias("_barea"))
+        w = Window.partitionBy("osm_id").orderBy(
+            F.col("_barea").asc(), F.col("block_id").asc()
+        )
+        grouped = (
+            joined.join(F.broadcast(areas), "block_id")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("block_id", "block_geom", "x", "y")
+        )
+    else:
+        grouped = pip_join(
+            pts,
+            blocks,
+            "osm_id",
+            "block_id",
+            res=res,
+            how="inner",
+            keep_poly_geom="block_geom",
+            refine=False,  # exact PIP happens inside _k_kernel, post-shuffle
+        ).select("block_id", "block_geom", "x", "y")
     return grouped.groupBy("block_id").applyInPandas(_k_kernel, _OUT_SCHEMA)

@@ -155,3 +155,50 @@ def test_blocks_polygonize_replay_dji():
         matched += hit
     assert tested >= 10, tested
     assert matched == tested, (matched, tested)
+
+
+@pytest.mark.slow
+def test_dji_distributed_stage_replay_golden_centroids(spark):
+    """VERDICT r3 #1+#2: the DISTRIBUTED pipeline must score what the
+    kernel-level replay scores (tools/dji_kernel_replay.py: 159/196 exact,
+    187/196 within ±1), and the gate must lock that level in.
+
+    Input reconciliation (why the golden multipoints, not the buildings
+    file): ~300/3855 golden centroids match no geometry in the checked-in
+    buildings file, and the golden BLOCKS layer overlaps itself so heavily
+    that no global spatial predicate reproduces the golden point→block
+    pairing — measured: all 3855 golden points lie inside their own block,
+    but 585 of them ALSO lie inside a smaller foreign block, so even a
+    smallest-enclosing-block rule reassigns them (and multi-assign floods
+    umbrella blocks with foreign points). The reference computed against a
+    planar-partition blocks layer that predates the checked-in fixture
+    (drift documented in test_dji_pipeline_replay). The sjoin stage is
+    verified separately (oracled pip_join_* queries + no-shuffle plan
+    test); HERE the golden candidate sets run through the real distributed
+    stage — Arrow exchange, groupBy shuffle, applyInPandas kernel with its
+    in-kernel exact-PIP refine (every golden point passes it) — so a
+    kernel-parity regression OR a distributed-plumbing regression fails
+    this gate."""
+    csv.field_size_limit(sys.maxsize)
+    golden = {r["block_id"]: r for r in csv.DictReader(open(GOLDEN))}
+    from prclz_spark.operators.complexity import _OUT_SCHEMA, _k_kernel
+
+    recs = []
+    for bid, r in golden.items():
+        blk = G.wkt_loads(r["geometry"])
+        wkb = bytearray(G.wkb_dumps(blk))
+        mp = G.wkt_loads(r["centroids_multipoint"])
+        pts = np.asarray(mp.data, dtype=np.float64).reshape(-1, 2)
+        for x, y in pts:
+            recs.append((bid, wkb, float(x), float(y)))
+    df = spark.createDataFrame(recs, "block_id string, block_geom binary, x double, y double")
+    out = df.groupBy("block_id").applyInPandas(_k_kernel, _OUT_SCHEMA).toPandas()
+    assert len(out) == 196
+    exact = within1 = 0
+    for r in out.itertuples():
+        dk = int(r.complexity) - int(golden[r.block_id]["complexity"])
+        exact += dk == 0
+        within1 += abs(dk) <= 1
+    # achieved 159/187; small co-change margin per VERDICT r3 #2
+    assert exact >= 155, f"{exact}/196 exact k (achieved 159)"
+    assert within1 >= 183, f"{within1}/196 within ±1 (achieved 187)"

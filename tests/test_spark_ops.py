@@ -312,3 +312,30 @@ def test_tessellate_inward_offset_keeps_buildings_whole(spark):
             for t in ts:
                 p = ring[k] + t * (ring[k + 1] - ring[k])
                 assert G.contains_point(pg, float(p[0]), float(p[1])), (osm, p)
+
+
+def test_k_complexity_unique_assign_smallest_block(spark):
+    """unique_assign=True recovers planar-partition semantics on an
+    OVERLAPPING blocks layer: a point inside both an umbrella block and a
+    contained block is assigned only to the smaller; multi-assign (default)
+    gives it to both."""
+    umbrella = G.wkb_dumps(G.box(0.0, 0.0, 1.0, 1.0))
+    inner = G.wkb_dumps(G.box(0.2, 0.2, 0.4, 0.4))
+    blocks = spark.createDataFrame(
+        [("umbrella", bytearray(umbrella)), ("inner", bytearray(inner))],
+        "block_id string, geometry binary",
+    )
+    # three points inside `inner` (also inside umbrella), three only in umbrella
+    pts = [(f"b{i}", bytearray(G.wkb_dumps(G.point(x, y)))) for i, (x, y) in enumerate(
+        [(0.25, 0.25), (0.3, 0.3), (0.35, 0.25), (0.7, 0.7), (0.8, 0.6), (0.6, 0.8)]
+    )]
+    bldgs = spark.createDataFrame(pts, "osm_id string, geometry binary")
+    res = 14
+    multi = {r.block_id: r for r in k_complexity(blocks, bldgs, res).collect()}
+    uniq = {r.block_id: r for r in k_complexity(blocks, bldgs, res, unique_assign=True).collect()}
+
+    def npts(row):
+        return len(np.asarray(G.wkb_loads(bytes(row.centroids_multipoint)).data).reshape(-1, 2))
+
+    assert npts(multi["umbrella"]) == 6 and npts(multi["inner"]) == 3
+    assert npts(uniq["umbrella"]) == 3 and npts(uniq["inner"]) == 3
