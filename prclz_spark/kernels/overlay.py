@@ -228,6 +228,38 @@ def overlay(a: G.Geom, b: G.Geom, op: str) -> G.Geom | None:
     return _region_from_predicate(pieces, pred_batch=pred_batch)
 
 
+def union_n(geoms: list) -> G.Geom | None:
+    """N-way union in ONE noded arrangement (VERDICT r3 #6): all inputs'
+    boundary segments are noded together (bucketed-grid noder, near-linear)
+    and each piece is kept iff exactly one side lies inside ANY input —
+    replacing the sequential per-pair fold whose accumulated boundary makes
+    it O(Σ m_acc²) as the accumulator grows. The membership predicate is
+    bbox-prefiltered per input and short-circuits probes already known
+    inside, so each probe touches only the inputs whose bbox covers it."""
+    geoms = [g for g in geoms if g is not None]
+    if not geoms:
+        return None
+    if len(geoms) == 1:
+        return geoms[0]
+    segs = [s for g in geoms for s in _segs_of(_poly_rings(g))]
+    pieces = node_segments(np.vstack(segs))
+    boxes = [G.bounds(g) for g in geoms]
+    preds = [_contains_batch(g) for g in geoms]
+
+    def pred_batch(xs, ys):
+        xs = np.asarray(xs, dtype=np.float64)
+        ys = np.asarray(ys, dtype=np.float64)
+        out = np.zeros(len(xs), dtype=bool)
+        for p, (x0, y0, x1, y1) in zip(preds, boxes):
+            m = ~out
+            m &= (xs >= x0) & (xs <= x1) & (ys >= y0) & (ys <= y1)
+            if m.any():
+                out[m] = p(xs[m], ys[m])
+        return out
+
+    return _region_from_predicate(pieces, pred_batch=pred_batch)
+
+
 def intersect_local(a: G.Geom, b: G.Geom) -> G.Geom | None:
     """a ∩ b where a is SMALL relative to b: only b's boundary segments
     overlapping a's bbox enter the noding (segments wholly outside a can
