@@ -133,21 +133,78 @@ def append(df: DataFrame, path: str, stats_cols: list[str] | None = None) -> int
         "files": sorted(files, key=lambda e: e["path"]),
         "stats_cols": stats_cols or [],
     }
-    with open(_manifest_file(path, snap), "w") as f:
-        json.dump(manifest, f)
-    # atomic pointer flip — readers see the old snapshot until this replace
-    tmp = _hint_file(path) + f".tmp.{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        f.write(str(snap))
-    os.replace(tmp, _hint_file(path))
+    _commit(path, snap, manifest)
     return snap
 
 
+class CommitConflict(RuntimeError):
+    """Optimistic-concurrency conflict: another writer committed the same
+    snapshot id first. The losing append's data files are orphans (never
+    referenced) — retry the whole append against the new table state, as
+    Iceberg's commit loop does. This layer DETECTS the conflict (the
+    manifest create is O_EXCL-atomic, so a snapshot id can never be
+    silently clobbered) but does not retry for you: single-writer remains
+    the documented operating mode."""
+
+
+def _commit(path: str, snap: int, manifest: dict) -> None:
+    """Two-step optimistic commit: (1) claim the snapshot id by creating
+    its manifest with O_CREAT|O_EXCL — atomic on POSIX, so of two racing
+    writers exactly one wins the id; (2) atomically flip the version hint.
+    A crash between the steps leaves a claimed-but-unpublished manifest:
+    readers still see the old snapshot, and the next writer's claim on the
+    same id raises CommitConflict instead of corrupting history."""
+    try:
+        f = open(_manifest_file(path, snap), "x")
+    except FileExistsError:
+        raise CommitConflict(
+            f"snapshot {snap} was committed concurrently at {path}"
+        ) from None
+    with f:
+        json.dump(manifest, f)
+    # atomic pointer flip — readers see the old snapshot until this replace
+    tmp = _hint_file(path) + f".tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        fh.write(str(snap))
+    os.replace(tmp, _hint_file(path))
+
+
+def compact_manifests(path: str) -> int:
+    """Merge the manifest chain into one (VERDICT r3 #10): commits a new
+    snapshot whose manifest carries the FULL file set visible so far and
+    is marked ``includes_through``, so reads walk back at most one step —
+    O(files), not O(appends). Older manifests are retained verbatim, so
+    time travel to any pre-compaction snapshot still reconstructs exactly
+    its file set. Returns the compaction snapshot id."""
+    snap = current_snapshot(path)
+    stats_cols = sorted(
+        {c for m in _manifests(path, snap) for c in m.get("stats_cols", [])}
+    )
+    manifest = {
+        "snapshot": snap + 1,
+        "parent": snap,
+        "files": sorted(files_at(path, snap), key=lambda e: e["path"]),
+        "stats_cols": stats_cols,
+        "includes_through": snap + 1,
+    }
+    _commit(path, snap + 1, manifest)
+    return snap + 1
+
+
 def _manifests(path: str, snapshot: int) -> list[dict]:
+    """Manifest chain whose union is the file set at ``snapshot``: walk
+    BACKWARD until a compacted manifest (``includes_through``) absorbs the
+    rest — after a compaction this is one read, not one per append."""
     out = []
-    for s in range(snapshot + 1):
+    s = snapshot
+    while s >= 0:
         with open(_manifest_file(path, s)) as f:
-            out.append(json.load(f))
+            m = json.load(f)
+        out.append(m)
+        if m.get("includes_through") is not None:
+            break
+        s -= 1
+    out.reverse()
     return out
 
 

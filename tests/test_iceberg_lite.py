@@ -85,3 +85,53 @@ def test_images_table_roundtrip(spark, tmp_path):
     from prclz_spark.images import decode, phash64
 
     assert phash64(decode(bytes(row.bytes), row.fmt)) == row.phash
+
+
+def test_manifest_compaction(spark, tmp_path):
+    """VERDICT r3 #10: after compaction a read touches O(files) manifests,
+    not O(appends); contents, pruning and time travel are unchanged."""
+    t = str(tmp_path / "ct")
+    IL.create_table(t, "doc_id bigint, v bigint")
+    for k in range(5):
+        IL.append(
+            spark.range(k * 10, (k + 1) * 10).selectExpr("id as doc_id", "id*2 as v"),
+            t, stats_cols=["v"],
+        )
+    pre_files = sorted(e["path"] for e in IL.files_at(t))
+    assert len(IL._manifests(t, IL.current_snapshot(t))) == 5
+    snap = IL.compact_manifests(t)
+    # one manifest read suffices now
+    assert len(IL._manifests(t, snap)) == 1
+    assert sorted(e["path"] for e in IL.files_at(t)) == pre_files
+    assert IL.read(spark, t).count() == 50
+    # stats survive compaction → pruning still skips files
+    assert len(IL.files_at(t, prune=("v", 0, 10))) < len(IL.files_at(t))
+    # time travel to a pre-compaction snapshot reconstructs its exact set
+    assert IL.read(spark, t, snapshot=1).count() == 20
+    # appends after compaction chain off the compacted manifest
+    IL.append(spark.range(50, 60).selectExpr("id as doc_id", "id*2 as v"), t, stats_cols=["v"])
+    assert IL.read(spark, t).count() == 60
+    assert len(IL._manifests(t, IL.current_snapshot(t))) == 2
+
+
+def test_concurrent_append_conflict_detected(spark, tmp_path):
+    """Single-writer contract: a racing writer that already claimed the
+    next snapshot id makes this append raise CommitConflict cleanly (the
+    O_EXCL manifest create is the atomic arbiter) — never a silent
+    manifest clobber."""
+    import json, os
+
+    import pytest
+
+    t = str(tmp_path / "race")
+    IL.create_table(t, "doc_id bigint, v bigint")
+    IL.append(spark.range(10).selectExpr("id as doc_id", "id as v"), t)
+    nxt = IL.current_snapshot(t) + 1
+    # another writer claims snapshot `nxt` (its hint flip hasn't landed yet)
+    with open(IL._manifest_file(t, nxt), "x") as f:
+        json.dump({"snapshot": nxt, "parent": nxt - 1, "files": [], "stats_cols": []}, f)
+    with pytest.raises(IL.CommitConflict):
+        IL.append(spark.range(5).selectExpr("id as doc_id", "id as v"), t)
+    # table state is unharmed: old snapshot still current and readable
+    assert IL.current_snapshot(t) == nxt - 1
+    assert IL.read(spark, t).count() == 10
