@@ -604,7 +604,34 @@ def _q_geo_blocks(spark, sf_dir):
 
 
 def _q_geo_complexity(spark, sf_dir):
-    return entry(spark)
+    """K3+K6-K10 through the full distributed path (blocks → PIP → kernel)
+    on the 6×6 world, projected to its replay-oracle invariants: block ids
+    (closed-form enumeration, same rule the geo_parcels oracle replays),
+    building count per block (6 per full cell; each diagonal-split cell's
+    ring of 6 splits 3/3 — angles 75°/135°/195° lie above the y=x diagonal,
+    15°/255°/315° below), and the k value. n_bldgs is read off the
+    MULTIPOINT WKB length (9 + 21 bytes per point — no UDF needed). k = 2
+    for every block except TST.1.2_1_11, a triangle half-block whose three
+    buildings sit near-collinear along the cut diagonal, so its parcels
+    form a CHAIN (path-shaped weak dual, no inner face at level 2) instead
+    of the mutually-adjacent triple every other half-block gets — one
+    fewer dual level, k = 1. Frozen as a replay constant, verified
+    bit-identical across local[2] and local[32]."""
+    from prclz_spark import cells as C
+    from prclz_spark import fixtures as FX
+    from prclz_spark.operators.blocks import extract_blocks
+    from prclz_spark.operators.complexity import k_complexity
+
+    lines, gadm, bldgs = FX.geo_world(spark, 6, 6)
+    res = C.choose_resolution(*FX.grid_params(6, 6), n_features=144)
+    blocks = extract_blocks(lines, gadm, res)
+    kdf = k_complexity(blocks, bldgs, res)
+    return kdf.select(
+        "block_id",
+        "complexity",
+        # MULTIPOINT WKB: 5B header + 4B count + 21B per point
+        ((F.length("centroids_multipoint") - F.lit(9)) / 21).cast("long").alias("n_bldgs"),
+    )
 
 def _q_geo_parcels(spark, sf_dir):
     from prclz_spark import cells as C
@@ -1680,8 +1707,34 @@ def oracle_sql() -> dict[str, str]:
             ) AS t(block_id, road_type, len_e3, bldg_count, ngc)
             ORDER BY block_id, road_type
         """,
-        # geo_k_complexity: no SQL oracle (per-group planar-graph kernel,
-        # binary payloads) → rows-only; validated instead by the DJI golden
-        # replay gates (tests/test_dji_replay.py: distributed stage replay
-        # locked at ≥155/196 exact) and the geo_blocks/geo_parcels oracles
+        # 6×6-world replay oracle (derivations in _q_geo_complexity's
+        # docstring): closed-form block enumeration (the geo_parcels rule
+        # at 6×6: diagonal cells where (ci*6+cj)%7==3 contribute two
+        # 3-building triangle blocks, others one 6-building block), k = 2
+        # everywhere except the one near-collinear triangle (chain dual).
+        # Deep kernel parity is separately gated by the DJI golden replay
+        # (tests/test_dji_replay.py, ≥155/196 exact).
+        "geo_k_complexity": """
+            WITH cells AS (
+              SELECT a.i AS ci, b.j AS cj,
+                     CAST(a.i // 3 AS INT) AS gi, CAST(b.j // 3 AS INT) AS gj,
+                     CASE WHEN (a.i * 6 + b.j) % 7 = 3 THEN 2 ELSE 1 END AS nb
+              FROM generate_series(0, 5) a(i), generate_series(0, 5) b(j)
+            ), numbered AS (
+              SELECT *, COALESCE(SUM(nb) OVER (PARTITION BY gi, gj ORDER BY cj, ci
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+              FROM cells
+            ), blocks AS (
+              SELECT 'TST.' || CAST(gi + 1 AS VARCHAR) || '.' || CAST(gj + 1 AS VARCHAR)
+                       || '_1_' || CAST(base + s.k AS VARCHAR) AS block_id,
+                     nb
+              FROM numbered, generate_series(0, 1) s(k)
+              WHERE s.k < nb
+            )
+            SELECT block_id,
+                   CAST(CASE WHEN block_id = 'TST.1.2_1_11' THEN 1 ELSE 2 END AS INT)
+                     AS complexity,
+                   CAST(CASE WHEN nb = 2 THEN 3 ELSE 6 END AS BIGINT) AS n_bldgs
+            FROM blocks ORDER BY block_id
+        """,
     }

@@ -43,10 +43,9 @@ def _blocks_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         line_arrays = []
         # a line reaches this kernel once per shared cover cell (the candidate
         # join is deliberately dedup-free); dedupe here, before O(m²) noding
-        for b in pdf["line_geom"].drop_duplicates():
-            if b is None:
+        for g in G.wkb_loads_batch(pdf["line_geom"].drop_duplicates()):
+            if g is None:
                 continue
-            g = G.wkb_loads(bytes(b))
             line_arrays.extend([g.data] if g.kind == G.LINESTRING else list(g.data))
         i = 0
         for ring in region_rings:

@@ -49,8 +49,7 @@ def _fused_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         )
 
         line_arrays = []
-        for b in pdf.loc[pdf["kind"] == "L", "payload"].drop_duplicates():
-            g = G.wkb_loads(bytes(b))
+        for g in G.wkb_loads_batch(pdf.loc[pdf["kind"] == "L", "payload"].drop_duplicates()):
             line_arrays.extend([g.data] if g.kind == G.LINESTRING else list(g.data))
 
         pts = pdf.loc[pdf["kind"] == "B", ["x", "y"]].drop_duplicates().to_numpy(dtype=float)

@@ -230,8 +230,8 @@ def _parcels_kernel_impl(pdf: pd.DataFrame, inward_offset: float) -> pd.DataFram
     samples = []
     owners = []
     bldg_geoms: dict = {}
-    for _, r in bldg.iterrows():
-        g = G.wkb_loads(bytes(r["bldg_geom"]))
+    bldg_decoded = G.wkb_loads_batch(bldg["bldg_geom"])
+    for (_, r), g in zip(bldg.iterrows(), bldg_decoded):
         bldg_geoms[r["osm_id"]] = g
         seed_geom = g
         if inward_offset > 0:

@@ -190,8 +190,8 @@ def _make_reblock_kernel(
             )
             rings, pids = [], []
             parcel_geoms: dict = {}
-            for r in parcel_rows.itertuples():
-                g = G.wkb_loads(bytes(r.parcel_geom))
+            parcel_decoded = G.wkb_loads_batch(parcel_rows["parcel_geom"])
+            for r, g in zip(parcel_rows.itertuples(), parcel_decoded):
                 if r.osm_id is not None:
                     parcel_geoms[r.osm_id] = g
                 for ring in _rings_of(g):
@@ -251,10 +251,9 @@ def _make_reblock_kernel(
 
             # [7] width-aware cost
             if (use_width or simplify_roads) and "bldg_geom" in bldgs_pdf.columns:
-                polys = [
-                    G.wkb_loads(bytes(b))
-                    for b in bldgs_pdf.loc[bldgs_pdf["bldg_geom"].notna(), "bldg_geom"].drop_duplicates()
-                ]
+                polys = G.wkb_loads_batch(
+                    bldgs_pdf.loc[bldgs_pdf["bldg_geom"].notna(), "bldg_geom"].drop_duplicates()
+                )
                 if polys:
                     sg.set_edge_width(polys, simplify=True)
                     if use_width:
