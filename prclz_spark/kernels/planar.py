@@ -51,6 +51,20 @@ def _snap(v: float) -> float:
     return round(v / QUANTUM) * QUANTUM
 
 
+_TRIU_CACHE: dict = {}
+
+
+def _triu1(k: int) -> tuple:
+    """np.triu_indices(k, 1), cached — the noder requests the same tiny k
+    thousands of times per block (bucket sizes are 2-6)."""
+    t = _TRIU_CACHE.get(k)
+    if t is None:
+        t = np.triu_indices(k, 1)
+        if k <= 512:
+            _TRIU_CACHE[k] = t
+    return t
+
+
 def _candidate_pairs(p: np.ndarray, q: np.ndarray) -> tuple:
     """Bucketed-grid candidate pruning: (i, j) index arrays (i < j) of every
     segment pair whose bounding boxes share a grid cell. Two intersecting or
@@ -68,7 +82,7 @@ def _candidate_pairs(p: np.ndarray, q: np.ndarray) -> tuple:
         # candidate order and the same bbox refine, so node_segments'
         # output is unchanged (it is exact per pair regardless of the
         # candidate superset).
-        ii, jj = np.triu_indices(m, 1)
+        ii, jj = _triu1(m)
         ov = (
             (xmin[ii] <= xmax[jj]) & (xmax[ii] >= xmin[jj])
             & (ymin[ii] <= ymax[jj]) & (ymax[ii] >= ymin[jj])
@@ -102,15 +116,22 @@ def _candidate_pairs(p: np.ndarray, q: np.ndarray) -> tuple:
         order = np.argsort(cid, kind="stable")
         cid, sid = cid[order], sid[order]
         bstart = np.nonzero(np.r_[True, cid[1:] != cid[:-1]])[0]
-        bend = np.r_[bstart[1:], len(cid)]
-        for s, e in zip(bstart, bend):
-            k = e - s
+        blen = np.r_[bstart[1:], len(cid)] - bstart
+        # one vectorized pass per DISTINCT bucket size: same-size buckets
+        # stack into an (n_buckets, k) matrix, pairs come off the cached
+        # triu template in bulk. Candidate ORDER differs from the old
+        # per-bucket loop but the np.unique() canonicalization below makes
+        # the final pair set identical (pinned by the noder-equivalence
+        # test against the quadratic noder).
+        for k in np.unique(blen):
             if k < 2:
                 continue
-            ids = np.sort(sid[s:e])
-            a, b = np.triu_indices(k, 1)
-            ii_parts.append(ids[a])
-            jj_parts.append(ids[b])
+            k = int(k)
+            starts = bstart[blen == k]
+            mat = np.sort(sid[starts[:, None] + np.arange(k)], axis=1)
+            a, b = _triu1(k)
+            ii_parts.append(mat[:, a].ravel())
+            jj_parts.append(mat[:, b].ravel())
     for g in glob:
         others = np.arange(m, dtype=np.int64)
         ii_parts.append(np.minimum(g, others))
