@@ -553,7 +553,9 @@ def _clip_halfplane_list(xs, ys, a, b, c, dedupe=False):
     n = len(xs)
     if n == 0:
         return xs, ys
-    d = [a * xs[i] + b * ys[i] - c for i in range(n)]
+    # same IEEE ops in the same order as an indexed loop; zip just shaves
+    # interpreter overhead on the hottest kernel path
+    d = [a * x + b * y - c for x, y in zip(xs, ys)]
     nin = 0
     for v in d:
         if v <= eps:
@@ -601,7 +603,9 @@ def _clip_halfplane_scalar(ring, pts, a, b, c, closed, dedupe, eps):
     xs = pts[:, 0].tolist()
     ys = pts[:, 1].tolist()
     n = len(xs)
-    d = [a * xs[i] + b * ys[i] - c for i in range(n)]
+    # same IEEE ops in the same order as an indexed loop; zip just shaves
+    # interpreter overhead on the hottest kernel path
+    d = [a * x + b * y - c for x, y in zip(xs, ys)]
     nin = 0
     for v in d:
         if v <= eps:
