@@ -86,8 +86,11 @@ def main() -> None:
     sections.append(
         (
             "MinHash LSH near-dup (banded self-join)",
-            "signatures → band explode → self equi-join on (band, hash): "
-            "candidates only, never O(n²).",
+            "signatures → band explode → self equi-join on (band, hash) "
+            "carrying ONLY (id, band, band_hash) — the 64-long signatures "
+            "are re-joined onto surviving candidate pairs, never shipped "
+            "through the banded exchange (VERDICT r3 #7). Candidates only, "
+            "never O(n²).",
             fmt(minhash_lsh_pairs(docs, "doc_id", "text")),
         )
     )
