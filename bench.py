@@ -295,6 +295,10 @@ def main():
         "token_stats",
         "ngram_distinct",
         "ann_cosine_topk",
+        # round-4 additions: the shuffle-hygiene band join (VERDICT r3 #7)
+        # and the LSH ANN tier, timed so their scale paths are tracked
+        "minhash_lsh_neardup",
+        "ann_lsh_topk",
     ]
     qs = E.queries()
     q_times = {}

