@@ -61,6 +61,10 @@ def main(argv=None):
     sp_cplx.add_argument("--blocks", required=True)
     sp_cplx.add_argument("--buildings", required=True)
     sp_cplx.add_argument("--out", required=True)
+    sp_cplx.add_argument("--unique-assign", action="store_true",
+                         help="assign each building to its SMALLEST enclosing "
+                              "block (for overlapping blocks layers; planar "
+                              "partitions don't need it)")
 
     sp_rb = sub.add_parser("reblock", help="Steiner street reblocking (stage 4)")
     sp_rb.add_argument("--blocks", required=True)
@@ -98,6 +102,13 @@ def main(argv=None):
                              "omit to generate --n synthetic tiles")
     sp_ing.add_argument("--n", type=int, default=256,
                         help="synthetic tile count when --images is omitted")
+
+    sp_cmp = sub.add_parser(
+        "compact-table",
+        help="merge an iceberg-lite table's manifest chain (read becomes "
+             "O(files), not O(appends); time travel preserved)",
+    )
+    sp_cmp.add_argument("--table", required=True, help="table root path")
 
     args = p.parse_args(argv)
 
@@ -137,7 +148,9 @@ def main(argv=None):
 
             blocks = _read_geo(spark, args.blocks)
             bldgs = _read_geo(spark, args.buildings)
-            out = k_complexity(blocks, bldgs, auto_res(blocks))
+            out = k_complexity(
+                blocks, bldgs, auto_res(blocks), unique_assign=args.unique_assign
+            )
         elif args.cmd == "reblock":
             from .operators.reblock_op import reblock
 
@@ -168,6 +181,17 @@ def main(argv=None):
             snap = IL.append(batch, args.table, stats_cols=["image_id"])
             n = IL.read(spark, args.table).count()
             print(f"committed snapshot {snap}: table now {n} rows", file=sys.stderr)
+            return
+        elif args.cmd == "compact-table":
+            from .sources import iceberg_lite as IL
+
+            snap = IL.compact_manifests(args.table)
+            n_manifests = len(IL._manifests(args.table, snap))
+            print(
+                f"compacted at snapshot {snap}: reads now touch "
+                f"{n_manifests} manifest(s)",
+                file=sys.stderr,
+            )
             return
         elif args.cmd == "pipeline":
             from .pipeline import run_pipeline
