@@ -230,3 +230,118 @@ def test_dedup_minhash_stream_suppresses_recrawl(spark, tmp_path):
     got_stream = set(got.doc_id)
     assert got_stream <= set(range(60))
     assert isolated <= got_stream
+
+
+def test_stream_k_complexity_matches_batch(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): incremental
+    k-complexity over a building-event stream. The stream arrives in TWO
+    file-triggers (maxFilesPerTrigger=1), so every block is recomputed at
+    least once from restored state; the LAST emitted row per block must
+    equal the batch k_complexity on the union of all events."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from prclz_spark import cells as C
+    from prclz_spark import fixtures as FX
+    from prclz_spark import geom as G
+    from prclz_spark.operators.blocks import extract_blocks
+    from prclz_spark.operators.complexity import k_complexity
+    from prclz_spark.streaming.complexity import stream_k_complexity
+
+    lines, gadm, bldgs = FX.geo_world(spark, 4, 4)
+    res = C.choose_resolution(*FX.grid_params(4, 4), n_features=64)
+    blocks = extract_blocks(lines, gadm, res).cache()
+
+    # batch reference on ALL buildings
+    batch = {
+        r.block_id: (r.complexity, r.centroids_multipoint)
+        for r in k_complexity(blocks, bldgs, res).collect()
+    }
+
+    # the stream input = the same PIP assignment the batch path uses,
+    # materialized as (block_id, block_geom, x, y) and split in two files
+    from prclz_spark.operators.complexity import building_centroids
+    from prclz_spark.operators.sjoin import pip_join
+
+    pts = building_centroids(bldgs, res=res)
+    assigned = pip_join(
+        pts, blocks, "osm_id", "block_id", res=res, how="inner",
+        keep_poly_geom="block_geom", refine=False,
+    ).select("block_id", "block_geom", "x", "y").toPandas()
+    d = str(tmp_path / "bldg_stream")
+    os.makedirs(d)
+    half = len(assigned) // 2
+    spark.createDataFrame(assigned.iloc[:half]).write.parquet(f"{d}/b0.parquet")
+    spark.createDataFrame(assigned.iloc[half:]).write.parquet(f"{d}/b1.parquet")
+
+    stream = (
+        spark.readStream.schema("block_id string, block_geom binary, x double, y double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*.parquet")
+    )
+    q = (
+        stream_k_complexity(stream)
+        .writeStream.format("memory")
+        .queryName("stream_k")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("stream_k").toPandas()
+    assert len(got) > 0
+    # update-mode memory sink appends every emitted update; keep the last
+    # emission per block (n_bldgs is monotone, so max(n) is the final state)
+    final = got.sort_values(["block_id", "n_bldgs"]).groupby("block_id").tail(1)
+    assert set(final.block_id) == set(batch)
+    for r in final.itertuples():
+        want_k, want_mp = batch[r.block_id]
+        n_want = len(np.asarray(G.wkb_loads(bytes(want_mp)).data).reshape(-1, 2))
+        assert r.n_bldgs == n_want, (r.block_id, r.n_bldgs, n_want)
+        assert r.complexity == int(want_k), (r.block_id, r.complexity, want_k)
+
+
+def test_stream_k_complexity_timeout_path_runs(spark, tmp_path):
+    """The processing-time eviction variant drains cleanly and emits the
+    same final rows (timeouts cannot FIRE under availableNow's short run —
+    this pins the setTimeoutDuration call path, not eviction timing)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from prclz_spark import geom as G
+    from prclz_spark.streaming.complexity import stream_k_complexity
+
+    ring = G.wkb_dumps(G.box(0.0, 0.0, 1.0, 1.0))
+    rows = [
+        ("B1", bytearray(ring), 0.3 + 0.1 * i, 0.25 + 0.12 * ((i * 7) % 5))
+        for i in range(6)
+    ]
+    d = str(tmp_path / "ev")
+    os.makedirs(d)
+    spark.createDataFrame(
+        rows, "block_id string, block_geom binary, x double, y double"
+    ).write.parquet(f"{d}/b0.parquet")
+    stream = (
+        spark.readStream.schema("block_id string, block_geom binary, x double, y double")
+        .parquet(f"{d}/*.parquet")
+    )
+    q = (
+        stream_k_complexity(stream, idle_timeout_ms=1_000)
+        .writeStream.format("memory")
+        .queryName("stream_k_to")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    # availableNow runs a final "cleaning up state" trigger that stays
+    # active until processing-time timeouts fire; give the 1s timeout a
+    # chance to evict, then stop — the data rows are already in the sink
+    q.awaitTermination(60)
+    if q.isActive:
+        q.stop()
+    got = spark.table("stream_k_to").toPandas()
+    assert len(got) == 1 and got.block_id.iloc[0] == "B1" and got.n_bldgs.iloc[0] == 6
