@@ -103,10 +103,10 @@ def block_coverage(tiles_with_blocks: DataFrame, blocks: DataFrame) -> DataFrame
     @pandas_udf("double")
     def _cov(tile_geom: pd.Series, block_geom: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
         out = []
-        for tg, bg, ww, hh in zip(tile_geom, block_geom, w, h):
-            mask = rasterize_mask(
-                G.wkb_loads(bytes(bg)), G.wkb_loads(bytes(tg)), int(ww), int(hh)
-            )
+        tgs = G.wkb_loads_batch(tile_geom)
+        bgs = G.wkb_loads_batch(block_geom)
+        for tg, bg, ww, hh in zip(tgs, bgs, w, h):
+            mask = rasterize_mask(bg, tg, int(ww), int(hh))
             out.append(float(mask.mean()))
         return pd.Series(out)
 
