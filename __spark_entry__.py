@@ -222,6 +222,28 @@ def _q_union_all(spark, sf_dir):  # F6
     return c.unionByName(s).groupBy("src").agg(F.count("*").alias("n"), F.sum("key").alias("keysum"))
 
 
+def _q_geo_union_area(spark, sf_dir):  # A5 distributed two-phase unary_union
+    """Closed form: 40 unit-height boxes at x = i/2, width 1 (50 % overlap
+    chain) union to the single rectangle [0, 20.5]×[0, 1] (area 20.5);
+    one disjoint unit box at (100, 100) adds area 1 and a second part.
+    The input is shuffled across 6 partitions so BOTH phases of
+    operators/union_op.union_all (per-partition union_n partials → final
+    union_n) are exercised end to end."""
+    from prclz_spark import geom as G
+    from prclz_spark.operators.union_op import union_all
+
+    rows = [
+        (i, bytearray(G.wkb_dumps(G.box(i * 0.5, 0.0, i * 0.5 + 1.0, 1.0))))
+        for i in range(40)
+    ] + [(99, bytearray(G.wkb_dumps(G.box(100.0, 100.0, 101.0, 101.0))))]
+    df = spark.createDataFrame(rows, "id long, geometry binary").repartition(6)
+    u = union_all(df)
+    n_parts = len(u.data) if u.kind == G.MULTIPOLYGON else 1
+    return spark.createDataFrame(
+        [(n_parts, round(float(G.area(u)), 9))], "n_parts int, area double"
+    )
+
+
 def _q_explode_embeddings(spark, sf_dir):  # F5 multipart explode analogue
     e = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     return e.select(
@@ -1245,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": _q_simhash_dedup,
         "embedding_lsh_neardup": _q_embedding_near_dup,
         "geo_blocks_pipeline": _q_geo_blocks,
+        "geo_union_area": _q_geo_union_area,
         "geo_k_complexity": _q_geo_complexity,
         "geo_parcels": _q_geo_parcels,
         "geo_parcels_orphans": _q_geo_parcels_orphans,
@@ -1714,6 +1737,12 @@ def oracle_sql() -> dict[str, str]:
         # everywhere except the one near-collinear triangle (chain dual).
         # Deep kernel parity is separately gated by the DJI golden replay
         # (tests/test_dji_replay.py, ≥155/196 exact).
+        # A5 closed form (derived in _q_geo_union_area's docstring):
+        # 40-box 50%-overlap chain → rectangle area 20.5 + disjoint unit
+        # box → 2 parts, total area 21.5
+        "geo_union_area": """
+            SELECT CAST(2 AS INT) AS n_parts, CAST(21.5 AS DOUBLE) AS area
+        """,
         "geo_k_complexity": """
             WITH cells AS (
               SELECT a.i AS ci, b.j AS cj,
