@@ -87,15 +87,23 @@ def _region_from_predicate(pieces: list, pred=None, pred_batch=None) -> G.Geom |
     mx = 0.5 * (arr[:, 0] + arr[:, 2])
     my = 0.5 * (arr[:, 1] + arr[:, 3])
     # left normal; probe a hair off the midpoint on each side. The probe
-    # must clear geom.point_in_ring's ABSOLUTE on-boundary band
-    # (|cross| < 1e-12 ⇒ within 1e-12/seg_len of the segment), which at
-    # small coordinate scales is wider than a fixed 1e-9. For pieces long
-    # enough that a fraction of their own length still clears the band
-    # (ln ≥ 3e-6), cap the offset at 0.45·ln so the probe stays local to
-    # the piece instead of landing across neighboring slivers.
+    # must (a) clear geom.point_in_ring's ABSOLUTE on-boundary band
+    # (|cross| < 1e-12 ⇒ within 1e-12/seg_len of the segment — the
+    # 4e-12/ln term, using the piece's own length as the conservative
+    # proxy for the ring segments it lies on), and (b) survive float
+    # addition to the midpoint — scaled by COORDINATE magnitude
+    # (~450 ulps: mag·1e-13), NOT by piece length: the old ln·1e-6 term
+    # made long pieces probe 1e-6 away, which overshoots dust-scale
+    # parallel geometry — hypothesis found two boxes 1.2e-7 apart whose
+    # union annihilated because every probe landed across the other box's
+    # edge (test_union_n_properties_hypothesis). For pieces long enough
+    # that a fraction of their own length still clears the band
+    # (ln ≥ 3e-6), the offset also stays below 0.45·ln so the probe is
+    # local to the piece rather than its neighbors.
     nx_ = -dy / ln
     ny_ = dx / ln
-    eps = np.maximum(np.maximum(1e-9, ln * 1e-6), 4e-12 / ln)
+    mag = np.maximum(np.abs(mx), np.abs(my))
+    eps = np.maximum(np.maximum(1e-9, mag * 1e-13), 4e-12 / ln)
     cap_ok = ln >= 3e-6
     eps = np.where(cap_ok, np.minimum(eps, 0.45 * ln), eps)
     lx, ly = mx + eps * nx_, my + eps * ny_
