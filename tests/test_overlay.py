@@ -376,3 +376,37 @@ def test_union_n_properties_hypothesis():
         assert abs(G.area(u2) - au) <= 1e-9 * max(1.0, au)
 
     prop()
+
+
+def test_overlay_boxes_closed_form_hypothesis():
+    """Property: every boolean op on two random (1e-6-grid) boxes matches
+    the closed-form rectangle arithmetic: inter = overlap rectangle,
+    union = a + b − inter, difference = a − inter, symdiff = a + b − 2·inter."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    coord = st.floats(min_value=-20.0, max_value=20.0,
+                      allow_nan=False, allow_infinity=False).map(lambda v: round(v, 6))
+    size = st.floats(min_value=0.5, max_value=6.0,
+                     allow_nan=False, allow_infinity=False).map(lambda v: round(v, 6))
+
+    @settings(max_examples=60, deadline=None)
+    @given(coord, coord, size, size, coord, coord, size, size)
+    def prop(ax, ay, aw, ah, bx, by, bw, bh):
+        a = G.box(ax, ay, ax + aw, ay + ah)
+        b = G.box(bx, by, bx + bw, by + bh)
+        ia = max(0.0, min(ax + aw, bx + bw) - max(ax, bx))
+        ib = max(0.0, min(ay + ah, by + bh) - max(ay, by))
+        inter = ia * ib
+        want = {
+            "intersection": inter,
+            "union": aw * ah + bw * bh - inter,
+            "difference": aw * ah - inter,
+            "symdifference": aw * ah + bw * bh - 2 * inter,
+        }
+        for op, w in want.items():
+            r = OV.overlay(a, b, op)
+            got = 0.0 if r is None else G.area(r)
+            assert abs(got - w) <= 1e-6 * max(1.0, w), (op, got, w)
+
+    prop()
