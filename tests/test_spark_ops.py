@@ -339,3 +339,41 @@ def test_k_complexity_unique_assign_smallest_block(spark):
 
     assert npts(multi["umbrella"]) == 6 and npts(multi["inner"]) == 3
     assert npts(uniq["umbrella"]) == 3 and npts(uniq["inner"]) == 3
+
+
+def test_knn_adversarial_edges(spark):
+    """kNN edge cases: duplicate coordinates (zero distances, deterministic
+    tie-break by build_id), k larger than the corpus (every probe gets all
+    |corpus| rows), and a probe far outside the build extent (ring
+    expansion must still find its neighbors within max_ring)."""
+    from prclz_spark.operators.knn import knn_join
+
+    res = 16
+    probes = pd.DataFrame({"pid": [0, 1], "x": [10.0, 10.001], "y": [10.0, 10.0]})
+    # corpus: three coincident points + one distinct
+    build = pd.DataFrame(
+        {"bid": [0, 1, 2, 3], "x": [10.0, 10.0, 10.0, 10.002], "y": [10.0] * 4}
+    )
+    out = knn_join(
+        spark.createDataFrame(probes), spark.createDataFrame(build), "pid", "bid",
+        k=3, res=res,
+    ).toPandas()
+    p0 = out[out.pid == 0].sort_values("rank")
+    assert p0.bid.tolist() == [0, 1, 2]          # ties broken by bid asc
+    assert (p0.dist.values == 0.0).all()
+    # k > |corpus|: every probe must get all 4 rows, ranked
+    out_all = knn_join(
+        spark.createDataFrame(probes), spark.createDataFrame(build), "pid", "bid",
+        k=10, res=res,
+    ).toPandas()
+    assert out_all.groupby("pid").size().eq(4).all()
+    # far-away probe: outside the build bbox by many cells
+    far = pd.DataFrame({"pid": [9], "x": [10.01], "y": [10.01]})
+    out_far = knn_join(
+        spark.createDataFrame(far), spark.createDataFrame(build), "pid", "bid",
+        k=2, res=res, max_ring=64,
+    ).toPandas()
+    assert len(out_far) == 2
+    d = np.hypot(build.x - 10.01, build.y - 10.01)
+    expect = build.assign(d=d).sort_values(["d", "bid"]).head(2).bid.tolist()
+    assert out_far.sort_values("rank").bid.tolist() == expect
