@@ -252,3 +252,34 @@ def test_winnow_near_pairs_planted(spark):
     # all clones found, nothing else: random 300-char strings share no
     # 11-char substring (chance ~ 95^-11)
     assert found == {(i, i + 1000) for i in range(0, 40, 5)}, found
+
+
+def test_dedup_ops_survive_empty_and_null_docs(spark):
+    """Corpus reality: empty strings, NULL text, and docs shorter than the
+    shingle size must flow through every dedup tier without error; the
+    two degenerate-identical docs (empty and NULL→empty) may pair with
+    each other but never crash the signature math."""
+    from prclz_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+        simhash_near_pairs,
+        winnow_near_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, ""),
+            (1, "ab"),
+            (2, "abc"),
+            (3, None),
+            (4, "a normal length document body here"),
+            (5, "a normal length document body here"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs, "doc_id", "text").collect()
+    assert len(sigs) == 6 and all(len(r.sig) == 64 for r in sigs)
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text").toPandas()
+    assert {(4, 5)} <= set(map(tuple, pairs[["id_a", "id_b"]].values))
+    assert len(simhash_near_pairs(docs, "doc_id", "text").collect()) >= 1
+    winnow_near_pairs(docs, "doc_id", "text").collect()  # must not raise
