@@ -83,11 +83,14 @@ def ann_lsh_topk(
         F.expr(f"aggregate({col}, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double))")
     )
     scored = cand.dropDuplicates(["_qid", "_cid"]).withColumn(
-        "cos_sim", F.round(dot / (nrm("_qv") * nrm("_cv")), 6)
+        # zero-norm vectors have no cosine: try_divide -> NULL, dropped
+        # below (a zero embedding matches nothing; ANSI mode would raise)
+        "cos_sim", F.round(F.try_divide(dot, nrm("_qv") * nrm("_cv")), 6)
     )
     w = Window.partitionBy("_qid").orderBy(F.col("cos_sim").desc(), F.col("_cid").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.filter(F.col("cos_sim").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             F.col("_qid").alias(query_id),
@@ -184,11 +187,14 @@ def ivf_topk(
         F.expr(f"aggregate({col}, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double))")
     )
     scored = cand.dropDuplicates(["_qid", "_cid"]).withColumn(
-        "cos_sim", F.round(dot / (nrm("_qv") * nrm("_cv")), 6)
+        # zero-norm vectors have no cosine: try_divide -> NULL, dropped
+        # below (a zero embedding matches nothing; ANSI mode would raise)
+        "cos_sim", F.round(F.try_divide(dot, nrm("_qv") * nrm("_cv")), 6)
     )
     w = Window.partitionBy("_qid").orderBy(F.col("cos_sim").desc(), F.col("_cid").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.filter(F.col("cos_sim").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             F.col("_qid").alias(query_id),

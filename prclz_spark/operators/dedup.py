@@ -391,7 +391,8 @@ def embedding_near_pairs(
     nrm = lambda c: F.sqrt(
         F.expr(f"aggregate({c}, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double))")
     )
-    cos = dot / (nrm("v_a") * nrm("v_b"))
+    # zero-norm vectors have no cosine: try_divide -> NULL (never a pair)
+    cos = F.try_divide(dot, nrm("v_a") * nrm("v_b"))
     return (
         cand.withColumn("cos_sim", F.round(cos, 4))
         .filter(F.col("cos_sim") >= cos_threshold)

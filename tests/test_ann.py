@@ -68,3 +68,47 @@ def test_ann_ivf_finds_planted_neighbors_and_beats_bruteforce_candidates(spark):
         .toPandas()
     )
     assert len(sizes) == 8 and sizes["count"].max() < 340  # no single-list collapse
+
+
+def test_ann_zero_norm_vectors_no_crash(spark):
+    """Corpus reality: all-zero embeddings (failed encoder rows) have no
+    cosine. Under Spark 4's ANSI mode a bare division raised
+    DIVIDE_BY_ZERO and killed the whole job; the scorers now use
+    try_divide and drop NULL-cosine rows — a zero vector matches nothing,
+    a zero-vector query returns no rows, and real queries are unaffected."""
+    from prclz_spark.operators.ann import ann_lsh_topk, ivf_topk
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 0.0, 0.0]),
+         (2, [0.5, 0.5, 0.0]), (3, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0]), (11, [0.0, 0.0, 0.0])],
+        "qid long, embedding array<float>",
+    )
+    for fn in (
+        lambda: ann_lsh_topk(queries, corpus, "qid", "vec_id", "embedding",
+                             dim=3, k=2, n_planes=4),
+        lambda: ivf_topk(queries, corpus, "qid", "vec_id", "embedding",
+                         dim=3, k=2, n_lists=2, n_probe=2),
+    ):
+        out = fn().toPandas()
+        assert 11 not in set(out.qid)                      # zero query: no rows
+        assert 1 not in set(out.vec_id)                    # zero corpus: never matched
+        top = out[(out.qid == 10) & (out["rank"] == 1)]
+        assert top.vec_id.tolist() == [0] and top.cos_sim.tolist() == [1.0]
+
+
+def test_embedding_near_pairs_zero_vectors_no_crash(spark):
+    from prclz_spark.operators.dedup import embedding_near_pairs
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 1e-4])],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = embedding_near_pairs(df, "vec_id", "embedding", dim=2,
+                                 cos_threshold=0.99).toPandas()
+    # the two zero vectors never pair (no cosine); the near-parallel pair does
+    assert (0, 1) not in set(map(tuple, pairs[["id_a", "id_b"]].values))
+    assert (2, 3) in set(map(tuple, pairs[["id_a", "id_b"]].values))
