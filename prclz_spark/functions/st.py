@@ -43,11 +43,21 @@ _BBOX = StructType(
 )
 
 
+def _wkt_loads_or_none(w):
+    """Malformed WKT → NULL geometry, never a task-killing exception (one
+    bad row in a 10¹²-row scan must surface as a NULL to filter/audit,
+    not fail the job — same contract as images._try_decode)."""
+    if w is None:
+        return None
+    try:
+        return G.wkt_loads(w)
+    except Exception:
+        return None
+
+
 @pandas_udf(BinaryType())
 def st_geomfromwkt(s: pd.Series) -> pd.Series:
-    return pd.Series(
-        G.wkb_dumps_batch([G.wkt_loads(w) if w is not None else None for w in s])
-    )
+    return pd.Series(G.wkb_dumps_batch([_wkt_loads_or_none(w) for w in s]))
 
 
 @pandas_udf(StringType())

@@ -242,38 +242,67 @@ def images_table(spark, n: int, w: int = 64, h: int = 64, partitions: int | None
 # Spark-side scalar ops (Arrow batched)
 # ---------------------------------------------------------------------------
 
+def _try_decode(b, f):
+    """Decode or None — a corrupt/truncated/NULL payload must become a
+    NULL result row, never a task-killing exception (one bad image in
+    10¹² would otherwise fail the whole job)."""
+    if b is None:
+        return None
+    try:
+        return decode(bytes(b), f)
+    except Exception:
+        return None
+
+
 def make_udfs():
     """pandas UDFs over the images table (created lazily — requires an
-    active SparkSession)."""
+    active SparkSession). Every UDF maps undecodable payloads to NULL
+    (see _try_decode) so corrupt rows surface as NULLs to filter/audit,
+    not job failures."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BinaryType, DoubleType, LongType
 
     @pandas_udf(LongType())
     def img_phash(data: pd.Series, fmt: pd.Series) -> pd.Series:
         return pd.Series(
-            [phash64(decode(bytes(b), f)) for b, f in zip(data, fmt)], dtype="int64"
+            [
+                None if (px := _try_decode(b, f)) is None else phash64(px)
+                for b, f in zip(data, fmt)
+            ],
+            dtype="object",
         )
 
     @pandas_udf(DoubleType())
     def img_roundtrip_psnr(data: pd.Series, fmt: pd.Series) -> pd.Series:
         out = []
         for b, f in zip(data, fmt):
-            px = decode(bytes(b), f)
+            px = _try_decode(b, f)
+            if px is None:
+                out.append(None)
+                continue
             px2 = decode(encode(px, f), f)
             out.append(psnr(px, px2))
-        return pd.Series(out)
+        return pd.Series(out, dtype="float64")
 
     @pandas_udf(BinaryType())
     def img_reencode_png(data: pd.Series, fmt: pd.Series) -> pd.Series:
-        return pd.Series([png_encode(decode(bytes(b), f)) for b, f in zip(data, fmt)])
+        return pd.Series(
+            [
+                None if (px := _try_decode(b, f)) is None else png_encode(px)
+                for b, f in zip(data, fmt)
+            ]
+        )
 
     @pandas_udf(DoubleType())
     def img_mean_luma(data: pd.Series, fmt: pd.Series) -> pd.Series:
         out = []
         for b, f in zip(data, fmt):
-            px = decode(bytes(b), f)
+            px = _try_decode(b, f)
+            if px is None:
+                out.append(None)
+                continue
             out.append(float((px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])).mean()))
-        return pd.Series(out)
+        return pd.Series(out, dtype="float64")
 
     return {
         "img_phash": img_phash,

@@ -96,3 +96,19 @@ def test_st_geomfromona(spark):
     assert abs(row.a - 1.0) < 1e-12
     g = G.wkb_loads(bytes(row.g))
     assert g.kind == G.POLYGON and tuple(g.data[0][0]) == (20.0, 10.0)  # (lon, lat)
+
+
+def test_read_csv_wkt_malformed_rows_null_geometry(spark, tmp_path):
+    """Malformed/empty WKT rows surface as NULL geometry to filter, never
+    a job-killing parse exception."""
+    p = str(tmp_path / "bad.csv")
+    with open(p, "w") as f:
+        f.write('block_id,geometry\n'
+                'b1,"POLYGON ((0 0, 1 0, 1 1, 0 0))"\n'
+                'b2,"NOT A WKT"\n'
+                'b3,\n')
+    from prclz_spark.sources.geo_io import read_csv_wkt
+
+    rows = {r.block_id: r.geometry for r in read_csv_wkt(spark, p).collect()}
+    assert rows["b1"] is not None
+    assert rows["b2"] is None and rows["b3"] is None

@@ -128,3 +128,32 @@ def test_rasterize_mask():
     mask = rasterize_mask(half, tile, 16, 16)
     assert mask.shape == (16, 16)
     assert abs(mask.mean() - 0.5) < 0.05
+
+
+def test_corrupt_image_bytes_yield_null_not_crash(spark):
+    """One corrupt/truncated/NULL payload among 10¹² rows must become a
+    NULL result, never a task-killing exception (found by adversarial
+    probe: png_decode's 'not a PNG' assertion used to fail the job)."""
+    from pyspark.sql import functions as F
+
+    from prclz_spark import images as IM
+
+    u = IM.make_udfs()
+    good = IM.images_table(spark, 4).select("bytes", "fmt")
+    bad = spark.createDataFrame(
+        [(bytearray(b"not a png"), "png"), (bytearray(b""), "jpeg"), (None, "png")],
+        "bytes binary, fmt string",
+    )
+    out = (
+        good.unionByName(bad)
+        .select(
+            u["img_phash"](F.col("bytes"), F.col("fmt")).alias("ph"),
+            u["img_roundtrip_psnr"](F.col("bytes"), F.col("fmt")).alias("ps"),
+            u["img_mean_luma"](F.col("bytes"), F.col("fmt")).alias("lu"),
+            u["img_reencode_png"](F.col("bytes"), F.col("fmt")).alias("re"),
+        )
+        .toPandas()
+    )
+    assert len(out) == 7
+    assert out.ph.notna().sum() == 4 and out.ps.notna().sum() == 4
+    assert out.lu.notna().sum() == 4 and out.re.notna().sum() == 4
