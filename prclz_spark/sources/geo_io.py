@@ -76,9 +76,21 @@ def geom_to_geojson(g: G.Geom) -> dict:
     raise ValueError(f"kind {k}")
 
 
+def _geojson_or_none(j):
+    """Unsupported/malformed/NULL GeoJSON geometry → NULL geometry, never a
+    task-killing exception (same NULL-on-bad-row contract as
+    st_geomfromwkt and images._try_decode)."""
+    if j is None:
+        return None
+    try:
+        return G.wkb_dumps(geojson_to_geom(json.loads(j)))
+    except Exception:
+        return None
+
+
 @pandas_udf(BinaryType())
 def st_geomfromgeojson(s: pd.Series) -> pd.Series:
-    return s.map(lambda j: G.wkb_dumps(geojson_to_geom(json.loads(j))) if j is not None else None)
+    return s.map(_geojson_or_none)
 
 
 @pandas_udf(StringType())

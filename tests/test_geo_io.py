@@ -112,3 +112,22 @@ def test_read_csv_wkt_malformed_rows_null_geometry(spark, tmp_path):
     rows = {r.block_id: r.geometry for r in read_csv_wkt(spark, p).collect()}
     assert rows["b1"] is not None
     assert rows["b2"] is None and rows["b3"] is None
+
+
+def test_read_geojson_malformed_geometry_null(spark, tmp_path):
+    """Unsupported GeoJSON types and null geometries surface as NULL
+    geometry rows, never a parse exception."""
+    p = str(tmp_path / "bad.json")
+    with open(p, "w") as f:
+        f.write(
+            '{"type":"Feature","properties":{"osm_id":"a"},"geometry":'
+            '{"type":"Polygon","coordinates":[[[0,0],[1,0],[1,1],[0,0]]]}}\n'
+            '{"type":"Feature","properties":{"osm_id":"b"},"geometry":'
+            '{"type":"Banana","coordinates":[]}}\n'
+            '{"type":"Feature","properties":{"osm_id":"c"},"geometry":null}\n'
+        )
+    from prclz_spark.sources.geo_io import read_geojson
+
+    rows = {r.osm_id: r.geometry for r in read_geojson(spark, p, ["osm_id"]).collect()}
+    assert rows["a"] is not None
+    assert rows["b"] is None and rows["c"] is None
