@@ -245,8 +245,16 @@ def wkb_loads_batch(bufs) -> list:
     joined = b"".join(b for _, b in live)
     raw = np.frombuffer(joined, dtype=np.uint8)
     # homogeneous POINT column (the 10^9-row probe-side shape): every
-    # buffer is the fixed 21-byte header+coords layout - one reshape
-    if len(joined) == 21 * len(live) and joined[1] == POINT:
+    # buffer is the fixed 21-byte header+coords layout - one reshape.
+    # Every INDIVIDUAL buffer must be 21 bytes (round-4 ADVICE: a mixed
+    # batch whose lengths merely sum to 21n must not take the reshape — a
+    # 16-byte invalid buffer was silently mis-decoded as a POINT where the
+    # scalar decoder raises).
+    if (
+        len(joined) == 21 * len(live)
+        and joined[1] == POINT
+        and all(len(b) == 21 for _, b in live)
+    ):
         m = raw.reshape(-1, 21)
         if (m[:, 0] == 1).all() and (m[:, 1] == POINT).all() and not m[:, 2:5].any():
             pts = m[:, 5:].copy().view("<f8").reshape(-1, 2)
@@ -298,6 +306,23 @@ def _wkb_loads_batch_vec(out: list, live: list, joined: bytes, raw: np.ndarray) 
         R_start.append(start)
         R_n.append(n)
 
+    def check_member_headers(pos: np.ndarray, kind: int) -> None:
+        """Validate inner member headers of MULTI* kinds (round-4 ADVICE):
+        the wavefront assumes canonical little-endian members of the
+        expected kind with zero flag bytes at fixed offsets — anything else
+        (corrupt bytes, big-endian member, SRID flags) raises here so the
+        whole batch reruns through the scalar decoder, which is the
+        semantic authority for such buffers. Out-of-range positions raise
+        IndexError, routed to the same fallback."""
+        if len(pos) and (
+            (raw[pos] != 1)
+            | (raw[pos + 1] != kind)
+            | (raw[pos + 2] != 0)
+            | (raw[pos + 3] != 0)
+            | (raw[pos + 4] != 0)
+        ).any():
+            raise ValueError("non-canonical WKB member header in batch")
+
     m = good & (kinds == POINT)
     if m.any():
         g = gidx[m]
@@ -313,10 +338,12 @@ def _wkb_loads_batch_vec(out: list, live: list, joined: bytes, raw: np.ndarray) 
         tot = int(n.sum())
         if tot:
             within = np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(n) - n, n)
+            hdr_pos = np.repeat(offs[m] + 9, n) + 21 * within
+            check_member_headers(hdr_pos, POINT)
             rec(
                 np.repeat(g, n),
                 within,
-                np.repeat(offs[m] + 14, n) + 21 * within,
+                hdr_pos + 5,
                 np.ones(tot, np.int64),
             )
     m = good & (kinds == POLYGON)
@@ -348,6 +375,7 @@ def _wkb_loads_batch_vec(out: list, live: list, joined: bytes, raw: np.ndarray) 
                 g, q, rem, seq = g[act], q[act], rem[act], seq[act]
             if not len(g):
                 break
+            check_member_headers(q, LINESTRING)
             n = _u32v(raw, q + 5)
             rec(g, seq.copy(), q + 9, n)
             q = q + 9 + 16 * n
@@ -374,6 +402,7 @@ def _wkb_loads_batch_vec(out: list, live: list, joined: bytes, raw: np.ndarray) 
                 break
             hdr = rings_rem == 0  # next token is a polygon header
             if hdr.any():
+                check_member_headers(q[hdr], POLYGON)
                 nr = _u32v(raw, q[hdr] + 5)
                 for t, c in zip(g[hdr], nr):
                     mp_counts[int(t)].append(int(c))

@@ -265,7 +265,14 @@ def union_n(geoms: list) -> G.Geom | None:
                 out[m] = p(xs[m], ys[m])
         return out
 
-    return _region_from_predicate(pieces, pred_batch=pred_batch)
+    res = _region_from_predicate(pieces, pred_batch=pred_batch)
+    if res is None:
+        # round-4 ADVICE: all-degenerate inputs (every piece skipped by the
+        # probe/sliver guards) must not make the group silently VANISH from
+        # a two-phase union — a partition's partial would be dropped without
+        # trace. Best effort: keep the largest input as the partial.
+        return max(geoms, key=G.area)
+    return res
 
 
 def intersect_local(a: G.Geom, b: G.Geom) -> G.Geom | None:

@@ -1,4 +1,5 @@
-"""Iceberg-style table layer: snapshot manifests, time travel, file pruning.
+"""Iceberg-style table layer: snapshot manifests, time travel, file pruning,
+row-level (equality) deletes, optimistic multi-writer commits.
 
 The north rule grounds the engine "over Iceberg tables of image + caption
 pairs". No Iceberg runtime jars exist in this environment, so this module
@@ -7,33 +8,46 @@ plain parquet + JSON, Spark-idiomatically:
 
 * **snapshots** — every append commits a new immutable snapshot whose
   manifest lists the data files it added; a snapshot references its parent,
-  so the full file set of snapshot N is the union of manifests 0..N (the
-  same append-only manifest-list design as Iceberg's).
-* **atomic commits** — data files are written first, then the manifest,
-  then the `version-hint` pointer is atomically replaced (os.replace); a
-  reader never sees a half-committed snapshot, a crashed writer leaves only
-  unreferenced orphan files.
+  so the full file set of snapshot N is the union of the manifest chain
+  (the same append-only manifest-list design as Iceberg's).
+* **atomic commits** — data files are written first, then the manifest is
+  written to a temp file and **hard-linked into place** (`os.link` fails
+  with EEXIST if the id is taken): the link is simultaneously the atomic
+  claim of the snapshot id AND the durable publish of complete manifest
+  content. There is no claimed-but-unpublished window — a crash at any
+  point leaves either no manifest (only unreferenced orphan data files) or
+  a fully committed snapshot. The `version-hint` file is a read fast-path
+  CACHE, not the commit point (round-4 ADVICE: a crash between an O_EXCL
+  claim and a hint flip used to wedge the table forever; with link-commit
+  the hint can lag without consequence).
+* **optimistic concurrency** — appends are disjoint by construction, so on
+  `CommitConflict` (another writer linked the same id first) the commit
+  rebases: re-reads the current snapshot, re-targets parent+1, retries with
+  bounded backoff. Both writers' rows land, history is linear (dense ids).
+* **row-level deletes** — `delete_rows` commits a snapshot whose manifest
+  references parquet tombstone files (equality deletes on one column);
+  reads anti-join the tombstones. Deletes are *sequence-aware* like
+  Iceberg's: a delete applies only to files added at or before the delete's
+  snapshot, so re-appending a previously deleted id later is visible.
 * **time travel** — ``read(spark, path, snapshot=k)`` reconstructs the file
-  set as of snapshot k.
+  set AND the delete set as of snapshot k.
 * **manifest-level file pruning** — each manifest records per-file min/max
   stats for the requested columns; ``read`` with a ``prune`` range consults
   the stats and hands Spark only the files that can match — the
   metadata-side half of predicate pushdown (Catalyst still pushes the
   row-level filter into the parquet scan of the surviving files).
 * **per-partition lineage** — manifests record which append produced each
-  file and the row count it carried: the checkpoint/lineage evidence the
-  north rule asks for, at the table layer (the pipeline Ledger provides the
-  same per-region).
-
-Single-writer by design (documented): concurrent appends would race on the
-version hint; a cluster deployment serializes commits through the driver,
-which is exactly Iceberg's single-commit-arbiter model minus the catalog.
+  file (``added_at``) and the row count it carried: the checkpoint/lineage
+  evidence the north rule asks for, at the table layer (the pipeline
+  Ledger provides the same per-region).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import random
+import time
 import uuid
 from urllib.parse import unquote, urlparse
 
@@ -62,13 +76,32 @@ def _manifest_file(path: str, snap: int) -> str:
     return os.path.join(_meta_dir(path), f"manifest-{snap:05d}.json")
 
 
-def current_snapshot(path: str) -> int:
-    """Latest committed snapshot id, or -1 for an empty/new table."""
+def _max_manifest_id(path: str) -> int:
     try:
-        with open(_hint_file(path)) as f:
-            return int(f.read().strip())
+        names = os.listdir(_meta_dir(path))
     except FileNotFoundError:
         return -1
+    ids = [
+        int(n[len("manifest-"):-len(".json")])
+        for n in names
+        if n.startswith("manifest-") and n.endswith(".json")
+    ]
+    return max(ids, default=-1)
+
+
+def current_snapshot(path: str) -> int:
+    """Latest committed snapshot id, or -1 for an empty/new table.
+
+    A manifest file only ever exists fully written (link-commit), so the
+    directory scan is authoritative; the hint is a lower-bound cache that
+    may lag a writer that crashed before refreshing it."""
+    hint = -1
+    try:
+        with open(_hint_file(path)) as f:
+            hint = int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        pass
+    return max(hint, _max_manifest_id(path))
 
 
 def create_table(path: str, schema_ddl: str) -> None:
@@ -84,7 +117,68 @@ def table_schema(path: str) -> str:
         return json.load(f)["schema"]
 
 
-def append(df: DataFrame, path: str, stats_cols: list[str] | None = None) -> int:
+class CommitConflict(RuntimeError):
+    """Optimistic-concurrency conflict: another writer committed the same
+    snapshot id first. The manifest link is atomic, so a snapshot id can
+    never be silently clobbered; `append`/`delete_rows`/`compact_manifests`
+    rebase-and-retry on this up to their ``max_retries`` (appends and
+    deletes are disjoint additions, so a rebase is always safe — the same
+    commit loop Iceberg runs). Raised to the caller only once retries are
+    exhausted; the loser's data files are unreferenced orphans."""
+
+
+def _commit(path: str, snap: int, manifest: dict) -> None:
+    """Atomic single-step commit: manifest JSON is written complete to a
+    temp file, then hard-linked to its final name. `os.link` fails with
+    EEXIST if the id is taken (the atomic arbiter — of two racing writers
+    exactly one wins) and links only complete content (no torn manifest is
+    ever visible under a committed name). The version hint is refreshed
+    afterwards as a pure cache — a crash before the refresh costs readers
+    one directory scan, never correctness (round-4 ADVICE wedge fix)."""
+    tmp = _manifest_file(path, snap) + f".tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, _manifest_file(path, snap))
+    except FileExistsError:
+        raise CommitConflict(
+            f"snapshot {snap} was committed concurrently at {path}"
+        ) from None
+    finally:
+        os.unlink(tmp)
+    hint_tmp = _hint_file(path) + f".tmp.{uuid.uuid4().hex[:8]}"
+    with open(hint_tmp, "w") as fh:
+        fh.write(str(snap))
+    os.replace(hint_tmp, _hint_file(path))
+
+
+def _commit_with_rebase(path: str, build_manifest, max_retries: int) -> int:
+    """Run the optimistic commit loop: ``build_manifest(snap, parent)``
+    returns the manifest dict for a target id; on CommitConflict the target
+    is re-derived from the new table state and the build re-run (rebased),
+    with jittered backoff, up to ``max_retries`` times."""
+    for attempt in range(max_retries + 1):
+        parent = current_snapshot(path)
+        snap = parent + 1
+        manifest = build_manifest(snap, parent if parent >= 0 else None)
+        try:
+            _commit(path, snap, manifest)
+            return snap
+        except CommitConflict:
+            if attempt == max_retries:
+                raise
+            time.sleep(random.uniform(0.0, 0.02 * (2**attempt)))
+    raise AssertionError("unreachable")
+
+
+def append(
+    df: DataFrame,
+    path: str,
+    stats_cols: list[str] | None = None,
+    max_retries: int = 5,
+) -> int:
     """Commit ``df`` as a new snapshot; returns the new snapshot id.
 
     The dataframe's schema must match the table schema exactly (simple
@@ -94,6 +188,9 @@ def append(df: DataFrame, path: str, stats_cols: list[str] | None = None) -> int
     ``stats_cols``: columns to record per-file min/max for (enables
     ``read(..., prune=(col, lo, hi))`` file skipping). Stats are computed
     distributed — one narrow agg per file via input_file_name().
+
+    Data files are written once; only the (metadata-sized) manifest commit
+    participates in the optimistic rebase loop on concurrent writers.
     """
     from pyspark.sql import functions as F
 
@@ -105,8 +202,7 @@ def append(df: DataFrame, path: str, stats_cols: list[str] | None = None) -> int
         raise ValueError(
             f"schema mismatch: table {want.simpleString()} vs append {df.schema.simpleString()}"
         )
-    snap = current_snapshot(path) + 1
-    out_dir = os.path.join(path, "data", f"snap-{snap:05d}-{uuid.uuid4().hex[:8]}")
+    out_dir = os.path.join(path, "data", f"add-{uuid.uuid4().hex[:12]}")
     df.write.parquet(out_dir)
 
     written = spark.read.parquet(out_dir)
@@ -119,91 +215,113 @@ def append(df: DataFrame, path: str, stats_cols: list[str] | None = None) -> int
         .agg(*aggs)
         .collect()
     )
-    files = []
-    for r in per_file:
-        ent = {"path": _local_path(r["_file"]), "rows": r["_rows"]}
-        for c in stats_cols or []:
-            ent[f"min_{c}"] = r[f"_min_{c}"]
-            ent[f"max_{c}"] = r[f"_max_{c}"]
-        files.append(ent)
 
-    manifest = {
-        "snapshot": snap,
-        "parent": snap - 1 if snap else None,
-        "files": sorted(files, key=lambda e: e["path"]),
-        "stats_cols": stats_cols or [],
-    }
-    _commit(path, snap, manifest)
-    return snap
+    def build(snap: int, parent: int | None) -> dict:
+        files = []
+        for r in per_file:
+            ent = {"path": _local_path(r["_file"]), "rows": r["_rows"], "added_at": snap}
+            for c in stats_cols or []:
+                ent[f"min_{c}"] = r[f"_min_{c}"]
+                ent[f"max_{c}"] = r[f"_max_{c}"]
+            files.append(ent)
+        return {
+            "snapshot": snap,
+            "parent": parent,
+            "files": sorted(files, key=lambda e: e["path"]),
+            "stats_cols": stats_cols or [],
+        }
 
-
-class CommitConflict(RuntimeError):
-    """Optimistic-concurrency conflict: another writer committed the same
-    snapshot id first. The losing append's data files are orphans (never
-    referenced) — retry the whole append against the new table state, as
-    Iceberg's commit loop does. This layer DETECTS the conflict (the
-    manifest create is O_EXCL-atomic, so a snapshot id can never be
-    silently clobbered) but does not retry for you: single-writer remains
-    the documented operating mode."""
+    return _commit_with_rebase(path, build, max_retries)
 
 
-def _commit(path: str, snap: int, manifest: dict) -> None:
-    """Two-step optimistic commit: (1) claim the snapshot id by creating
-    its manifest with O_CREAT|O_EXCL — atomic on POSIX, so of two racing
-    writers exactly one wins the id; (2) atomically flip the version hint.
-    A crash between the steps leaves a claimed-but-unpublished manifest:
-    readers still see the old snapshot, and the next writer's claim on the
-    same id raises CommitConflict instead of corrupting history."""
-    try:
-        f = open(_manifest_file(path, snap), "x")
-    except FileExistsError:
-        raise CommitConflict(
-            f"snapshot {snap} was committed concurrently at {path}"
-        ) from None
-    with f:
-        json.dump(manifest, f)
-    # atomic pointer flip — readers see the old snapshot until this replace
-    tmp = _hint_file(path) + f".tmp.{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as fh:
-        fh.write(str(snap))
-    os.replace(tmp, _hint_file(path))
+def delete_rows(
+    ids: DataFrame, path: str, id_col: str, max_retries: int = 5
+) -> int:
+    """Commit an equality-delete snapshot: every table row whose ``id_col``
+    appears in ``ids`` (a one-column DataFrame, or one containing that
+    column) is removed from reads at this snapshot and after. Returns the
+    delete snapshot id.
+
+    This is the apply-step of the LLM-pipeline dedup loop (ingest → dedup →
+    delete): the dedup verdict table's loser ids become tombstones.
+    Mechanics mirror Iceberg's equality deletes:
+
+    * tombstone ids are written as parquet data (never inlined into JSON —
+      a 10⁹-row verdict stays distributed);
+    * the manifest records the tombstone files + column + its own snapshot
+      as the delete's sequence number;
+    * reads anti-join the tombstones against data files with
+      ``added_at <= delete snapshot`` only — re-appending an id AFTER the
+      delete makes it visible again (sequence-aware, like Iceberg), and
+      time travel to a pre-delete snapshot still sees the original rows.
+    """
+    want = {f.name for f in ids.sparkSession.createDataFrame([], table_schema(path)).schema.fields}
+    if id_col not in want:
+        raise ValueError(f"delete column {id_col!r} not in table schema")
+    out_dir = os.path.join(path, "data", f"delete-{uuid.uuid4().hex[:12]}")
+    ids.select(id_col).dropDuplicates().write.parquet(out_dir)
+    spark = ids.sparkSession
+    tomb_files = sorted(
+        _local_path(r["_f"])
+        for r in spark.read.parquet(out_dir)
+        .selectExpr("input_file_name() as _f")
+        .distinct()
+        .collect()
+    )
+
+    def build(snap: int, parent: int | None) -> dict:
+        return {
+            "snapshot": snap,
+            "parent": parent,
+            "files": [],
+            "stats_cols": [],
+            "deletes": {"col": id_col, "paths": tomb_files, "as_of": snap},
+        }
+
+    return _commit_with_rebase(path, build, max_retries)
 
 
-def compact_manifests(path: str) -> int:
+def compact_manifests(path: str, max_retries: int = 5) -> int:
     """Merge the manifest chain into one (VERDICT r3 #10): commits a new
-    snapshot whose manifest carries the FULL file set visible so far and
-    is marked ``includes_through``, so reads walk back at most one step —
+    snapshot whose manifest carries the FULL file set visible so far (with
+    per-file ``added_at`` lineage preserved) plus every still-active delete
+    spec, marked ``includes_through`` so reads walk back at most one step —
     O(files), not O(appends). Older manifests are retained verbatim, so
     time travel to any pre-compaction snapshot still reconstructs exactly
     its file set. Returns the compaction snapshot id."""
-    snap = current_snapshot(path)
-    stats_cols = sorted(
-        {c for m in _manifests(path, snap) for c in m.get("stats_cols", [])}
-    )
-    manifest = {
-        "snapshot": snap + 1,
-        "parent": snap,
-        "files": sorted(files_at(path, snap), key=lambda e: e["path"]),
-        "stats_cols": stats_cols,
-        "includes_through": snap + 1,
-    }
-    _commit(path, snap + 1, manifest)
-    return snap + 1
+
+    def build(snap: int, parent: int | None) -> dict:
+        base = parent if parent is not None else -1
+        chain = _manifests(path, base) if base >= 0 else []
+        stats_cols = sorted({c for m in chain for c in m.get("stats_cols", [])})
+        return {
+            "snapshot": snap,
+            "parent": parent,
+            "files": sorted(files_at(path, base), key=lambda e: e["path"]),
+            "stats_cols": stats_cols,
+            "deletes_carried": [m["deletes"] for m in chain if m.get("deletes")],
+            "includes_through": snap,
+        }
+
+    return _commit_with_rebase(path, build, max_retries)
 
 
 def _manifests(path: str, snapshot: int) -> list[dict]:
-    """Manifest chain whose union is the file set at ``snapshot``: walk
-    BACKWARD until a compacted manifest (``includes_through``) absorbs the
-    rest — after a compaction this is one read, not one per append."""
+    """Manifest chain whose union is the table state at ``snapshot``:
+    follow each manifest's explicit ``parent`` pointer (Iceberg's snapshot
+    lineage — ids not on the chain, e.g. another branch's, are never read)
+    until a compacted manifest (``includes_through``) absorbs the rest —
+    after a compaction this is one read, not one per append."""
     out = []
-    s = snapshot
-    while s >= 0:
+    s: int | None = snapshot
+    while s is not None and s >= 0:
         with open(_manifest_file(path, s)) as f:
             m = json.load(f)
         out.append(m)
         if m.get("includes_through") is not None:
             break
-        s -= 1
+        # pre-round-5 manifests always chained densely; default preserved
+        s = m.get("parent", s - 1)
     out.reverse()
     return out
 
@@ -212,11 +330,16 @@ def files_at(path: str, snapshot: int | None = None,
              prune: tuple[str, object, object] | None = None) -> list[dict]:
     """File entries visible at ``snapshot`` (default: latest), optionally
     pruned to files whose [min,max] range for a stats column intersects
-    [lo, hi]."""
+    [lo, hi]. Entries carry ``added_at`` lineage (manifests from before
+    this field default to 0 — conservatively, every delete applies)."""
     snap = current_snapshot(path) if snapshot is None else snapshot
     if snap < 0:
         return []
-    entries = [e for m in _manifests(path, snap) for e in m["files"]]
+    entries = [
+        dict(e, added_at=e.get("added_at", 0))
+        for m in _manifests(path, snap)
+        for e in m["files"]
+    ]
     if prune is not None:
         col, lo, hi = prune
         kept = []
@@ -230,17 +353,53 @@ def files_at(path: str, snapshot: int | None = None,
     return entries
 
 
+def deletes_at(path: str, snapshot: int | None = None) -> list[dict]:
+    """Active delete specs ({col, paths, as_of}) visible at ``snapshot``,
+    oldest first — both directly committed and carried through compaction."""
+    snap = current_snapshot(path) if snapshot is None else snapshot
+    if snap < 0:
+        return []
+    out = []
+    for m in _manifests(path, snap):
+        out.extend(m.get("deletes_carried", []))
+        if m.get("deletes"):
+            out.append(m["deletes"])
+    return sorted(out, key=lambda d: d["as_of"])
+
+
 def read(spark: SparkSession, path: str, snapshot: int | None = None,
          prune: tuple[str, object, object] | None = None) -> DataFrame:
     """DataFrame over the table as of ``snapshot`` (time travel), reading
-    only the files whose manifest stats can match ``prune=(col, lo, hi)``.
-    Row-level filtering stays the caller's job (and Catalyst pushes it into
-    the parquet scan of the surviving files); pruning is purely the
-    metadata-side file skip. An empty file set yields an empty frame with
-    the table schema."""
+    only the files whose manifest stats can match ``prune=(col, lo, hi)``,
+    minus any equality-deleted rows. Row-level filtering stays the caller's
+    job (and Catalyst pushes it into the parquet scan of the surviving
+    files); pruning is purely the metadata-side file skip.
+
+    Deletes are applied per file group: a delete anti-joins only the files
+    added at or before its snapshot (sequence-aware). The tombstone side is
+    broadcast — delete verdicts are a small fraction of the corpus; the
+    data side is never shuffled by the anti-join."""
+    from pyspark.sql import functions as F
+
     entries = files_at(path, snapshot, prune)
     if not entries:
         return spark.createDataFrame([], table_schema(path))
-    return spark.read.schema(
-        spark.createDataFrame([], table_schema(path)).schema
-    ).parquet(*[e["path"] for e in entries])
+    dels = deletes_at(path, snapshot)
+    schema = spark.createDataFrame([], table_schema(path)).schema
+
+    # group files by which deletes apply to them (usually 1-2 groups)
+    groups: dict[tuple[int, ...], list[str]] = {}
+    for e in entries:
+        key = tuple(i for i, d in enumerate(dels) if d["as_of"] >= e["added_at"])
+        groups.setdefault(key, []).append(e["path"])
+    parts = []
+    for key, paths in sorted(groups.items()):
+        df = spark.read.schema(schema).parquet(*paths)
+        for i in key:
+            tomb = spark.read.parquet(*dels[i]["paths"]).select(dels[i]["col"])
+            df = df.join(F.broadcast(tomb), dels[i]["col"], "left_anti")
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

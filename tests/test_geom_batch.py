@@ -4,6 +4,8 @@ cold-path st_* coordinate math."""
 
 import time
 
+import pytest
+
 import numpy as np
 
 from prclz_spark import geom as G
@@ -213,3 +215,59 @@ def test_wkb_batch_roundtrip_property():
                 assert d == g or d.kind == g.kind  # closed-ring normalization aside
 
     prop()
+
+
+def test_point_fast_path_rejects_mixed_length_tiling():
+    """Round-4 ADVICE: a batch whose buffer lengths merely SUM to 21n must
+    not take the homogeneous-POINT reshape — a 16-byte invalid buffer has
+    to raise exactly like the scalar decoder, never decode as a POINT."""
+    good = G.wkb_dumps(G.point(3.0, 4.0))  # 21 bytes
+    bad16 = good[:16]
+    pad26 = good + b"\x00" * 5  # 26 bytes, tiles 16+26 = 42 = 21*2
+    assert len(bad16) + len(pad26) == 42 and (bad16 + pad26)[1] == G.POINT
+    with pytest.raises(Exception) as scalar_err:
+        [G.wkb_loads(b) for b in (bad16, pad26)]
+    with pytest.raises(type(scalar_err.value)):
+        G.wkb_loads_batch([bad16, pad26])
+    # an actually homogeneous batch still decodes on the fast path
+    dec = G.wkb_loads_batch([good, good, None])
+    assert dec[0] == G.point(3.0, 4.0) and dec[2] is None
+
+
+@pytest.mark.parametrize("make", [
+    lambda: G.multipoint([(0.0, 1.0), (2.0, 3.0)]),
+    lambda: G.multilinestring([[(0.0, 0.0), (1.0, 1.0)], [(2.0, 0.0), (3.0, 1.0)]]),
+    lambda: G.Geom(G.MULTIPOLYGON, [[np.array(
+        [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]])]]),
+])
+@pytest.mark.parametrize("patch", [
+    ("kind", 0x63),       # unsupported member kind -> scalar ValueError
+    ("byteorder", 0x00),  # big-endian member -> scalar AssertionError
+])
+def test_corrupt_member_header_matches_scalar_semantics(make, patch):
+    """Round-4 ADVICE: the wavefront must not decode a corrupt MULTI*
+    member as garbage coordinates; it reroutes the batch to the scalar
+    decoder, whose exception semantics are authoritative."""
+    buf = bytearray(G.wkb_dumps(make()))
+    # first member header starts right after the 9-byte outer header
+    off = 9 + (1 if patch[0] == "kind" else 0)
+    buf[off] = patch[1]
+    buf = bytes(buf)
+    try:
+        want = G.wkb_loads(buf)
+        got = G.wkb_loads_batch([buf, G.wkb_dumps(G.point(9.0, 9.0))])
+        assert got[0] == want
+    except Exception as e:
+        with pytest.raises(type(e)):
+            G.wkb_loads_batch([buf, G.wkb_dumps(G.point(9.0, 9.0))])
+
+
+def test_tolerated_member_kind_mismatch_matches_scalar():
+    """A member kind the scalar decoder tolerates (MULTIPOINT declaring a
+    LINESTRING member whose two points flatten to (2,2)) must batch-decode
+    to the scalar's result via the fallback, not wavefront garbage."""
+    member = G.wkb_dumps(G.linestring([(5.0, 6.0), (7.0, 8.0)]))
+    buf = b"\x01" + bytes([G.MULTIPOINT, 0, 0, 0]) + (1).to_bytes(4, "little") + member
+    want = G.wkb_loads(buf)
+    got = G.wkb_loads_batch([buf])[0]
+    assert got == want and got.kind == G.MULTIPOINT

@@ -114,24 +114,131 @@ def test_manifest_compaction(spark, tmp_path):
     assert len(IL._manifests(t, IL.current_snapshot(t))) == 2
 
 
-def test_concurrent_append_conflict_detected(spark, tmp_path):
-    """Single-writer contract: a racing writer that already claimed the
-    next snapshot id makes this append raise CommitConflict cleanly (the
-    O_EXCL manifest create is the atomic arbiter) — never a silent
-    manifest clobber."""
-    import json, os
-
-    import pytest
+def test_concurrent_append_rebases_not_wedges(spark, tmp_path):
+    """VERDICT r4 #9 + ADVICE (medium): a snapshot id taken by another
+    writer makes this append REBASE onto the new state (parent = the
+    winner), not fail — and a winner whose version-hint refresh never
+    landed (crash right after the manifest link) cannot wedge the table,
+    because the hint is a cache and the directory scan is authoritative."""
+    import json
 
     t = str(tmp_path / "race")
     IL.create_table(t, "doc_id bigint, v bigint")
     IL.append(spark.range(10).selectExpr("id as doc_id", "id as v"), t)
     nxt = IL.current_snapshot(t) + 1
-    # another writer claims snapshot `nxt` (its hint flip hasn't landed yet)
+    # another writer commits snapshot `nxt`… and crashes before refreshing
+    # the hint (simulated: manifest present, hint stale)
     with open(IL._manifest_file(t, nxt), "x") as f:
-        json.dump({"snapshot": nxt, "parent": nxt - 1, "files": [], "stats_cols": []}, f)
-    with pytest.raises(IL.CommitConflict):
-        IL.append(spark.range(5).selectExpr("id as doc_id", "id as v"), t)
-    # table state is unharmed: old snapshot still current and readable
-    assert IL.current_snapshot(t) == nxt - 1
-    assert IL.read(spark, t).count() == 10
+        json.dump(
+            {"snapshot": nxt, "parent": nxt - 1, "files": [], "stats_cols": []}, f
+        )
+    assert IL.current_snapshot(t) == nxt  # scan sees it despite stale hint
+    s = IL.append(spark.range(5).selectExpr("id as doc_id", "id as v"), t)
+    assert s == nxt + 1  # rebased past the concurrent commit
+    assert IL.read(spark, t).count() == 15
+    # linear history: every manifest's parent is its predecessor
+    chain = IL._manifests(t, s)
+    assert [m["snapshot"] for m in chain] == [0, 1, 2]
+    assert [m["parent"] for m in chain] == [None, 0, 1]
+
+
+def test_zero_retries_surfaces_conflict(spark, tmp_path):
+    """With max_retries=0 a genuine race raises CommitConflict (the atomic
+    link arbiter) instead of silently clobbering — the loser's data files
+    stay orphans and the table state is unharmed."""
+    import pytest
+
+    t = str(tmp_path / "race0")
+    IL.create_table(t, "doc_id bigint")
+    IL.append(spark.range(3).selectExpr("id as doc_id"), t)
+
+    real_commit = IL._commit
+    calls = {"n": 0}
+
+    def racing_commit(path, snap, manifest):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            real_commit(path, snap, {"snapshot": snap, "parent": snap - 1,
+                                     "files": [], "stats_cols": []})
+        real_commit(path, snap, manifest)
+
+    IL._commit, saved = racing_commit, IL._commit
+    try:
+        with pytest.raises(IL.CommitConflict):
+            IL.append(spark.range(3).selectExpr("id as doc_id"), t, max_retries=0)
+    finally:
+        IL._commit = saved
+    assert IL.read(spark, t).count() == 3 + 0  # racer appended no files
+
+
+def test_threaded_concurrent_appends_both_land(spark, tmp_path):
+    """Two real writers racing the same table: with the rebase loop both
+    appends commit, history is linear (dense ids), all rows present."""
+    import threading
+
+    t = str(tmp_path / "mw")
+    IL.create_table(t, "doc_id bigint")
+    errs = []
+
+    def writer(lo, hi):
+        try:
+            IL.append(spark.range(lo, hi).selectExpr("id as doc_id"), t)
+        except Exception as e:  # pragma: no cover - failure path
+            errs.append(e)
+
+    ths = [threading.Thread(target=writer, args=(k * 100, k * 100 + 50)) for k in range(4)]
+    for th in ths:
+        th.start()
+    for th in ths:
+        th.join()
+    assert not errs
+    assert IL.current_snapshot(t) == 3
+    assert IL.read(spark, t).count() == 200
+    chain = IL._manifests(t, 3)
+    assert [m["snapshot"] for m in chain] == [0, 1, 2, 3]
+    assert [m["parent"] for m in chain] == [None, 0, 1, 2]
+
+
+def test_delete_rows_time_travel_and_reappend(spark, tmp_path):
+    """VERDICT r4 #4: equality deletes as a snapshot. Post-delete reads
+    drop the tombstoned ids; time travel to the pre-delete snapshot still
+    sees them; a LATER re-append of a deleted id is visible again
+    (sequence-aware, like Iceberg — the delete applies only to files added
+    at or before its snapshot)."""
+    t = str(tmp_path / "del")
+    IL.create_table(t, "doc_id bigint, v bigint")
+    s0 = IL.append(spark.range(10).selectExpr("id as doc_id", "id*2 as v"), t)
+    sd = IL.delete_rows(
+        spark.range(3, 6).selectExpr("id as doc_id"), t, "doc_id"
+    )
+    assert sd == s0 + 1
+    got = sorted(r.doc_id for r in IL.read(spark, t).collect())
+    assert got == [0, 1, 2, 6, 7, 8, 9]
+    # time travel: the pre-delete snapshot is intact
+    assert IL.read(spark, t, snapshot=s0).count() == 10
+    # sequence-aware: re-appending doc_id=4 after the delete is visible
+    IL.append(spark.range(4, 5).selectExpr("id as doc_id", "id*100 as v"), t)
+    back = {r.doc_id: r.v for r in IL.read(spark, t).collect()}
+    assert back[4] == 400 and 3 not in back and 5 not in back
+    assert IL.read(spark, t).count() == 8
+
+
+def test_delete_survives_compaction_and_pruning(spark, tmp_path):
+    t = str(tmp_path / "delc")
+    IL.create_table(t, "doc_id bigint, v bigint")
+    for k in range(3):
+        IL.append(
+            spark.range(k * 10, (k + 1) * 10).selectExpr("id as doc_id", "id as v"),
+            t, stats_cols=["v"],
+        )
+    IL.delete_rows(spark.range(5, 25).selectExpr("id as doc_id"), t, "doc_id")
+    pre = sorted(r.doc_id for r in IL.read(spark, t).collect())
+    snap = IL.compact_manifests(t)
+    assert len(IL._manifests(t, snap)) == 1  # chain collapsed
+    assert sorted(r.doc_id for r in IL.read(spark, t).collect()) == pre
+    # pruning composes with deletes: the [0,9] file group still prunes
+    assert len(IL.files_at(t, prune=("v", 0, 4))) < len(IL.files_at(t))
+    got = sorted(
+        r.doc_id for r in IL.read(spark, t, prune=("v", 0, 9)).collect()
+    )
+    assert got == [0, 1, 2, 3, 4]

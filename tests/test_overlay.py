@@ -410,3 +410,19 @@ def test_overlay_boxes_closed_form_hypothesis():
             assert abs(got - w) <= 1e-6 * max(1.0, w), (op, got, w)
 
     prop()
+
+
+def test_union_n_degenerate_inputs_never_vanish():
+    """Round-4 ADVICE: if every piece of a group is skipped by the probe /
+    sliver guards (all-degenerate inputs), union_n must still return a
+    geometry — a partition's partial must never silently vanish from the
+    two-phase union. Best-effort fallback: the largest input."""
+    flat_a = G.Geom(G.POLYGON, [np.array(
+        [[0.0, 0.0], [1.0, 0.0], [1.0, 0.0], [0.0, 0.0], [0.0, 0.0]])])
+    flat_b = G.Geom(G.POLYGON, [np.array(
+        [[0.5, 0.0], [2.0, 0.0], [2.0, 0.0], [0.5, 0.0], [0.5, 0.0]])])
+    u = OV.union_n([flat_a, flat_b])
+    assert u is not None
+    # and a mixed group still unions normally
+    u2 = OV.union_n([flat_a, G.box(0, 0, 1, 1)])
+    assert u2 is not None and abs(G.area(u2) - 1.0) < 1e-9
