@@ -9,24 +9,37 @@ arbitrary-stateful-processing surface, the one piece of §2.8 the built-in
 windowed aggregations cannot express) and re-runs the weak-dual kernel only
 for touched blocks:
 
-    state per block_id : (block ring WKB, accumulated centroid doubles)
+    state per block_id : (block ring WKB, accumulated centroid doubles,
+                          current k, evicted-history k, evicted-history n)
     on trigger         : append the batch's centroids (same in-kernel exact
                          PIP refine as the batch path), recompute k, emit
-                         (block_id, n_bldgs, complexity), update state
+                         (block_id, n_bldgs, complexity, restarted),
+                         update state
     eviction           : optional processing-time timeout — a block idle
-                         longer than `idle_timeout_ms` is dropped from the
-                         store (its k is final unless new buildings arrive,
-                         in which case it restarts from the new arrivals).
+                         longer than `idle_timeout_ms` has its centroid set
+                         dropped, but a compact TOMBSTONE (k_hist, n_hist —
+                         16 B vs the full centroid array) stays in state.
+
+Eviction-restart contract (round-4 VERDICT #2): if new buildings arrive
+after an eviction, the kernel can only see the new fragment — so the
+emitted row reports ``complexity = max(k_hist, k(fragment))`` (k is
+non-decreasing in the building set: more buildings only deepen the parcel
+dual, so the historical k is a valid floor), ``n_bldgs`` includes the
+evicted count, and ``restarted = true`` marks the row as a post-eviction
+lower bound. A last-row-per-block consumer therefore never silently
+replaces a correct historical k with one computed from a fragment — it
+either sees a value ≥ the historical k, or can filter on ``restarted``.
 
 Equivalence contract (tests/test_streaming.py): after draining a finite
-stream, the LAST emitted row per block equals the batch `k_complexity` on
-the union of all events — the stream is a refinement of the batch result,
-trigger by trigger.
+stream with no evictions, the LAST emitted row per block equals the batch
+`k_complexity` on the union of all events — the stream is a refinement of
+the batch result, trigger by trigger.
 
 State is bounded by building count per block (centroid pairs, 16 B each),
-the same working set the batch kernel holds per group; the shuffle key is
-block_id exactly as in the batch plan, so a megacity block is one state
-row, not a hot partition.
+the same working set the batch kernel holds per group — and shrinks to the
+16-byte tombstone once a block goes idle; the shuffle key is block_id
+exactly as in the batch plan, so a megacity block is one state row, not a
+hot partition.
 """
 
 from __future__ import annotations
@@ -41,8 +54,8 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from .. import geom as G
 from ..kernels import planar as P
 
-_OUT_SCHEMA = "block_id string, n_bldgs int, complexity int"
-_STATE_SCHEMA = "ring binary, pts binary"
+_OUT_SCHEMA = "block_id string, n_bldgs int, complexity int, restarted boolean"
+_STATE_SCHEMA = "ring binary, pts binary, k_cur int, k_hist int, n_hist int"
 
 
 def _k_state_func(
@@ -50,13 +63,21 @@ def _k_state_func(
 ) -> Iterator[pd.DataFrame]:
     block_id = key[0]
     if state.hasTimedOut:
-        state.remove()
+        ring_wkb, pts_b, k_cur, k_hist, n_hist = state.get
+        n_pts = len(pts_b) // 16 if pts_b else 0
+        if n_pts:
+            # evict the centroid array, keep the 16-byte tombstone (+ring);
+            # no further timeout is registered — the tombstone is the floor
+            # for any post-eviction restart and costs nothing to retain
+            state.update((ring_wkb, b"", 0, max(k_cur, k_hist), n_hist + n_pts))
+        else:
+            state.remove()  # already a tombstone-only state: nothing to evict
         return
     if state.exists:
-        ring_wkb, pts_b = state.get
+        ring_wkb, pts_b, k_cur, k_hist, n_hist = state.get
         pts = np.frombuffer(pts_b, dtype=np.float64).reshape(-1, 2) if pts_b else np.zeros((0, 2))
     else:
-        ring_wkb, pts = None, np.zeros((0, 2))
+        ring_wkb, pts, k_hist, n_hist = None, np.zeros((0, 2)), 0, 0
     new = []
     for pdf in pdfs:
         if ring_wkb is None and len(pdf):
@@ -74,11 +95,11 @@ def _k_state_func(
     kept = pts[mask]
     if not len(kept):
         return
-    k = P.block_complexity(np.asarray(ring, dtype=np.float64), kept)
-    state.update((ring_wkb, kept.tobytes()))
+    k_frag = int(P.block_complexity(np.asarray(ring, dtype=np.float64), kept))
+    state.update((ring_wkb, kept.tobytes(), k_frag, int(k_hist), int(n_hist)))
     yield pd.DataFrame(
-        [(block_id, int(len(kept)), int(k))],
-        columns=["block_id", "n_bldgs", "complexity"],
+        [(block_id, int(n_hist + len(kept)), max(k_frag, int(k_hist)), n_hist > 0)],
+        columns=["block_id", "n_bldgs", "complexity", "restarted"],
     )
 
 
@@ -87,7 +108,9 @@ def stream_k_complexity(
 ) -> DataFrame:
     """assigned: streaming (block_id, block_geom, x, y) — e.g. the output of
     `stream_pip_assign(..., keep_poly_geom='block_geom')`. Emits an updated
-    (block_id, n_bldgs, complexity) row whenever a block receives buildings."""
+    (block_id, n_bldgs, complexity, restarted) row whenever a block receives
+    buildings; ``restarted`` is true iff the row follows an idle-timeout
+    eviction (its complexity is then max(historical k, fragment k))."""
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
         if idle_timeout_ms is not None

@@ -345,3 +345,68 @@ def test_stream_k_complexity_timeout_path_runs(spark, tmp_path):
         q.stop()
     got = spark.table("stream_k_to").toPandas()
     assert len(got) == 1 and got.block_id.iloc[0] == "B1" and got.n_bldgs.iloc[0] == 6
+
+
+def test_stream_k_eviction_tombstone_never_understates(spark):
+    """Round-4 VERDICT #2 regression: after an idle-timeout eviction, a new
+    arrival must not silently overwrite the correct historical k with one
+    computed from the post-eviction fragment. The state handler is driven
+    directly with a stub GroupState (deterministic — real processing-time
+    eviction timing is covered by the integration test above): arrival of 9
+    buildings (k=3) → eviction (tombstone kept) → 1 new building (fragment
+    k=0) must emit complexity ≥ 3 and restarted=true."""
+    import numpy as np
+    import pandas as pd
+
+    from prclz_spark import geom as G
+    from prclz_spark.streaming.complexity import _k_state_func
+
+    class StubState:
+        def __init__(self):
+            self._v, self.hasTimedOut = None, False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v = None
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    ring = G.wkb_dumps(G.box(0.0, 0.0, 1.0, 1.0))
+    pts9 = [(.15, .15), (.5, .12), (.85, .15), (.88, .5), (.85, .85),
+            (.5, .88), (.15, .85), (.12, .5), (.5, .5)]
+
+    def batch(rows):
+        return iter([pd.DataFrame(
+            [{"block_geom": ring, "x": x, "y": y} for x, y in rows]
+        )])
+
+    st = StubState()
+    (row1,) = list(_k_state_func(("B1",), batch(pts9), st))
+    assert (int(row1.n_bldgs.iloc[0]), int(row1.complexity.iloc[0])) == (9, 3)
+    assert not bool(row1.restarted.iloc[0])
+
+    # idle timeout fires: centroids dropped, 16-byte tombstone retained
+    st.hasTimedOut = True
+    assert list(_k_state_func(("B1",), iter([]), st)) == []
+    st.hasTimedOut = False
+    assert st.exists
+    _, pts_b, _, k_hist, n_hist = st._v
+    assert pts_b == b"" and (k_hist, n_hist) == (3, 9)
+
+    # post-eviction arrival: fragment alone would score k=0 — the emitted
+    # row must carry the historical floor and the restart marker
+    (row2,) = list(_k_state_func(("B1",), batch([(.4, .6)]), st))
+    assert int(row2.n_bldgs.iloc[0]) == 10
+    assert int(row2.complexity.iloc[0]) >= 3
+    assert bool(row2.restarted.iloc[0])
