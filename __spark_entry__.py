@@ -541,6 +541,38 @@ def _q_minhash_lsh(spark, sf_dir):  # MinHash+LSH near-dup detection
     ).orderBy("id_a", "id_b")
 
 
+def _q_dedup_against_corpus(spark, sf_dir):
+    """Incremental dedup against a PERSISTED corpus (round-4 VERDICT #1):
+    the corpus (doc_id < 150) signatures are committed to an iceberg-lite
+    table once; the incoming batch (150 ≤ doc_id < 200 plus planted
+    90%-prefix twins of every 5th corpus doc) is banded and broadcast
+    against ONE scan of that table — never a corpus self-join
+    (plan-asserted in tests/test_plans.py). Returns the surviving cross
+    pairs (batch_id, corpus_id, jaccard_est). The DuckDB oracle replicates
+    the full 64-perm signature + 16-band agreement pipeline and takes the
+    corpus×batch slice."""
+    import tempfile
+
+    from prclz_spark.operators.dedup import minhash_pairs_against, minhash_signatures
+    from prclz_spark.sources import iceberg_lite as IL
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 150)
+    fresh = docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 200))
+    twins = corpus.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.expr("substring(text, 1, cast(length(text) * 0.9 as int))").alias("text"),
+    )
+    batch = fresh.unionByName(twins)
+    t = tempfile.mkdtemp(prefix="sig_corpus_")
+    IL.create_table(t, "doc_id bigint, sig array<bigint>")
+    IL.append(minhash_signatures(corpus, "doc_id", "text"), t)
+    pairs = minhash_pairs_against(
+        IL.read(spark, t), minhash_signatures(batch, "doc_id", "text"), "doc_id"
+    )
+    return pairs.orderBy("batch_id", "corpus_id")
+
+
 def _q_simhash_dedup(spark, sf_dir):  # SimHash Hamming-band near-dup
     from prclz_spark.operators.dedup import simhash_near_pairs
 
@@ -1099,6 +1131,31 @@ _MINHASH_LSH_ORACLE_TMPL = """
                  bnd -> eq[bnd*4+1] AND eq[bnd*4+2] AND eq[bnd*4+3] AND eq[bnd*4+4])) > 0
 """
 
+_DEDUP_AGAINST_ORACLE_TMPL = """
+    WITH d AS (
+      SELECT doc_id, text AS s FROM documents WHERE doc_id < 200
+    ), f AS (
+      SELECT doc_id, s FROM d
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id,
+             substring(s, 1, CAST(FLOOR(length(s) * 0.9) AS INT)) AS s
+      FROM d WHERE doc_id < 150 AND doc_id % 5 = 0
+    ), sg AS (
+      {SIG}
+    )
+    SELECT id_b AS batch_id, id_a AS corpus_id,
+           ROUND(CAST(ag AS DOUBLE) / 64, 4) AS jaccard_est
+    FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             [a.sig[i] = b.sig[i] for i in range(1, 65)] AS eq
+      FROM sg a JOIN sg b ON a.doc_id < 150 AND b.doc_id >= 150
+    ), LATERAL (SELECT length(list_filter(eq, x -> x)) AS ag) t
+    WHERE ag >= 32
+      AND length(list_filter(range(0, 16),
+                 bnd -> eq[bnd*4+1] AND eq[bnd*4+2] AND eq[bnd*4+3] AND eq[bnd*4+4])) > 0
+    ORDER BY batch_id, corpus_id
+"""
+
 _SIMHASH_ORACLE = f"""
     WITH d AS (
       SELECT doc_id, text AS s FROM documents WHERE doc_id < 400
@@ -1260,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "minhash_lsh_neardup": _q_minhash_lsh,
+        "dedup_against_corpus": _q_dedup_against_corpus,
         "minhash_jaccard_exact": _q_minhash_jaccard_exact,
         "winnow_fingerprint": _q_winnow_fingerprint,
         "iceberg_snapshots": _q_iceberg_snapshots,
@@ -1461,6 +1519,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprint": _WINNOW_FP_ORACLE,
         "winnow_near_pairs": _WINNOW_PAIRS_ORACLE,
         "minhash_lsh_neardup": _MINHASH_LSH_ORACLE_TMPL.format(SIG=_minhash_sig_sql()),
+        "dedup_against_corpus": _DEDUP_AGAINST_ORACLE_TMPL.format(SIG=_minhash_sig_sql()),
         "simhash_neardup": _SIMHASH_ORACLE,
         # 4×4 world closed form: 14 square-cell blocks (6 ring buildings →
         # 6 parcels, area CELL²=1e-4 deg² → 100.0e-6) + 2 diagonal cells

@@ -106,17 +106,38 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, num_perm: int 
     return df.select(F.col(id_col), _sig(F.col(text_col)).alias("sig"))
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
+def _band_explode(num_perm: int, bands: int):
+    """posexplode expression producing (band, band_hash) from a ``sig``
+    column — ONE definition, so self-join and against-corpus paths band
+    identically (a corpus signature written last month buckets exactly like
+    today's batch)."""
+    rows_per_band = num_perm // bands
+    return F.posexplode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda i: F.xxhash64(
+                F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band).cast("string")
+            ),
+        )
+    ).alias("band", "band_hash")
+
+
+def _jaccard_est():
+    """Signature agreement rate — built lazily (F.expr needs a live
+    SparkContext, so this cannot be a module-level constant)."""
+    return F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> CAST(x = y AS INT)), 0, (acc, v) -> acc + v)"
+    ) / F.size("sig_a")
+
+
+def minhash_lsh_pairs_from_sigs(
+    sigs: DataFrame,
     id_col: str,
-    text_col: str,
     num_perm: int = 64,
     bands: int = 16,
-    k: int = 5,
     jaccard_threshold: float = 0.5,
 ) -> DataFrame:
-    """Candidate pairs from LSH bands, verified by estimated Jaccard
-    (signature agreement rate — the standard MinHash estimator).
+    """Self-join near-dup pairs over a precomputed (id, sig) table.
 
     Shuffle hygiene (VERDICT r3 #7): the band self-join carries ONLY
     (id, band, band_hash) — never the 64-long signatures. Shipping the
@@ -124,19 +145,7 @@ def minhash_lsh_pairs(
     sides) multiplies the exchange by ~2·bands·|sig|; at 10¹⁰ docs that is
     terabytes of redundant traffic. Signatures are re-joined onto the
     (much smaller) surviving candidate-pair set instead."""
-    rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, k).cache()
-    banded = sigs.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.xxhash64(
-                    F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band).cast("string")
-                ),
-            )
-        ).alias("band", "band_hash"),
-    )
+    banded = sigs.select(F.col(id_col), _band_explode(num_perm, bands))
     left = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     right = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     cand = (
@@ -147,14 +156,197 @@ def minhash_lsh_pairs(
         .join(sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
         .join(sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
     )
-    est = F.expr(
-        "aggregate(zip_with(sig_a, sig_b, (x, y) -> CAST(x = y AS INT)), 0, (acc, v) -> acc + v)"
-    ) / F.size("sig_a")
     return (
-        cand.withColumn("jaccard_est", F.round(est, 4))
+        cand.withColumn("jaccard_est", F.round(_jaccard_est(), 4))
         .filter(F.col("jaccard_est") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard_est")
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs from LSH bands, verified by estimated Jaccard
+    (signature agreement rate — the standard MinHash estimator)."""
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, k).cache()
+    return minhash_lsh_pairs_from_sigs(
+        sigs, id_col, num_perm=num_perm, bands=bands,
+        jaccard_threshold=jaccard_threshold,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a persisted corpus (round-4 VERDICT #1)
+#
+# The operation a 100 TB crawl pipeline runs daily is NOT a corpus
+# self-join: a new batch (10⁶-ish docs) must be deduped against the
+# accumulated fingerprint corpus (10¹⁰-ish rows). The *_against forms below
+# band/bucket ONLY the batch side and broadcast it against the corpus
+# table, so the corpus is scanned exactly once with zero corpus-side
+# shuffle — never a corpus×corpus exchange (plan-asserted,
+# tests/test_plans.py). Survivors' fingerprints are appended to the
+# iceberg-lite corpus table as a new snapshot, closing the loop.
+# ---------------------------------------------------------------------------
+
+
+def minhash_pairs_against(
+    corpus_sigs: DataFrame,
+    batch_sigs: DataFrame,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Cross near-dup pairs (batch_id, corpus_id, jaccard_est): each batch
+    document against the persisted corpus signature table.
+
+    Scale shape: the corpus side is exploded to band rows *locally* (its
+    signature rides along, but a broadcast hash join consumes the rows in
+    the same task — nothing corpus-sized ever crosses the network), the
+    batch side ships only (batch_id, band, band_hash) inside the broadcast.
+    Only surviving candidate pairs — collisions, a tiny fraction — enter
+    the downstream dedupe/verify exchanges."""
+    c = corpus_sigs.select(
+        F.col(id_col).alias("corpus_id"), F.col("sig").alias("sig_a")
+    )
+    cb = c.select("corpus_id", "sig_a", F.col("sig_a").alias("sig")).select(
+        "corpus_id", "sig_a", _band_explode(num_perm, bands)
+    )
+    b = batch_sigs.select(F.col(id_col).alias("batch_id"), F.col("sig").alias("sig_b"))
+    bb = b.select("batch_id", F.col("sig_b").alias("sig")).select(
+        "batch_id", _band_explode(num_perm, bands)
+    )
+    cand = (
+        cb.join(F.broadcast(bb), ["band", "band_hash"])
+        .select("batch_id", "corpus_id", "sig_a")
+        .dropDuplicates(["batch_id", "corpus_id"])
+        .join(F.broadcast(b), "batch_id")
+    )
+    return (
+        cand.withColumn("jaccard_est", F.round(_jaccard_est(), 4))
+        .filter(F.col("jaccard_est") >= jaccard_threshold)
+        .select("batch_id", "corpus_id", "jaccard_est")
+    )
+
+
+def exact_matches_against(
+    corpus_hashes: DataFrame, batch_hashes: DataFrame, hash_col: str, id_col: str
+) -> DataFrame:
+    """Exact-dup matches (batch_id, corpus_id) on a content-hash column:
+    one corpus scan, broadcast batch — the incremental form of the
+    hash-groupBy exact dedup."""
+    c = corpus_hashes.select(F.col(id_col).alias("corpus_id"), hash_col)
+    b = batch_hashes.select(F.col(id_col).alias("batch_id"), hash_col)
+    return c.join(F.broadcast(b), hash_col).select("batch_id", "corpus_id")
+
+
+def simhash_pairs_against(
+    corpus_sigs: DataFrame,
+    batch_sigs: DataFrame,
+    id_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Cross SimHash near-dups (batch_id, corpus_id, hamming): 4×16-bit
+    pigeonhole banding, batch side broadcast, Hamming verify inline (the
+    64-bit hash rides the corpus rows — 8 bytes, cheaper than a re-join)."""
+    chunk = lambda c, i: F.shiftrightunsigned(F.col(c), 16 * i).bitwiseAND(F.lit(0xFFFF))
+    c = corpus_sigs.select(F.col(id_col).alias("corpus_id"), F.col("simhash").alias("h_a"))
+    cc = c.select(
+        "corpus_id", "h_a",
+        F.posexplode(F.array(*[chunk("h_a", i) for i in range(4)])).alias("chunk", "chunk_val"),
+    )
+    b = batch_sigs.select(F.col(id_col).alias("batch_id"), F.col("simhash").alias("h_b"))
+    bc = b.select(
+        "batch_id", "h_b",
+        F.posexplode(F.array(*[chunk("h_b", i) for i in range(4)])).alias("chunk", "chunk_val"),
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cc.join(F.broadcast(bc), ["chunk", "chunk_val"])
+        .dropDuplicates(["batch_id", "corpus_id"])
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("batch_id", "corpus_id", "hamming")
+    )
+
+
+def winnow_pairs_against(
+    corpus_fps: DataFrame,
+    batch_fps: DataFrame,
+    id_col: str,
+    min_shared: int = 2,
+    corpus_fp_df: DataFrame | None = None,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Cross winnowing matches (batch_id, corpus_id, shared): fingerprint
+    equi-join, batch side broadcast. ``corpus_fp_df`` is the persisted
+    (fp, df_cnt) document-frequency table used to drop boilerplate
+    fingerprints (a licence-header fp present in 10⁶ corpus docs would
+    otherwise make every batch doc collide with all of them); at scale it
+    is maintained incrementally alongside the fp table, and computing it
+    here on the fly (the None default) costs one corpus groupBy."""
+    c = corpus_fps.select(F.col(id_col).alias("corpus_id"), "fp")
+    if corpus_fp_df is None:
+        corpus_fp_df = corpus_fps.groupBy("fp").agg(F.count("*").alias("df_cnt"))
+    rare = corpus_fp_df.filter(F.col("df_cnt") <= max_df).select("fp")
+    b = batch_fps.select(F.col(id_col).alias("batch_id"), "fp")
+    return (
+        c.join(rare, "fp")
+        .join(F.broadcast(b), "fp")
+        .groupBy("batch_id", "corpus_id")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
+def incremental_minhash_dedup(
+    batch_df: DataFrame,
+    table_path: str,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    jaccard_threshold: float = 0.5,
+):
+    """The daily crawl loop over an iceberg-lite signature table:
+
+    1. sign the incoming batch (one Arrow pass);
+    2. cross-dedup it against the persisted corpus signatures
+       (minhash_pairs_against — corpus scanned once, batch broadcast);
+    3. self-dedup the batch internally (small self-join; earliest id wins);
+    4. append the SURVIVORS' signatures to the table as a new snapshot, so
+       tomorrow's batch dedups against today's survivors too.
+
+    Returns (survivors_sigs, cross_pairs, internal_pairs, snapshot_id).
+    The table schema must be ``{id_col} bigint, sig array<bigint>``."""
+    from ..sources import iceberg_lite as IL
+
+    spark = batch_df.sparkSession
+    corpus_sigs = IL.read(spark, table_path)
+    batch_sigs = minhash_signatures(batch_df, id_col, text_col, num_perm, k).cache()
+    cross = minhash_pairs_against(
+        corpus_sigs, batch_sigs, id_col, num_perm=num_perm, bands=bands,
+        jaccard_threshold=jaccard_threshold,
+    ).cache()
+    internal = minhash_lsh_pairs_from_sigs(
+        batch_sigs, id_col, num_perm=num_perm, bands=bands,
+        jaccard_threshold=jaccard_threshold,
+    ).cache()
+    dup_ids = (
+        cross.select(F.col("batch_id").alias(id_col))
+        .unionByName(internal.select(F.col("id_b").alias(id_col)))
+        .dropDuplicates()
+    )
+    survivors = batch_sigs.join(F.broadcast(dup_ids), id_col, "left_anti")
+    snap = IL.append(survivors.select(id_col, "sig"), table_path)
+    return survivors, cross, internal, snap
 
 
 def _token_hashes64(tokens: np.ndarray) -> np.ndarray:

@@ -283,3 +283,138 @@ def test_dedup_ops_survive_empty_and_null_docs(spark):
     assert {(4, 5)} <= set(map(tuple, pairs[["id_a", "id_b"]].values))
     assert len(simhash_near_pairs(docs, "doc_id", "text").collect()) >= 1
     winnow_near_pairs(docs, "doc_id", "text").collect()  # must not raise
+
+
+# --- incremental dedup against a persisted corpus (round-4 VERDICT #1) ---
+
+
+def _split_corpus_batch(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 100)
+    fresh = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 140))
+    # planted cross-corpus twins: 95% prefix copies of every 5th corpus doc
+    twins = corpus.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.expr("substring(text, 1, cast(length(text) * 0.95 as int))").alias("text"),
+    )
+    batch = fresh.unionByName(twins)
+    return corpus, batch
+
+
+def test_minhash_against_equals_filtered_self_join(spark):
+    """The against-corpus form must find exactly the cross pairs the full
+    self-join finds (same banding, same estimator) — incrementality changes
+    the plan shape, never the answer."""
+    from prclz_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_pairs_against,
+        minhash_signatures,
+    )
+
+    corpus, batch = _split_corpus_batch(spark)
+    got = minhash_pairs_against(
+        minhash_signatures(corpus, "doc_id", "text"),
+        minhash_signatures(batch, "doc_id", "text"),
+        "doc_id",
+    ).toPandas()
+    full = minhash_lsh_pairs(
+        corpus.unionByName(batch), "doc_id", "text", jaccard_threshold=0.5
+    ).toPandas()
+    corpus_ids = {r.doc_id for r in corpus.select("doc_id").collect()}
+    want = {
+        (int(r.id_b), int(r.id_a), r.jaccard_est)
+        for r in full.itertuples()
+        if (int(r.id_a) in corpus_ids) != (int(r.id_b) in corpus_ids)
+    }
+    assert set(zip(got.batch_id.astype(int), got.corpus_id.astype(int),
+                   got.jaccard_est)) == want
+    # every planted twin is found
+    planted = {int(d) + 2_000_000 for d in range(0, 100, 5)}
+    assert planted <= set(got.batch_id.astype(int))
+
+
+def test_simhash_and_winnow_and_exact_against_forms(spark):
+    from prclz_spark.operators.dedup import (
+        exact_matches_against,
+        simhash64,
+        simhash_near_pairs,
+        simhash_pairs_against,
+        winnow_fingerprints,
+        winnow_near_pairs,
+        winnow_pairs_against,
+    )
+
+    corpus, batch = _split_corpus_batch(spark)
+    corpus_ids = {r.doc_id for r in corpus.select("doc_id").collect()}
+
+    # simhash: against == cross slice of the self-join
+    got = simhash_pairs_against(
+        simhash64(corpus, "doc_id", "text"),
+        simhash64(batch, "doc_id", "text"),
+        "doc_id", max_hamming=3,
+    ).toPandas()
+    full = simhash_near_pairs(
+        corpus.unionByName(batch), "doc_id", "text", max_hamming=3
+    ).toPandas()
+    want = {
+        (int(r.id_b), int(r.id_a), int(r.hamming))
+        for r in full.itertuples()
+        if (int(r.id_a) in corpus_ids) != (int(r.id_b) in corpus_ids)
+    }
+    assert set(zip(got.batch_id.astype(int), got.corpus_id.astype(int),
+                   got.hamming.astype(int))) == want
+
+    # winnow: against == cross slice of the self-join (same max_df capping
+    # base: corpus-side document frequency)
+    cfp = winnow_fingerprints(corpus, "doc_id", "text", k=8, w=4)
+    bfp = winnow_fingerprints(batch, "doc_id", "text", k=8, w=4)
+    gotw = winnow_pairs_against(cfp, bfp, "doc_id", min_shared=5).toPandas()
+    planted = {int(d) + 2_000_000 for d in range(0, 100, 5)}
+    assert planted <= set(gotw.batch_id.astype(int))
+    assert {(int(r.corpus_id)) for r in gotw.itertuples()
+            if int(r.batch_id) in planted} >= {0, 5, 10}
+
+    # exact: a verbatim re-crawl is caught by the content-hash join
+    h = lambda df: df.select("doc_id", F.sha2(F.col("text"), 256).alias("content_hash"))
+    re_crawl = corpus.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"), "text"
+    )
+    gote = exact_matches_against(h(corpus), h(re_crawl), "content_hash", "doc_id").toPandas()
+    assert set(zip(gote.batch_id.astype(int), gote.corpus_id.astype(int))) == {
+        (int(d) + 3_000_000, int(d)) for d in range(0, 100, 10)
+    }
+
+
+def test_incremental_minhash_dedup_loop(spark, tmp_path):
+    """Round-4 VERDICT #1 'done' criteria: survivors appended as a new
+    snapshot; a twin arriving in a LATER batch is caught against the
+    survivors of an earlier one; duplicates never enter the table."""
+    from prclz_spark.operators.dedup import incremental_minhash_dedup
+    from prclz_spark.sources import iceberg_lite as IL
+
+    corpus, batch = _split_corpus_batch(spark)
+    t = str(tmp_path / "sigtbl")
+    IL.create_table(t, "doc_id bigint, sig array<bigint>")
+    # day 0: the corpus enters the (empty) table — nothing to cross-match;
+    # organic internal near-dups (earliest id wins) are the only losers
+    surv0, cross0, internal0, snap0 = incremental_minhash_dedup(corpus, t, "doc_id", "text")
+    assert snap0 == 0 and cross0.count() == 0
+    n_internal_losers = internal0.select("id_b").distinct().count()
+    assert IL.read(spark, t).count() == corpus.count() - n_internal_losers
+
+    # day 1: batch = 40 fresh + 20 twins; twins die, fresh survive
+    surv1, cross1, internal1, snap1 = incremental_minhash_dedup(batch, t, "doc_id", "text")
+    assert snap1 == 1
+    planted = {int(d) + 2_000_000 for d in range(0, 100, 5)}
+    caught = set(r.batch_id for r in cross1.select("batch_id").collect())
+    assert planted <= caught
+    surv_ids = {r.doc_id for r in surv1.select("doc_id").collect()}
+    assert surv_ids.isdisjoint(planted)
+    # the table now holds day-0 + day-1 survivors; re-sending a day-1
+    # SURVIVOR tomorrow is caught against yesterday's snapshot
+    resend = batch.filter(F.col("doc_id").isin([int(i) for i in list(surv_ids)[:5]]))
+    _, cross2, _, _ = incremental_minhash_dedup(
+        resend.select((F.col("doc_id") + 9_000_000).alias("doc_id"), "text"),
+        t, "doc_id", "text",
+    )
+    assert cross2.count() >= 5  # exact clones: jaccard_est 1.0 vs themselves

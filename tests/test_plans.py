@@ -124,3 +124,41 @@ def test_minhash_band_exchange_ships_no_signatures(spark):
     assert band_exchanges, "expected band-keyed exchanges in the plan"
     for b in band_exchanges:
         assert "sig" not in b, f"signature column rides the band exchange:\n{b}"
+
+
+def test_minhash_against_corpus_one_scan_no_corpus_exchange(spark, tmp_path):
+    """Round-4 VERDICT #1: the incremental against-corpus dedup must scan
+    the persisted corpus signature table exactly ONCE, join it to the
+    (broadcast) batch bands map-side, and never put the corpus through a
+    band-keyed shuffle or a corpus×corpus join."""
+    import re
+
+    from prclz_spark.operators.dedup import minhash_pairs_against, minhash_signatures
+
+    corpus_docs = spark.createDataFrame(
+        [(i, "corpus body %d" % i) for i in range(50)], "doc_id long, text string"
+    )
+    t = str(tmp_path / "sigs.parquet")
+    minhash_signatures(corpus_docs, "doc_id", "text").write.parquet(t)
+    corpus_sigs = spark.read.parquet(t)
+    batch = spark.createDataFrame(
+        [(1000 + i, "batch body %d" % i) for i in range(5)], "doc_id long, text string"
+    )
+    out = minhash_pairs_against(
+        corpus_sigs, minhash_signatures(batch, "doc_id", "text"), "doc_id"
+    )
+    ex = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    nodes = re.split(r"\n(?=\(\d+\) )", ex)
+    corpus_scans = [n for n in nodes if n.split("\n")[0].rstrip().endswith("Scan parquet ")
+                    or ("Scan parquet" in n.split("\n")[0] and "sigs.parquet" in n)]
+    assert len([n for n in corpus_scans if "sigs.parquet" in n]) == 1, \
+        f"corpus must be scanned exactly once:\n{ex}"
+    assert "SortMergeJoin" not in ex and "ShuffledHashJoin" not in ex
+    assert "BroadcastHashJoin" in ex  # batch side is the build
+    # no shuffle is keyed on the band columns: the band join is map-side
+    for n in nodes:
+        if n.split("\n")[0].startswith("(") and "Exchange" in n.split("\n")[0]:
+            assert "hashpartitioning(band" not in n, \
+                f"corpus-wide band exchange found:\n{n}"
