@@ -499,6 +499,53 @@ def _q_iceberg_snapshots(spark, sf_dir):
     )
 
 
+def _q_iceberg_delete_dedup(spark, sf_dir):
+    """The LLM-pipeline table loop (round-4 VERDICT #4): ingest → dedup →
+    DELETE. Documents plus planted verbatim re-crawls (doc_id+100000) are
+    appended as snapshot 0; the exact-dedup verdict (min doc_id per body
+    wins) produces loser tombstones committed as a delete snapshot; the
+    query returns per-snapshot aggregates — snapshot 0 must still show the
+    duplicates (time travel), snapshot 1 must not. Oracled by a closed-form
+    DuckDB replication of the same verdict."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from prclz_spark.sources import iceberg_lite as IL
+
+    base = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select(
+        "doc_id", F.length("text").cast("int").alias("text_len"), F.col("text").alias("body")
+    )
+    full = base.unionByName(
+        base.select((F.col("doc_id") + 100_000).alias("doc_id"), "text_len", "body")
+    )
+    t = tempfile.mkdtemp(prefix="iceberg_deldedup_")
+    IL.create_table(t, "doc_id bigint, text_len int, body string")
+    s0 = IL.append(full, t)
+    tbl = IL.read(spark, t)
+    losers = (
+        tbl.withColumn("min_id", F.min("doc_id").over(Window.partitionBy("body")))
+        .filter(F.col("doc_id") != F.col("min_id"))
+        .select("doc_id")
+    )
+    s1 = IL.delete_rows(losers, t, "doc_id")
+    out = []
+    for s in (s0, s1):
+        out.append(
+            IL.read(spark, t, snapshot=s)
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("text_len").alias("sum_len"),
+                F.min("doc_id").alias("min_id"),
+                F.max("doc_id").alias("max_id"),
+            )
+            .withColumn("snapshot", F.lit(s - s0))
+        )
+    return out[0].unionByName(out[1]).select(
+        "snapshot", "n_docs", "sum_len", "min_id", "max_id"
+    )
+
+
 def _q_ann_ivf_topk(spark, sf_dir):  # IVF (k-means coarse quantizer) ANN
     from prclz_spark.operators.ann import ivf_topk
 
@@ -1321,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_jaccard_exact": _q_minhash_jaccard_exact,
         "winnow_fingerprint": _q_winnow_fingerprint,
         "iceberg_snapshots": _q_iceberg_snapshots,
+        "iceberg_delete_dedup": _q_iceberg_delete_dedup,
         "winnow_near_pairs": _q_winnow_near_pairs,
         "simhash_neardup": _q_simhash_dedup,
         "embedding_lsh_neardup": _q_embedding_near_dup,
@@ -1557,6 +1605,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT 1, COUNT(*), CAST(SUM(length(text)) AS BIGINT),
                    MIN(doc_id), MAX(doc_id)
             FROM documents WHERE doc_id < 400
+        """,
+        # closed form of the ingest→dedup→delete loop: snapshot 0 holds the
+        # originals + planted re-crawls, the delete snapshot keeps only the
+        # min-doc_id winner per body (the same verdict the engine computes)
+        "iceberg_delete_dedup": """
+            WITH base AS (
+              SELECT doc_id, CAST(length(text) AS INT) AS text_len, text AS body
+              FROM documents WHERE doc_id < 100
+            ), f AS (
+              SELECT doc_id, text_len, body FROM base
+              UNION ALL
+              SELECT doc_id + 100000, text_len, body FROM base
+            ), keep AS (
+              SELECT doc_id, text_len,
+                     doc_id = MIN(doc_id) OVER (PARTITION BY body) AS winner
+              FROM f
+            )
+            SELECT 0 AS snapshot, COUNT(*) AS n_docs,
+                   CAST(SUM(text_len) AS BIGINT) AS sum_len,
+                   MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+            FROM keep
+            UNION ALL
+            SELECT 1, COUNT(*), CAST(SUM(text_len) AS BIGINT),
+                   MIN(doc_id), MAX(doc_id)
+            FROM keep WHERE winner
+            ORDER BY snapshot
         """,
         # exact k-shingle Jaccard computed from raw character shingles —
         # must match the engine's hashed-shingle-set Jaccard exactly
