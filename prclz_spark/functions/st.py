@@ -128,26 +128,102 @@ def st_bounds(s: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(bb, columns=["xmin", "ymin", "xmax", "ymax"])
 
 
+def _points_touch_bulk(g, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """Vectorized G._point_touches over many points vs one non-polygonal
+    geometry — same decision formula (the open-segment cross/dot band; the
+    closed-ring precheck in the scalar is a superset of it, so the open
+    test alone is the decision both ways)."""
+    out = np.zeros(len(xs), dtype=bool)
+    for arr in G._all_coords(g):
+        if len(arr) == 1:
+            out |= (xs == arr[0, 0]) & (ys == arr[0, 1])
+            continue
+        x0, y0 = arr[:-1, 0][None, :], arr[:-1, 1][None, :]
+        dx = arr[1:, 0][None, :] - x0
+        dy = arr[1:, 1][None, :] - y0
+        P, Q = xs[:, None], ys[:, None]
+        cross = (P - x0) * dy - (Q - y0) * dx
+        dot = (P - x0) * dx + (Q - y0) * dy
+        l2 = dx * dx + dy * dy
+        out |= ((np.abs(cross) < 1e-12) & (dot >= -1e-12) & (dot <= l2 + 1e-12)).any(axis=1)
+    return out
+
+
+def _pair_predicate_batch(a: pd.Series, b: pd.Series, op: str) -> list:
+    """Batched geometry⋈point predicates, factorized on the geometry side
+    (VERDICT r4 #7 — the generic pair forms used to run a per-pair Python
+    loop after batch decode). The common post-candidate-join batch shape is
+    many probe POINTS against few distinct geometries: factorize the
+    geometry column, decode each distinct geometry once, and answer all its
+    probes in one vectorized pass (PIP ray-cast / segment-band /
+    point-to-segment matrix — the same float ops as the scalars, applied
+    row-wise, so results are identical). Any other shape falls back to the
+    scalar pair loop. For ``intersects`` (symmetric) the sides are swapped
+    when the points are on the left."""
+    ga, gb = G.wkb_loads_batch(a), G.wkb_loads_batch(b)
+    pairs = list(zip(ga, gb))
+    valid = [i for i, (x, y) in enumerate(pairs) if x is not None and y is not None]
+    scalar = {"intersects": G.intersects, "contains": G.contains, "distance": G.distance}[op]
+    geom_s, pt_g = a, gb
+    swapped = False
+    if valid and not all(pt_g[i].kind == G.POINT for i in valid):
+        if op == "intersects" and all(ga[i].kind == G.POINT for i in valid):
+            geom_s, pt_g, swapped = b, ga, True
+        else:
+            return [
+                scalar(x, y) if x is not None and y is not None else None
+                for x, y in pairs
+            ]
+    out: list = [None] * len(pairs)
+    if not valid:
+        return out
+    vidx = np.asarray(valid, dtype=np.int64)
+    codes, uniques = pd.factorize(
+        geom_s.iloc[vidx].map(lambda v: bytes(v))
+    )
+    px = np.array([pt_g[i].data[0] for i in valid], dtype=np.float64)
+    py = np.array([pt_g[i].data[1] for i in valid], dtype=np.float64)
+    for ui, key in enumerate(uniques):
+        sel = codes == ui
+        idx = vidx[sel]
+        g = G.wkb_loads(bytes(key))
+        xs, ys = px[sel], py[sel]
+        if op == "contains":
+            if swapped or g.kind not in (G.POLYGON, G.MULTIPOLYGON):
+                res = np.zeros(len(xs), dtype=bool)
+            else:
+                res = G.points_in_polygon_bulk(xs, ys, g)
+        elif op == "intersects":
+            xmin, ymin, xmax, ymax = G.bounds(g)
+            inb = (xs >= xmin) & (xs <= xmax) & (ys >= ymin) & (ys <= ymax)
+            if g.kind in (G.POLYGON, G.MULTIPOLYGON):
+                res = inb & G.points_in_polygon_bulk(xs, ys, g)
+            else:
+                res = inb & _points_touch_bulk(g, xs, ys)
+        else:  # distance
+            pts = np.column_stack([xs, ys])
+            segs = G._segments(g)
+            if len(segs):
+                res = G._pts_to_segs(pts, segs).min(axis=1)
+            else:
+                gc = np.vstack(G._all_coords(g))
+                dd = pts[:, None, :] - gc[None, :, :]
+                res = np.sqrt((dd ** 2).sum(-1)).min(axis=1)
+            if g.kind in (G.POLYGON, G.MULTIPOLYGON):
+                res = np.where(G.points_in_polygon_bulk(xs, ys, g), 0.0, res)
+        for i, r in zip(idx.tolist(), res.tolist()):
+            out[i] = r
+    return out
+
+
 @pandas_udf(BooleanType())
 def st_intersects(a: pd.Series, b: pd.Series) -> pd.Series:
-    ga, gb = G.wkb_loads_batch(a), G.wkb_loads_batch(b)
-    return pd.Series(
-        [
-            G.intersects(x, y) if x is not None and y is not None else None
-            for x, y in zip(ga, gb)
-        ]
-    )
+    return pd.Series(_pair_predicate_batch(a, b, "intersects"))
 
 
 @pandas_udf(BooleanType())
 def st_contains(a: pd.Series, b: pd.Series) -> pd.Series:
-    ga, gb = G.wkb_loads_batch(a), G.wkb_loads_batch(b)
-    return pd.Series(
-        [
-            G.contains(x, y) if x is not None and y is not None else None
-            for x, y in zip(ga, gb)
-        ]
-    )
+    return pd.Series(_pair_predicate_batch(a, b, "contains"))
 
 
 @pandas_udf(BooleanType())
@@ -178,13 +254,8 @@ def st_contains_xy(a: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
 
 @pandas_udf(DoubleType())
 def st_distance(a: pd.Series, b: pd.Series) -> pd.Series:
-    ga, gb = G.wkb_loads_batch(a), G.wkb_loads_batch(b)
-    return pd.Series(
-        [
-            G.distance(x, y) if x is not None and y is not None else None
-            for x, y in zip(ga, gb)
-        ]
-    )
+    # no float64 cast: None must reach Arrow as null, not NaN
+    return pd.Series(_pair_predicate_batch(a, b, "distance"))
 
 
 @pandas_udf(ArrayType(BinaryType()))
