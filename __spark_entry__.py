@@ -41,6 +41,21 @@ _PTS_X = "CAST(10.0 AS DOUBLE) + CAST((%s * 37) %% 600 AS DOUBLE) / CAST(10000 A
 _PTS_Y = "CAST(10.0 AS DOUBLE) + CAST((%s * 73) %% 600 AS DOUBLE) / CAST(10000 AS DOUBLE)"
 
 # 2×2 rectangle grid over the point box, edges at 10.0/10.03/10.06
+# Zipf-style skew fixture (VERDICT r4 #6): 70% of probes (key % 10 < 7)
+# collapse into a ~0.001° spot inside box 0 — one hot cover cell at
+# _GEO_RES — while the rest keep the uniform spread. Shared verbatim by the
+# Spark query and the DuckDB oracle.
+_SKEW_X = (
+    "CASE WHEN %s %% 10 < 7 THEN CAST(10.001 AS DOUBLE)"
+    " + CAST((%s * 37) %% 97 AS DOUBLE) / CAST(100000 AS DOUBLE)"
+    " ELSE " + _PTS_X + " END"
+)
+_SKEW_Y = (
+    "CASE WHEN %s %% 10 < 7 THEN CAST(10.001 AS DOUBLE)"
+    " + CAST((%s * 73) %% 97 AS DOUBLE) / CAST(100000 AS DOUBLE)"
+    " ELSE " + _PTS_Y + " END"
+)
+
 _BOXES = [
     (0, 10.0, 10.0, 10.03, 10.03),
     (1, 10.03, 10.0, 10.06, 10.03),
@@ -284,6 +299,29 @@ def _q_pip_pairs(spark, sf_dir):  # J4/J5 exact pair table
     pts = _points_df(spark, sf_dir, "customer", "c_custkey").filter(F.col("pid") < 300)
     boxes = _boxes_df(spark)
     return pip_join(pts, boxes, "pid", "gid", res=_GEO_RES, how="inner").select("pid", "gid")
+
+
+def _q_pip_join_skew(spark, sf_dir):
+    """Hot-cell-skewed PIP through the SALTED NON-BROADCAST join path
+    (VERDICT r4 #6): 70% of probes share one cover cell; the histogram
+    pre-pass detects it and spreads that cell's work over 8 salted tasks.
+    Salting changes the plan, never the answer — same closed-form PIP
+    oracle as the broadcast path; max/median task-time evidence is
+    recorded by bench.py (skew section)."""
+    from prclz_spark.operators.sjoin import pip_join
+
+    key = "c_custkey"
+    pts = _load(spark, sf_dir, "customer").select(
+        F.col(key).alias("pid"),
+        F.expr(_SKEW_X % (key, key, key)).alias("x"),
+        F.expr(_SKEW_Y % (key, key, key)).alias("y"),
+    )
+    boxes = _boxes_df(spark)
+    out = pip_join(
+        pts, boxes, "pid", "gid", res=_GEO_RES, how="inner",
+        broadcast_build=False, salt=8, hot_threshold=200,
+    )
+    return out.groupBy("gid").agg(F.count("*").alias("n_points"))
 
 
 def _q_knn(spark, sf_dir):  # J8-J10 ring-expansion kNN
@@ -1352,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": _q_events_hourly,
         "pip_join_counts": _q_pip_join,
         "pip_join_pairs": _q_pip_pairs,
+        "pip_join_skew": _q_pip_join_skew,
         "knn_ring_expansion": _q_knn,
         "radius_join": _q_radius_join,
         "dedup_exact_hash": _q_dedup_exact,
@@ -1491,6 +1530,17 @@ def oracle_sql() -> dict[str, str]:
             FROM ({pts_c}) p JOIN {_BOX_SQL}
               ON p.x >= b.xmin AND p.x <= b.xmax AND p.y >= b.ymin AND p.y <= b.ymax
             WHERE pid < 300
+        """,
+        "pip_join_skew": f"""
+            SELECT gid, COUNT(*) AS n_points
+            FROM (
+              SELECT c_custkey AS pid,
+                     {_SKEW_X % ('c_custkey', 'c_custkey', 'c_custkey')} AS x,
+                     {_SKEW_Y % ('c_custkey', 'c_custkey', 'c_custkey')} AS y
+              FROM customer
+            ) p JOIN {_BOX_SQL}
+              ON p.x >= b.xmin AND p.x <= b.xmax AND p.y >= b.ymin AND p.y <= b.ymax
+            GROUP BY gid
         """,
         "knn_ring_expansion": f"""
             SELECT pid, bid, rank, ROUND(dist, 9) AS dist FROM (

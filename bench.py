@@ -158,6 +158,94 @@ def timed_pipeline(master: str, shuffle_partitions: int, reps: int = 2) -> dict:
 
 # --- hardware control: the same kernel load, bare multiprocessing ---------
 
+def skew_evidence(cpus: int) -> dict:
+    """Task-time evidence for hot-cell salting (VERDICT r4 #6): a 2M-probe
+    workload with 70% of probes in ONE cover cell runs the non-broadcast
+    cell join three ways — naive (no salting, AQE skew-join off), stock
+    Spark (AQE skew-join split), and the engine's explicit histogram+salt
+    path — and records per-task executorRunTime median/max off the status
+    REST API (fresh UI-enabled session; the UI is normally off). AQE's
+    splitter only fixes sort-merge joins; the explicit salt is what also
+    protects grouped-kernel stages, so all three are reported."""
+    import urllib.request
+
+    from pyspark.sql import functions as F
+
+    from prclz_spark import geom as G
+    from prclz_spark.operators.sjoin import pip_join
+    from prclz_spark.session import get_spark
+
+    spark = get_spark(
+        f"local[{cpus}]", app="bench-skew", shuffle_partitions=cpus,
+        extra_conf={
+            "spark.ui.enabled": "true", "spark.ui.port": "4049",
+            # emulate the build-too-big-to-broadcast regime the salted path
+            # exists for: with a broadcastable build side there is no
+            # cell-keyed shuffle and hence no skew to defuse
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
+    )
+    sc = spark.sparkContext
+    sc.setLogLevel("ERROR")
+    n = int(os.environ.get("BENCH_SKEW_N", "2000000"))
+    pts = spark.range(0, n, 1, cpus).selectExpr(
+        "id as pid",
+        "CASE WHEN id % 10 < 7 THEN CAST(10.001 AS DOUBLE)"
+        " + CAST((id*37) % 97 AS DOUBLE)/100000"
+        " ELSE CAST(10.0 AS DOUBLE) + CAST((id*37) % 600 AS DOUBLE)/10000 END as x",
+        "CASE WHEN id % 10 < 7 THEN CAST(10.001 AS DOUBLE)"
+        " + CAST((id*73) % 97 AS DOUBLE)/100000"
+        " ELSE CAST(10.0 AS DOUBLE) + CAST((id*73) % 600 AS DOUBLE)/10000 END as y",
+    ).localCheckpoint()  # freeze the input so every variant joins the same rows
+    boxes = spark.createDataFrame(
+        [(g, G.wkb_dumps(G.box(10.0 + 0.03 * (g % 2), 10.0 + 0.03 * (g // 2),
+                               10.03 + 0.03 * (g % 2), 10.03 + 0.03 * (g // 2))))
+         for g in range(4)],
+        "gid long, geometry binary",
+    )
+    base = sc.uiWebUrl
+    app_id = sc.applicationId
+
+    def _get(path):
+        with urllib.request.urlopen(f"{base}/api/v1/applications/{app_id}{path}") as r:
+            return json.load(r)
+
+    def run(salt: int, aqe_skew: bool) -> dict:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", str(aqe_skew).lower())
+        prev = max((s["stageId"] for s in _get("/stages")), default=-1)
+        t0 = time.time()
+        cnt = pip_join(
+            pts, boxes, "pid", "gid", res=14, how="inner",
+            broadcast_build=False, salt=salt, hot_threshold=100_000,
+        ).count()
+        sec = round(time.time() - t0, 2)
+        stages = [s for s in _get("/stages?status=COMPLETE") if s["stageId"] > prev]
+        # the skewed work lives in the JOIN stage (the one reading the
+        # shuffled candidate pairs) — not the uniform probe-side UDF stage,
+        # whose total run time can be larger
+        reading = [s for s in stages if s.get("shuffleReadBytes", 0) > 0] or stages
+        heavy = max(reading, key=lambda s: s.get("executorRunTime", 0))
+        q = _get(
+            f"/stages/{heavy['stageId']}/{heavy['attemptId']}/taskSummary"
+            "?quantiles=0.5,1.0"
+        )
+        med_ms, max_ms = q["executorRunTime"]
+        return {
+            "sec": sec, "rows": cnt, "n_tasks": heavy["numCompleteTasks"],
+            "median_task_ms": round(med_ms), "max_task_ms": round(max_ms),
+        }
+
+    out = {
+        "n_probes": n, "hot_frac": 0.7,
+        "unsalted_no_aqe": run(0, False),
+        "unsalted_aqe": run(0, True),
+        "salted": run(8, True),
+    }
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.stop()
+    return out
+
+
 def _mp_work(seed: int) -> int:
     """One region's worth of fused-kernel load (polygonize a 5×5-cell grid,
     bulk-PIP 600 points, k-complexity per block) — the same numpy/networkx
@@ -301,6 +389,9 @@ def main():
         # and the LSH ANN tier, timed so their scale paths are tracked
         "minhash_lsh_neardup",
         "ann_lsh_topk",
+        # round-5 addition (VERDICT r4 #6/#10: new key, prior keys frozen):
+        # hot-cell-skewed PIP through the salted non-broadcast path
+        "pip_join_skew",
     ]
     qs = E.queries()
     q_times = {}
@@ -329,6 +420,13 @@ def main():
     q_times[f"pipeline_local{cpus}"] = n32["sec"]
     spark.stop()
 
+    # --- hot-cell salting task-time evidence (VERDICT r4 #6) -------------
+    try:
+        skew = skew_evidence(cpus)
+    except Exception as ex:  # evidence must not kill the bench
+        skew = {"error": str(ex)}
+        print(f"# bench skew evidence failed: {ex}", file=sys.stderr)
+
     out = {
         "metric": "blocks+parcels processed/sec (end-to-end block extraction -> k-index) "
         "+ headline query secs; N vs 4N scaling at local[2] vs local[8] "
@@ -337,6 +435,7 @@ def main():
         "unit": "sec",
         "queries": q_times,
         "sf": sf,
+        "skew": skew,
         "pipeline": {
             "geo_grid": f"{GEO_NX}x{GEO_NX}",
             "blocks": n32["blocks"],

@@ -50,9 +50,16 @@ def candidate_pairs(
     probe_geom: str = "geometry",
     build_geom: str = "geometry",
     broadcast_build: bool = True,
-    salt: int = 0,
+    salt: int = 8,
+    hot_threshold: int = 100_000,
 ) -> DataFrame:
-    """Cell-level candidate pairs: (probe_id, build_id, _probe_geom, _build_geom)."""
+    """Cell-level candidate pairs: (probe_id, build_id, _probe_geom, _build_geom).
+
+    Non-broadcast builds (a build side too big for one executor's memory)
+    default THROUGH the hot-cell histogram pre-pass (VERDICT r4 #6): cells
+    holding ≥ ``hot_threshold`` probe rows are spread over ``salt`` tasks
+    (skew.salt_exploded_join); with no hot cells the pre-pass degrades to
+    the plain cell equi-join. ``salt=0`` opts out of the pre-pass."""
     b = build.select(F.col(build_id), F.col(build_geom).alias(_BG)).withColumn(
         "cell", F.explode(st_cells(res)(F.col(_BG)))
     )
@@ -62,7 +69,9 @@ def candidate_pairs(
     if broadcast_build:
         joined = p.join(F.broadcast(b), "cell", "inner")
     elif salt > 1:
-        joined = salt_exploded_join(p, b, key="cell", salts=salt, probe_id=probe_id)
+        joined = salt_exploded_join(
+            p, b, key="cell", salts=salt, probe_id=probe_id, hot_threshold=hot_threshold
+        )
     else:
         joined = p.join(b, "cell", "inner")
     return joined.dropDuplicates([probe_id, build_id])
@@ -78,11 +87,13 @@ def sjoin_pairs(
     probe_geom: str = "geometry",
     build_geom: str = "geometry",
     broadcast_build: bool = True,
-    salt: int = 0,
+    salt: int = 8,
+    hot_threshold: int = 100_000,
 ) -> DataFrame:
     """Exact-match (probe_id, build_id) pair table (J5 plan shape)."""
     cand = candidate_pairs(
-        probe, build, probe_id, build_id, res, probe_geom, build_geom, broadcast_build, salt
+        probe, build, probe_id, build_id, res, probe_geom, build_geom,
+        broadcast_build, salt, hot_threshold,
     )
     if predicate == "intersects":
         ok = st_intersects(F.col(_PG), F.col(_BG))
@@ -104,7 +115,8 @@ def sjoin(
     probe_geom: str = "geometry",
     build_geom: str = "geometry",
     broadcast_build: bool = True,
-    salt: int = 0,
+    salt: int = 8,
+    hot_threshold: int = 100_000,
 ) -> DataFrame:
     """Full spatial join: probe columns + build attribute columns.
 
@@ -113,7 +125,8 @@ def sjoin(
     geopandas sjoin how='right': build columns + matching probe attributes,
     null probe attributes where no probe matched)."""
     pairs = sjoin_pairs(
-        probe, build, probe_id, build_id, res, predicate, probe_geom, build_geom, broadcast_build, salt
+        probe, build, probe_id, build_id, res, predicate, probe_geom, build_geom,
+        broadcast_build, salt, hot_threshold,
     )
     if how == "right":
         probe_attrs = probe.drop(probe_geom)
@@ -138,7 +151,8 @@ def pip_join(
     poly_geom: str = "geometry",
     how: str = "inner",
     broadcast_build: bool = True,
-    salt: int = 0,
+    salt: int = 8,
+    hot_threshold: int = 100_000,
     keep_poly_geom: str | None = None,
     refine: bool = True,
 ) -> DataFrame:
@@ -167,7 +181,10 @@ def pip_join(
     if broadcast_build:
         cand = p.join(F.broadcast(b), "cell", "inner")
     elif salt > 1:
-        cand = salt_exploded_join(p, b, key="cell", salts=salt, probe_id=point_id)
+        # non-broadcast default: histogram pre-pass + hot-cell salting
+        cand = salt_exploded_join(
+            p, b, key="cell", salts=salt, probe_id=point_id, hot_threshold=hot_threshold
+        )
     else:
         cand = p.join(b, "cell", "inner")
     # refine=False defers the exact PIP test to a downstream grouped kernel

@@ -7,7 +7,12 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(master: str | None = None, app: str = "prclz-spark", shuffle_partitions: int | None = None) -> SparkSession:
+def get_spark(
+    master: str | None = None,
+    app: str = "prclz-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sp = shuffle_partitions if shuffle_partitions is not None else int(cpus) if cpus.isdigit() else 32
     if master is None:
@@ -19,7 +24,7 @@ def get_spark(master: str | None = None, app: str = "prclz-spark", shuffle_parti
     builder = SparkSession.builder
     if master is not None:
         builder = builder.master(master)
-    return (
+    builder = (
         builder
         .appName(app)
         # AQE skew-join splitting on top of our explicit hot-cell salting
@@ -41,5 +46,9 @@ def get_spark(master: str | None = None, app: str = "prclz-spark", shuffle_parti
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
     )
+    # caller overrides (e.g. bench re-enables the UI to read per-task
+    # metrics off the status REST API); applied last so they win
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
