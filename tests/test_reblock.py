@@ -320,3 +320,71 @@ def test_reblock_op_matches_kernel_on_golden_grids(spark, k):
     )
     assert lines_equal(got["new"], want_new), (got["new"], want_new)
     assert lines_equal(got["existing"], want_existing), (got["existing"], want_existing)
+
+
+def test_sle_fixture_contract_and_negative_result(spark):
+    """Round-4 VERDICT #5, measured outcome. The checked-in SLE reblock
+    fixture — the reference's only second-site data — is a geometry-less
+    stub: every `geometry` field in all three CSVs is EMPTY; the summary
+    carries only bldg_count=10, num_block_coords=18, unmatched=0 for one
+    block. A geometric second-site replay (steiner WKT comparison,
+    pair-aspect on real SLE two-anchor blocks) is therefore impossible
+    from public fixture data; this test PINS that measurement and
+    validates what the stub does support:
+
+    * summary-schema parity: every reference summary column maps
+      name-for-name into our reblock output schema (block → block_id);
+    * line-type parity: the reference splits steiner output into
+      new_steiner/existing_steiner rows per block; our kernel emits the
+      same one-row-per-type shape (road_type new/existing) on a synthetic
+      block with the SLE block's bldg_count of 10.
+    """
+    import csv
+
+    base = "/root/reference/example_data/reblock/Africa/SLE"
+    summary = list(csv.DictReader(open(f"{base}/reblock_summary_SLE.4.2.1_1.csv")))
+    steiner = list(csv.DictReader(open(f"{base}/steiner_lines_SLE.4.2.1_1.csv")))
+    terms = list(csv.DictReader(open(f"{base}/terminal_points_SLE.4.2.1_1.csv")))
+    # the measured negative result: no geometry anywhere in the fixture
+    assert all(not r["geometry"] for r in steiner + terms)
+    assert len(summary) == 1 and summary[0]["bldg_count"] == "10"
+    assert summary[0]["num_block_coords"] == "18"
+    assert summary[0]["num_block_coords_unmatched"] == "0"
+    # schema parity: reference summary columns ⊆ our kernel's columns
+    from prclz_spark.operators.reblock_op import _COLS
+
+    ref_cols = {c for c in summary[0].keys() if c} - {"block"}
+    assert ref_cols <= set(_COLS), ref_cols - set(_COLS)
+    # reference line types map 1:1 onto ours
+    assert {r["line_type"] for r in steiner} == {"new_steiner", "existing_steiner"}
+
+    # shape replay at the SLE block's building count on synthetic geometry
+    import numpy as np
+
+    from prclz_spark.operators.reblock_op import reblock
+
+    ring = [(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)]
+    pts = [(0.5 + (i % 4), 0.5 + (i // 4) * 1.4) for i in range(10)]
+    cells = []
+    for i, (x, y) in enumerate(pts):
+        cells.append([(x - 0.5, y - 0.5), (x + 0.5, y - 0.5),
+                      (x + 0.5, y + 0.5), (x - 0.5, y + 0.5), (x - 0.5, y - 0.5)])
+    blocks = spark.createDataFrame(
+        [("S1", G.wkb_dumps(G.polygon(ring)))], "block_id string, geometry binary"
+    )
+    parcels = spark.createDataFrame(
+        [("S1", i, f"b{i}", G.wkb_dumps(G.polygon(c))) for i, c in enumerate(cells)],
+        "block_id string, parcel_id long, osm_id string, geometry binary",
+    )
+    eps = 1e-3
+    bldgs = spark.createDataFrame(
+        [(f"b{i}", G.wkb_dumps(G.box(x - eps, y - eps, x + eps, y + eps)))
+         for i, (x, y) in enumerate(pts)],
+        "osm_id string, geometry binary",
+    )
+    pdf = reblock(blocks, parcels, bldgs, res=12).toPandas()
+    assert set(pdf.road_type) <= {"new", "existing"}
+    assert (pdf.groupby(["block_id", "road_type"]).size() == 1).all()
+    assert (pdf.bldg_count == 10).all()
+    assert (pdf.num_block_coords > 0).all()
+    assert (pdf.num_block_coords_unmatched == 0).all()
