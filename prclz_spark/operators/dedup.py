@@ -551,9 +551,28 @@ def embedding_near_pairs(
     linearly in explode/join cost. Each table's bucket id is
     (table << n_planes) | signature, so one explode + one self-join covers
     all tables."""
+    _buckets = _hyperplane_bucket_udf(dim, n_planes, n_tables, seed)
+    b = df.select(F.col(id_col), F.col(vec_col), F.explode(_buckets(F.col(vec_col))).alias("bucket"))
+    l = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket")
+    r = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket")
+    cand = (
+        l.join(r, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cos_sim", _cosine_col("v_a", "v_b"))
+        .filter(F.col("cos_sim") >= cos_threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def _hyperplane_bucket_udf(dim: int, n_planes: int, n_tables: int, seed: int):
+    """Seeded hyperplane bucket UDF — ONE definition shared by the
+    self-join and against-corpus paths, so a corpus bucketed last month
+    collides exactly with today's batch."""
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_tables, n_planes, dim))
-
     pows = np.int64(1) << np.arange(n_planes, dtype=np.int64)
 
     @pandas_udf(ArrayType(LongType()))
@@ -569,24 +588,53 @@ def embedding_near_pairs(
         table_tag = (np.arange(n_tables, dtype=np.int64) + 1) << n_planes
         return pd.Series(list(sigs + table_tag[None, :]))
 
-    b = df.select(F.col(id_col), F.col(vec_col), F.explode(_buckets(F.col(vec_col))).alias("bucket"))
-    l = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket")
-    r = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket")
-    cand = (
-        l.join(r, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    return _buckets
+
+
+def _cosine_col(a: str, b: str):
+    """Exact cosine between two array columns, 4dp; zero-norm vectors have
+    no cosine: try_divide → NULL (never a pair; ANSI mode would raise)."""
     dot = F.expr(
-        "aggregate(zip_with(v_a, v_b, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (a, x) -> a + x)"
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+        " cast(0.0 as double), (acc, x) -> acc + x)"
     )
     nrm = lambda c: F.sqrt(
-        F.expr(f"aggregate({c}, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double))")
+        F.expr(f"aggregate({c}, cast(0.0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double))")
     )
-    # zero-norm vectors have no cosine: try_divide -> NULL (never a pair)
-    cos = F.try_divide(dot, nrm("v_a") * nrm("v_b"))
+    return F.round(F.try_divide(dot, nrm(a) * nrm(b)), 4)
+
+
+def embedding_pairs_against(
+    corpus_df: DataFrame,
+    batch_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 12,
+    cos_threshold: float = 0.95,
+    seed: int = 42,
+    n_tables: int = 12,
+) -> DataFrame:
+    """Cross embedding near-dups (batch_id, corpus_id, cos_sim): the
+    incremental form of embedding_near_pairs — the persisted corpus is
+    scanned once, bucketed locally (its vector rides to the map-side
+    broadcast join, never across the network), the batch ships only
+    (batch_id, bucket) inside the broadcast; exact cosine verifies the
+    surviving collisions."""
+    _buckets = _hyperplane_bucket_udf(dim, n_planes, n_tables, seed)
+    c = corpus_df.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("v_a")
+    ).select("corpus_id", "v_a", F.explode(_buckets(F.col("v_a"))).alias("bucket"))
+    b = batch_df.select(F.col(id_col).alias("batch_id"), F.col(vec_col).alias("v_b"))
+    bb = b.select("batch_id", F.explode(_buckets(F.col("v_b"))).alias("bucket"))
+    cand = (
+        c.join(F.broadcast(bb), "bucket")
+        .select("batch_id", "corpus_id", "v_a")
+        .dropDuplicates(["batch_id", "corpus_id"])
+        .join(F.broadcast(b), "batch_id")
+    )
     return (
-        cand.withColumn("cos_sim", F.round(cos, 4))
+        cand.withColumn("cos_sim", _cosine_col("v_a", "v_b"))
         .filter(F.col("cos_sim") >= cos_threshold)
-        .select("id_a", "id_b", "cos_sim")
+        .select("batch_id", "corpus_id", "cos_sim")
     )

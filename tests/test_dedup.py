@@ -418,3 +418,39 @@ def test_incremental_minhash_dedup_loop(spark, tmp_path):
         t, "doc_id", "text",
     )
     assert cross2.count() >= 5  # exact clones: jaccard_est 1.0 vs themselves
+
+
+def test_embedding_against_equals_filtered_self_join(spark):
+    """Fifth tier of the incremental family: embedding near-dup against a
+    persisted corpus == the cross slice of the full self-join (same seeded
+    hyperplane tables, same exact-cosine verify)."""
+    from prclz_spark.operators.dedup import (
+        embedding_near_pairs,
+        embedding_pairs_against,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+    corpus = e.filter(F.col("vec_id") < 150)
+    batch = e.filter((F.col("vec_id") >= 150) & (F.col("vec_id") < 180)).unionByName(
+        corpus.filter(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.expr("transform(embedding, x -> x * CAST(1.001 AS FLOAT))").alias("embedding"),
+        )
+    )
+    dim = len(e.first().embedding)
+    got = embedding_pairs_against(
+        corpus, batch, "vec_id", "embedding", dim=dim, cos_threshold=0.98
+    ).toPandas()
+    full = embedding_near_pairs(
+        corpus.unionByName(batch), "vec_id", "embedding", dim=dim, cos_threshold=0.98
+    ).toPandas()
+    corpus_ids = {r.vec_id for r in corpus.select("vec_id").collect()}
+    want = {
+        (int(r.id_b), int(r.id_a), r.cos_sim)
+        for r in full.itertuples()
+        if (int(r.id_a) in corpus_ids) != (int(r.id_b) in corpus_ids)
+    }
+    assert set(zip(got.batch_id.astype(int), got.corpus_id.astype(int),
+                   got.cos_sim)) == want
+    planted = {int(d) + 1_000_000 for d in range(0, 150, 5)}
+    assert planted <= set(got.batch_id.astype(int))
