@@ -110,6 +110,22 @@ def main(argv=None):
     )
     sp_cmp.add_argument("--table", required=True, help="table root path")
 
+    sp_dd = sub.add_parser(
+        "dedup-batch",
+        help="incremental MinHash dedup of a document batch against a "
+             "persisted signature corpus (iceberg-lite): corpus scanned "
+             "once, batch broadcast; survivors' signatures appended as a "
+             "new snapshot (creates the table on first use)",
+    )
+    sp_dd.add_argument("--table", required=True, help="signature table root path")
+    sp_dd.add_argument("--batch", required=True, help="parquet of documents")
+    sp_dd.add_argument("--id-col", default="doc_id")
+    sp_dd.add_argument("--text-col", default="text")
+    sp_dd.add_argument("--threshold", type=float, default=0.5,
+                       help="estimated-Jaccard near-dup threshold")
+    sp_dd.add_argument("--out", default=None,
+                       help="optional parquet dir for the dup-pair verdicts")
+
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -190,6 +206,33 @@ def main(argv=None):
             print(
                 f"compacted at snapshot {snap}: reads now touch "
                 f"{n_manifests} manifest(s)",
+                file=sys.stderr,
+            )
+            return
+        elif args.cmd == "dedup-batch":
+            import os as _os
+
+            from .operators.dedup import incremental_minhash_dedup
+            from .sources import iceberg_lite as IL
+
+            if not _os.path.exists(_os.path.join(args.table, "metadata")):
+                IL.create_table(args.table, f"{args.id_col} bigint, sig array<bigint>")
+            batch = spark.read.parquet(args.batch)
+            surv, cross, internal, snap = incremental_minhash_dedup(
+                batch, args.table, args.id_col, args.text_col,
+                jaccard_threshold=args.threshold,
+            )
+            n_surv, n_cross, n_int = surv.count(), cross.count(), internal.count()
+            if args.out:
+                cross.withColumn("kind", F.lit("corpus")).unionByName(
+                    internal.selectExpr(
+                        "id_b as batch_id", "id_a as corpus_id", "jaccard_est"
+                    ).withColumn("kind", F.lit("batch"))
+                ).write.mode("overwrite").parquet(args.out)
+            print(
+                f"snapshot {snap}: {n_surv} survivors appended; "
+                f"{n_cross} corpus-dup pairs, {n_int} batch-internal pairs; "
+                f"table now {IL.read(spark, args.table).count()} signatures",
                 file=sys.stderr,
             )
             return

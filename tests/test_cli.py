@@ -51,3 +51,38 @@ def test_cli_ingest_images(spark, tmp_path):
     assert IL.current_snapshot(t) == 1
     assert IL.read(spark, t).count() == 24
     assert IL.read(spark, t, snapshot=0).count() == 16
+
+
+def test_cli_dedup_batch(spark, tmp_path):
+    """The daily incremental-dedup loop as a product surface: day 0 seeds
+    the signature table; day 1's batch (fresh docs + planted twins of the
+    corpus) is deduped against the persisted snapshot, survivors appended,
+    verdicts written."""
+    from pyspark.sql import functions as F
+
+    from prclz_spark import cli
+    from prclz_spark.sources import iceberg_lite as IL
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    d.filter(F.col("doc_id") < 100).write.parquet(str(tmp_path / "day0.pq"))
+    fresh = d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 140))
+    twins = d.filter((F.col("doc_id") < 100) & (F.col("doc_id") % 5 == 0)).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.expr("substring(text, 1, cast(length(text) * 0.95 as int))").alias("text"),
+    )
+    fresh.unionByName(twins).write.parquet(str(tmp_path / "day1.pq"))
+
+    t = str(tmp_path / "sigs")
+    cli.main(["dedup-batch", "--table", t, "--batch", str(tmp_path / "day0.pq")])
+    assert IL.current_snapshot(t) == 0
+    cli.main(["dedup-batch", "--table", t, "--batch", str(tmp_path / "day1.pq"),
+              "--out", str(tmp_path / "verdicts")])
+    assert IL.current_snapshot(t) == 1
+    v = spark.read.parquet(str(tmp_path / "verdicts"))
+    corpus_hits = {r.batch_id for r in v.filter(F.col("kind") == "corpus").collect()}
+    assert {int(x) + 2_000_000 for x in range(0, 100, 5)} <= corpus_hits
+    # no planted twin survived into the table
+    sigs = {r.doc_id for r in IL.read(spark, t).select("doc_id").collect()}
+    assert sigs.isdisjoint({int(x) + 2_000_000 for x in range(0, 100, 5)})
