@@ -50,6 +50,75 @@ def dedup_exact_stream(
     return hashed.dropDuplicates(["content_hash"])
 
 
+def _stream_bands(
+    df: DataFrame, id_col: str, text_col: str, ts_col: str,
+    num_perm: int, bands: int, k: int,
+) -> DataFrame:
+    """(id, ts, band, band_hash) rows via the SAME shared banding
+    expression as the batch operators (operators.dedup._band_explode) —
+    stream, batch, and persisted-corpus fingerprints all bucket
+    identically."""
+    from ..operators.dedup import _band_explode, minhash_signatures
+
+    sigs = minhash_signatures(
+        df.select(id_col, text_col, ts_col), id_col, text_col, num_perm, k
+    )
+    src = df.select(id_col, ts_col).join(sigs, id_col)
+    return src.select(F.col(id_col), F.col(ts_col), _band_explode(num_perm, bands))
+
+
+def dedup_stream_against_corpus(
+    df: DataFrame,
+    corpus_sigs: DataFrame,
+    id_col: str,
+    text_col: str,
+    ts_col: str,
+    watermark: str = "1 day",
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """Incremental near-dup suppression of a stream against a PERSISTED
+    corpus (the streaming face of operators.dedup.minhash_pairs_against):
+    the stream's band rows are LEFT-ANTI joined per micro-batch against
+    the static corpus band table — Structured Streaming's stream-static
+    join, so the corpus needs no stream state at all — and the surviving
+    bands then pass the watermark-bounded within-stream dedup.
+
+    A row is suppressed iff ANY of its bands collides with the corpus OR
+    with a within-horizon arrival (finish with suppress_ids(), same
+    one-stateful-operator contract as dedup_minhash_stream).
+
+    ``corpus_sigs``: a static (id, sig) DataFrame — e.g.
+    ``iceberg_lite.read(spark, table)``; snapshots appended between
+    restarts are picked up at query (re)start, the streaming-native
+    version of the daily `dedup-batch` loop. Batch input runs the
+    identical path minus the watermark (stream≡batch test)."""
+    from ..operators.dedup import _band_explode
+
+    corpus_bands = (
+        corpus_sigs.select(_band_explode(num_perm, bands))
+        .select("band", "band_hash")
+        .dropDuplicates()
+    )
+    banded = _stream_bands(df, id_col, text_col, ts_col, num_perm, bands, k).join(
+        corpus_bands, ["band", "band_hash"], "left_anti"
+    )
+    if banded.isStreaming:
+        return banded.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["band", "band_hash"]
+        )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band", "band_hash").orderBy(ts_col, id_col)
+    fresh = (
+        banded.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return suppress_ids(fresh, id_col, bands)
+
+
 def dedup_minhash_stream(
     df: DataFrame,
     id_col: str,
@@ -70,26 +139,7 @@ def dedup_minhash_stream(
     Returns the deduplicated (id, band-count) frame; `bands_kept < bands`
     never appears in the output — such rows were suppressed.
     """
-    from ..operators.dedup import minhash_signatures
-
-    rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df.select(id_col, text_col, ts_col), id_col, text_col,
-                              num_perm, k)
-    src = df.select(id_col, ts_col).join(sigs, id_col)
-    banded = src.select(
-        F.col(id_col),
-        F.col(ts_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.xxhash64(
-                    F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band).cast(
-                        "string"
-                    )
-                ),
-            )
-        ).alias("band", "band_hash"),
-    )
+    banded = _stream_bands(df, id_col, text_col, ts_col, num_perm, bands, k)
     if banded.isStreaming:
         # first ARRIVAL wins a band (stateful, watermark-bounded state).
         # Append mode supports ONE stateful operator, so the streaming

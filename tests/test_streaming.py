@@ -410,3 +410,73 @@ def test_stream_k_eviction_tombstone_never_understates(spark):
     assert int(row2.n_bldgs.iloc[0]) == 10
     assert int(row2.complexity.iloc[0]) >= 3
     assert bool(row2.restarted.iloc[0])
+
+
+def test_dedup_stream_against_corpus(spark, tmp_path):
+    """Stream-STATIC incremental dedup (the streaming face of the r4 #1
+    against-corpus family): a persisted corpus signature table suppresses
+    re-crawls arriving on the stream per micro-batch, composing with the
+    within-stream watermark dedup; batch mode runs the identical path
+    (stream ⊆ batch survivors checked on the planted sets)."""
+    from prclz_spark.operators.dedup import minhash_signatures
+    from prclz_spark.streaming.dedup import dedup_stream_against_corpus, suppress_ids
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") < 100)
+    corpus_sigs = minhash_signatures(corpus, "doc_id", "text")
+
+    fresh = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 130))
+    corpus_twins = corpus.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.expr("substring(text, 1, cast(length(text) * 0.95 as int))").alias("text"),
+    )
+    stream_twins = fresh.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"), "text"
+    )
+    t0 = F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+    batch0 = fresh.unionByName(corpus_twins).withColumn("ts", t0)
+    batch1 = stream_twins.withColumn(
+        "ts", F.to_timestamp(F.lit("2026-01-01 01:00:00"))
+    )
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    batch0.coalesce(1).write.parquet(str(d / "f0"))
+    batch1.coalesce(1).write.parquet(str(d / "f1"))
+
+    planted_corpus = {int(x) + 2_000_000 for x in range(0, 100, 5)}
+    planted_stream = {int(x) + 3_000_000 for x in range(100, 130) if x % 3 == 0}
+
+    # batch mode: identical path minus the watermark
+    full = batch0.unionByName(batch1)
+    surv_b = set(
+        dedup_stream_against_corpus(
+            full, corpus_sigs, "doc_id", "text", "ts"
+        ).toPandas().doc_id
+    )
+    assert surv_b.isdisjoint(planted_corpus)   # corpus re-crawls die
+    assert surv_b.isdisjoint(planted_stream)   # in-stream clones die
+    assert surv_b <= set(range(100, 130))
+
+    # streaming: two file-triggers; corpus check is the stream-static
+    # anti-join, within-stream check is the watermark state
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*")
+    )
+    out = dedup_stream_against_corpus(stream, corpus_sigs, "doc_id", "text", "ts")
+    q = (
+        out.writeStream.format("memory").queryName("against_corpus")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    sink = spark.table("against_corpus")
+    surv_s = set(suppress_ids(sink, "doc_id").toPandas().doc_id)
+    assert surv_s.isdisjoint(planted_corpus)
+    assert surv_s.isdisjoint(planted_stream)
+    assert surv_s <= set(range(100, 130))
+    # every doc the batch path keeps with all bands fresh also survives
+    # the stream (same banding, same corpus table)
+    assert surv_b == surv_s
