@@ -204,34 +204,87 @@ def append(
         )
     out_dir = os.path.join(path, "data", f"add-{uuid.uuid4().hex[:12]}")
     df.write.parquet(out_dir)
+    per_file = _scan_file_stats(spark, out_dir, stats_cols or [])
 
-    written = spark.read.parquet(out_dir)
+    def build(snap: int, parent: int | None) -> dict:
+        return {
+            "snapshot": snap,
+            "parent": parent,
+            "files": _file_entries(per_file, stats_cols or [], snap),
+            "stats_cols": stats_cols or [],
+        }
+
+    return _commit_with_rebase(path, build, max_retries)
+
+
+def _scan_file_stats(spark: SparkSession, out_dir: str, stats_cols: list[str]):
+    """Per-file (rows, min/max of stats_cols) — one narrow distributed agg
+    via input_file_name()."""
+    from pyspark.sql import functions as F
+
     aggs = [F.count(F.lit(1)).alias("_rows")]
-    for c in stats_cols or []:
+    for c in stats_cols:
         aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
-    per_file = (
-        written.withColumn("_file", F.input_file_name())
+    return (
+        spark.read.parquet(out_dir)
+        .withColumn("_file", F.input_file_name())
         .groupBy("_file")
         .agg(*aggs)
         .collect()
     )
 
-    def build(snap: int, parent: int | None) -> dict:
-        files = []
-        for r in per_file:
-            ent = {"path": _local_path(r["_file"]), "rows": r["_rows"], "added_at": snap}
-            for c in stats_cols or []:
-                ent[f"min_{c}"] = r[f"_min_{c}"]
-                ent[f"max_{c}"] = r[f"_max_{c}"]
-            files.append(ent)
-        return {
-            "snapshot": snap,
-            "parent": parent,
-            "files": sorted(files, key=lambda e: e["path"]),
-            "stats_cols": stats_cols or [],
-        }
 
-    return _commit_with_rebase(path, build, max_retries)
+def _file_entries(per_file, stats_cols: list[str], snap: int) -> list[dict]:
+    files = []
+    for r in per_file:
+        ent = {"path": _local_path(r["_file"]), "rows": r["_rows"], "added_at": snap}
+        for c in stats_cols:
+            ent[f"min_{c}"] = r[f"_min_{c}"]
+            ent[f"max_{c}"] = r[f"_max_{c}"]
+        files.append(ent)
+    return sorted(files, key=lambda e: e["path"])
+
+
+def rewrite_data_files(spark: SparkSession, path: str, max_retries: int = 3) -> int:
+    """Materialize deletes physically (Iceberg's rewrite-data-files): read
+    the table as of the current snapshot (tombstones applied), write fresh
+    data files, and commit a compacted snapshot whose manifest carries the
+    new files, every stats column seen so far, and NO delete specs — reads
+    after this touch one manifest and run zero anti-joins, so the
+    per-query tombstone cost is bounded by rewrite cadence instead of
+    delete volume. Time travel to pre-rewrite snapshots is unchanged (old
+    manifests stay).
+
+    Concurrency: unlike append, a rewrite is NOT a disjoint addition — a
+    commit racing it would be silently dropped by a blind rebase — so on
+    CommitConflict the WHOLE rewrite (read + write) re-runs against the
+    new table state, up to ``max_retries`` times."""
+    for attempt in range(max_retries + 1):
+        base = current_snapshot(path)
+        if base < 0:
+            raise ValueError(f"cannot rewrite an empty table at {path}")
+        stats_cols = sorted(
+            {c for m in _manifests(path, base) for c in m.get("stats_cols", [])}
+        )
+        out_dir = os.path.join(path, "data", f"rewrite-{uuid.uuid4().hex[:12]}")
+        read(spark, path, snapshot=base).write.parquet(out_dir)
+        per_file = _scan_file_stats(spark, out_dir, stats_cols)
+        snap = base + 1
+        manifest = {
+            "snapshot": snap,
+            "parent": base,
+            "files": _file_entries(per_file, stats_cols, snap),
+            "stats_cols": stats_cols,
+            "includes_through": snap,
+        }
+        try:
+            _commit(path, snap, manifest)
+            return snap
+        except CommitConflict:
+            if attempt == max_retries:
+                raise
+            time.sleep(random.uniform(0.0, 0.02 * (2**attempt)))
+    raise AssertionError("unreachable")
 
 
 def delete_rows(

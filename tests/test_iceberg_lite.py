@@ -242,3 +242,66 @@ def test_delete_survives_compaction_and_pruning(spark, tmp_path):
         r.doc_id for r in IL.read(spark, t, prune=("v", 0, 9)).collect()
     )
     assert got == [0, 1, 2, 3, 4]
+
+
+def test_rewrite_data_files_materializes_deletes(spark, tmp_path):
+    """rewrite_data_files = Iceberg's rewrite: tombstones become physical,
+    reads stop anti-joining, one manifest suffices, stats/pruning survive,
+    time travel to pre-rewrite snapshots is untouched."""
+    t = str(tmp_path / "rw")
+    IL.create_table(t, "doc_id bigint, v bigint")
+    for k in range(3):
+        IL.append(
+            spark.range(k * 10, (k + 1) * 10).selectExpr("id as doc_id", "id as v"),
+            t, stats_cols=["v"],
+        )
+    IL.delete_rows(spark.range(5, 25).selectExpr("id as doc_id"), t, "doc_id")
+    pre = sorted(r.doc_id for r in IL.read(spark, t).collect())
+    assert len(pre) == 10
+
+    snap = IL.rewrite_data_files(spark, t)
+    assert sorted(r.doc_id for r in IL.read(spark, t).collect()) == pre
+    assert IL.deletes_at(t) == []  # tombstones are gone from metadata
+    assert len(IL._manifests(t, snap)) == 1
+    # reads no longer join at all: plain parquet scan
+    plan = IL.read(spark, t)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    # stats recomputed on the rewritten files → pruning still works
+    assert len(IL.files_at(t, prune=("v", 0, 4))) < len(IL.files_at(t))
+    # time travel: pre-rewrite snapshots still show the deleted rows
+    assert IL.read(spark, t, snapshot=2).count() == 30
+    # the table keeps working: append + a fresh delete after the rewrite
+    IL.append(spark.range(100, 105).selectExpr("id as doc_id", "id as v"), t,
+              stats_cols=["v"])
+    IL.delete_rows(spark.range(0, 2).selectExpr("id as doc_id"), t, "doc_id")
+    got = sorted(r.doc_id for r in IL.read(spark, t).collect())
+    assert got == [2, 3, 4, 25, 26, 27, 28, 29, 100, 101, 102, 103, 104]
+
+
+def test_rewrite_retries_full_rewrite_on_conflict(spark, tmp_path):
+    """A commit racing the rewrite must NOT be dropped: the whole rewrite
+    re-runs against the new state (a blind manifest rebase would silently
+    erase the racer's rows)."""
+    t = str(tmp_path / "rwc")
+    IL.create_table(t, "doc_id bigint")
+    IL.append(spark.range(10).selectExpr("id as doc_id"), t)
+
+    real_commit = IL._commit
+    raced = {"done": False}
+
+    def racing_commit(path, snap, manifest):
+        if not raced["done"]:
+            raced["done"] = True
+            # a concurrent append lands between the rewrite's read and commit
+            IL._commit = real_commit
+            IL.append(spark.range(50, 55).selectExpr("id as doc_id"), t)
+            IL._commit = racing_commit
+        real_commit(path, snap, manifest)
+
+    IL._commit = racing_commit
+    try:
+        IL.rewrite_data_files(spark, t)
+    finally:
+        IL._commit = real_commit
+    got = sorted(r.doc_id for r in IL.read(spark, t).collect())
+    assert got == list(range(10)) + list(range(50, 55))  # racer's rows kept
