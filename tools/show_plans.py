@@ -128,6 +128,60 @@ def main() -> None:
         )
     )
 
+    from prclz_spark.operators.dedup import minhash_pairs_against, minhash_signatures
+
+    sig_dir = tempfile.mkdtemp(prefix="plans_sigs_") + "/sigs.parquet"
+    minhash_signatures(docs, "doc_id", "text").write.parquet(sig_dir)
+    corpus_sigs = spark.read.parquet(sig_dir)
+    batch = spark.createDataFrame(
+        [(1000 + i, "delta epsilon " * 4) for i in range(5)], "doc_id long, text string"
+    )
+    sections.append(
+        (
+            "Incremental dedup against a persisted corpus (r4 #1)",
+            "the corpus signature table is scanned ONCE; its band rows feed a "
+            "map-side broadcast hash join against the (tiny) batch bands — no "
+            "corpus-side shuffle, no corpus×corpus join; only surviving "
+            "candidate pairs enter the dedupe/verify exchanges.",
+            fmt(minhash_pairs_against(
+                corpus_sigs, minhash_signatures(batch, "doc_id", "text"), "doc_id"
+            )),
+        )
+    )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sections.append(
+        (
+            "Salted non-broadcast PIP join (r4 #6)",
+            "build side too big to broadcast (emulated: auto-broadcast off): "
+            "the histogram pre-pass salts hot cells, the join keys on "
+            "(cell, _salt) so a megacity cell spreads over `salt` tasks; AQE "
+            "skew split stacks on top.",
+            fmt(pip_join(pts, gadm, "osm_id", "gadm", res=res, how="inner",
+                         broadcast_build=False, salt=8, hot_threshold=100)),
+        )
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+    IL.delete_rows(spark.range(10, 20).selectExpr("id as doc_id"), t, "doc_id")
+    sections.append(
+        (
+            "Iceberg-lite read with equality deletes (r4 #4)",
+            "tombstones broadcast-anti-join the data scan (the data side is "
+            "never shuffled); after rewrite_data_files the join disappears "
+            "entirely (see next section).",
+            fmt(IL.read(spark, t)),
+        )
+    )
+    IL.rewrite_data_files(spark, t)
+    sections.append(
+        (
+            "Same table after rewrite_data_files",
+            "deletes materialized: back to a bare parquet scan, one manifest.",
+            fmt(IL.read(spark, t)),
+        )
+    )
+
     out = ["# Physical plans of the flagship operators\n",
            "Generated by `python tools/show_plans.py` (4×4 fixture world; the",
            "plan SHAPE is scale-independent — sizes only move AQE thresholds).\n"]
