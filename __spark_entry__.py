@@ -658,6 +658,33 @@ def _q_dedup_against_corpus(spark, sf_dir):
     return pairs.orderBy("batch_id", "corpus_id")
 
 
+def _q_dedup_cluster_components(spark, sf_dir):
+    """Transitive dedup clustering (round-5 extension): MinHash near-dup
+    PAIRS over docs + chained 72%-prefix clones (A→B→C: A~B and B~C pass
+    the 0.5 threshold, A~C generally does not) are closed into connected
+    components via the large-star/small-star operator; each doc maps to
+    its component's min id. The DuckDB oracle replicates the exact pair
+    pipeline (64-perm sigs + banding + agreement estimate) and closes it
+    with a recursive CTE — pair set AND closure are value-checked."""
+    from prclz_spark.operators.components import connected_components
+    from prclz_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 100
+    )
+    c1 = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr("substring(text, 1, cast(floor(length(text) * 0.72) as int))").alias("text"),
+    )
+    c2 = c1.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr("substring(text, 1, cast(floor(length(text) * 0.72) as int))").alias("text"),
+    )
+    corpus = docs.unionByName(c1).unionByName(c2)
+    pairs = minhash_lsh_pairs(corpus, "doc_id", "text", jaccard_threshold=0.5)
+    return connected_components(pairs).orderBy("id")
+
+
 def _q_simhash_dedup(spark, sf_dir):  # SimHash Hamming-band near-dup
     from prclz_spark.operators.dedup import simhash_near_pairs
 
@@ -1241,6 +1268,47 @@ _DEDUP_AGAINST_ORACLE_TMPL = """
     ORDER BY batch_id, corpus_id
 """
 
+_DEDUP_CLUSTER_ORACLE_TMPL = """
+    WITH RECURSIVE d AS (
+      SELECT doc_id, text AS s FROM documents WHERE doc_id < 100
+    ), c1 AS (
+      SELECT doc_id + 1000000 AS doc_id,
+             substring(s, 1, CAST(FLOOR(length(s) * 0.72) AS INT)) AS s
+      FROM d WHERE doc_id % 10 = 0
+    ), c2 AS (
+      SELECT doc_id + 1000000 AS doc_id,
+             substring(s, 1, CAST(FLOOR(length(s) * 0.72) AS INT)) AS s
+      FROM c1
+    ), f AS (
+      SELECT doc_id, s FROM d
+      UNION ALL SELECT doc_id, s FROM c1
+      UNION ALL SELECT doc_id, s FROM c2
+    ), sg AS (
+      {SIG}
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               [a.sig[i] = b.sig[i] for i in range(1, 65)] AS eq
+        FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+      ), LATERAL (SELECT length(list_filter(eq, x -> x)) AS ag) t
+      WHERE ag >= 32
+        AND length(list_filter(range(0, 16),
+                   bnd -> eq[bnd*4+1] AND eq[bnd*4+2] AND eq[bnd*4+3] AND eq[bnd*4+4])) > 0
+    ), bidir AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach AS (
+      SELECT a, b FROM bidir
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN bidir e ON r.b = e.a
+    )
+    SELECT a AS id, LEAST(MIN(b), a) AS rep
+    FROM reach GROUP BY a
+    ORDER BY id
+"""
+
 _SIMHASH_ORACLE = f"""
     WITH d AS (
       SELECT doc_id, text AS s FROM documents WHERE doc_id < 400
@@ -1404,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "minhash_lsh_neardup": _q_minhash_lsh,
         "dedup_against_corpus": _q_dedup_against_corpus,
+        "dedup_cluster_components": _q_dedup_cluster_components,
         "minhash_jaccard_exact": _q_minhash_jaccard_exact,
         "winnow_fingerprint": _q_winnow_fingerprint,
         "iceberg_snapshots": _q_iceberg_snapshots,
@@ -1618,6 +1687,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_near_pairs": _WINNOW_PAIRS_ORACLE,
         "minhash_lsh_neardup": _MINHASH_LSH_ORACLE_TMPL.format(SIG=_minhash_sig_sql()),
         "dedup_against_corpus": _DEDUP_AGAINST_ORACLE_TMPL.format(SIG=_minhash_sig_sql()),
+        "dedup_cluster_components": _DEDUP_CLUSTER_ORACLE_TMPL.format(SIG=_minhash_sig_sql()),
         "simhash_neardup": _SIMHASH_ORACLE,
         # 4×4 world closed form: 14 square-cell blocks (6 ring buildings →
         # 6 parcels, area CELL²=1e-4 deg² → 100.0e-6) + 2 diagonal cells
