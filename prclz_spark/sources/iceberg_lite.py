@@ -449,6 +449,8 @@ def read(spark: SparkSession, path: str, snapshot: int | None = None,
     for key, paths in sorted(groups.items()):
         df = spark.read.schema(schema).parquet(*paths)
         for i in key:
+            if not dels[i]["paths"]:  # empty delete set: nothing to drop
+                continue
             tomb = spark.read.parquet(*dels[i]["paths"]).select(dels[i]["col"])
             df = df.join(F.broadcast(tomb), dels[i]["col"], "left_anti")
         parts.append(df)

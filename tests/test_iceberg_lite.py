@@ -305,3 +305,15 @@ def test_rewrite_retries_full_rewrite_on_conflict(spark, tmp_path):
         IL._commit = real_commit
     got = sorted(r.doc_id for r in IL.read(spark, t).collect())
     assert got == list(range(10)) + list(range(50, 55))  # racer's rows kept
+
+
+def test_empty_delete_set_is_harmless(spark, tmp_path):
+    """A dedup verdict with zero losers still commits cleanly and reads
+    must not trip over the fileless tombstone spec."""
+    t = str(tmp_path / "del0")
+    IL.create_table(t, "doc_id bigint")
+    IL.append(spark.range(5).selectExpr("id as doc_id"), t)
+    sd = IL.delete_rows(spark.range(0).selectExpr("id as doc_id"), t, "doc_id")
+    assert sd == 1
+    assert IL.read(spark, t).count() == 5
+    assert IL.read(spark, t, snapshot=0).count() == 5
