@@ -339,9 +339,21 @@ def incremental_minhash_dedup(
         batch_sigs, id_col, num_perm=num_perm, bands=bands,
         jaccard_threshold=jaccard_threshold,
     ).cache()
+    # batch-internal losers via the TRANSITIVE closure (components), not
+    # per-pair id_b: a component {1,5,9} with pairs (5,9),(1,9) only must
+    # still keep just its minimum — see operators/components.py
+    from .components import dedup_cluster_verdict
+
+    internal_losers = (
+        dedup_cluster_verdict(internal)
+        .filter(~F.col("keep"))
+        .select(F.col("id").alias(id_col))
+        if internal.limit(1).count()
+        else internal.select(F.col("id_b").alias(id_col))
+    )
     dup_ids = (
         cross.select(F.col("batch_id").alias(id_col))
-        .unionByName(internal.select(F.col("id_b").alias(id_col)))
+        .unionByName(internal_losers)
         .dropDuplicates()
     )
     survivors = batch_sigs.join(F.broadcast(dup_ids), id_col, "left_anti")

@@ -399,7 +399,10 @@ def test_incremental_minhash_dedup_loop(spark, tmp_path):
     # organic internal near-dups (earliest id wins) are the only losers
     surv0, cross0, internal0, snap0 = incremental_minhash_dedup(corpus, t, "doc_id", "text")
     assert snap0 == 0 and cross0.count() == 0
-    n_internal_losers = internal0.select("id_b").distinct().count()
+    # internal losers are the transitive-closure non-representatives
+    from prclz_spark.operators.components import dedup_cluster_verdict
+
+    n_internal_losers = dedup_cluster_verdict(internal0).filter("NOT keep").count()
     assert IL.read(spark, t).count() == corpus.count() - n_internal_losers
 
     # day 1: batch = 40 fresh + 20 twins; twins die, fresh survive
