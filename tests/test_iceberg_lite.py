@@ -317,3 +317,67 @@ def test_empty_delete_set_is_harmless(spark, tmp_path):
     assert sd == 1
     assert IL.read(spark, t).count() == 5
     assert IL.read(spark, t, snapshot=0).count() == 5
+
+
+def test_table_model_random_op_sequences(spark, tmp_path):
+    """Model-based property test of the whole table layer: random
+    append / delete / compact / rewrite sequences, replayed against a
+    plain in-memory model (list of (id, added_seq) + delete log). After
+    EVERY op, the live read matches the model; at the end, time travel to
+    every recorded snapshot matches the model's historical state."""
+    import random as rnd
+
+    rng = rnd.Random(17)
+    t = str(tmp_path / "model")
+    IL.create_table(t, "doc_id bigint")
+
+    model_rows: list[tuple[int, int]] = []  # (doc_id, added_at_snapshot)
+    deletes: list[tuple[set, int]] = []     # (ids, as_of_snapshot)
+    history: dict[int, list[int]] = {}      # snapshot -> visible ids
+    next_id = 0
+
+    def visible(rows, dels):
+        out = []
+        for i, seq in rows:
+            if any(i in ids and seq <= as_of for ids, as_of in dels):
+                continue
+            out.append(i)
+        return sorted(out)
+
+    for _ in range(14):
+        op = rng.choice(["append", "append", "delete", "compact", "rewrite"])
+        if op == "append":
+            n = rng.randint(1, 6)
+            ids = list(range(next_id, next_id + n))
+            next_id += n
+            s = IL.append(
+                spark.createDataFrame([(i,) for i in ids], "doc_id bigint"), t
+            )
+            model_rows.extend((i, s) for i in ids)
+        elif op == "delete":
+            vis = visible(model_rows, deletes)
+            if not vis:
+                continue
+            victims = set(rng.sample(vis, k=min(len(vis), rng.randint(1, 4))))
+            s = IL.delete_rows(
+                spark.createDataFrame([(i,) for i in victims], "doc_id bigint"),
+                t, "doc_id",
+            )
+            deletes.append((victims, s))
+        elif op == "compact":
+            if IL.current_snapshot(t) < 0:
+                continue
+            s = IL.compact_manifests(t)
+        else:  # rewrite: deletes materialize, model flattens
+            if IL.current_snapshot(t) < 0:
+                continue
+            s = IL.rewrite_data_files(spark, t)
+            model_rows = [(i, s) for i in visible(model_rows, deletes)]
+            deletes = []
+        history[s] = visible(model_rows, deletes)
+        got = sorted(r.doc_id for r in IL.read(spark, t).collect())
+        assert got == history[s], (op, s)
+
+    for s, want in history.items():
+        got = sorted(r.doc_id for r in IL.read(spark, t, snapshot=s).collect())
+        assert got == want, f"time travel to {s}"
