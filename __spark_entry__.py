@@ -658,6 +658,18 @@ def _q_dedup_against_corpus(spark, sf_dir):
     return pairs.orderBy("batch_id", "corpus_id")
 
 
+def _q_data_mix_sample(spark, sf_dir):
+    """Exact deterministic data mixing (round-5 extension): up to
+    {en: 60, fr: 20, zh: 15} documents per language, selected by the
+    MINSTD scramble of doc_id — byte-identical on any partitioning. The
+    oracle replicates the scramble + window verbatim in SQL."""
+    from prclz_spark.operators.mix import mix_strata
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = mix_strata(d, "lang", {"en": 60, "fr": 20, "zh": 15}, "doc_id", seed=7)
+    return out.orderBy("doc_id")
+
+
 def _q_dedup_cluster_components(spark, sf_dir):
     """Transitive dedup clustering (round-5 extension): MinHash near-dup
     PAIRS over docs + chained 72%-prefix clones (A→B→C: A~B and B~C pass
@@ -1473,6 +1485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_neardup": _q_minhash_lsh,
         "dedup_against_corpus": _q_dedup_against_corpus,
         "dedup_cluster_components": _q_dedup_cluster_components,
+        "data_mix_sample": _q_data_mix_sample,
         "minhash_jaccard_exact": _q_minhash_jaccard_exact,
         "winnow_fingerprint": _q_winnow_fingerprint,
         "iceberg_snapshots": _q_iceberg_snapshots,
@@ -1688,6 +1701,20 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_neardup": _MINHASH_LSH_ORACLE_TMPL.format(SIG=_minhash_sig_sql()),
         "dedup_against_corpus": _DEDUP_AGAINST_ORACLE_TMPL.format(SIG=_minhash_sig_sql()),
         "dedup_cluster_components": _DEDUP_CLUSTER_ORACLE_TMPL.format(SIG=_minhash_sig_sql()),
+        # the MINSTD scramble replicated verbatim: selection is a pure
+        # function of (doc_id, seed), independent of partitioning
+        "data_mix_sample": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY ((doc_id % 2147483647) * 1401229422) % 2147483647,
+                                doc_id) AS rn
+              FROM documents WHERE lang IN ('en', 'fr', 'zh')
+            )
+            WHERE rn <= CASE lang WHEN 'en' THEN 60 WHEN 'fr' THEN 20 ELSE 15 END
+            ORDER BY doc_id
+        """,
         "simhash_neardup": _SIMHASH_ORACLE,
         # 4×4 world closed form: 14 square-cell blocks (6 ring buildings →
         # 6 parcels, area CELL²=1e-4 deg² → 100.0e-6) + 2 diagonal cells
