@@ -670,6 +670,22 @@ def _q_data_mix_sample(spark, sf_dir):
     return out.orderBy("doc_id")
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """Sequence packing oracled via a closed form: with UNIFORM token
+    counts (100 each, budget 950) the FFD kernel degenerates to
+    consecutive groups of 9 ids per bucket in id order, so every output
+    row — pack_id, the doc_ids array, counts, totals — is derivable in
+    SQL. Heterogeneous-token behavior is pinned against a local FFD
+    reference in tests/test_pack.py."""
+    from prclz_spark.operators.pack import pack_sequences
+
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 450).select(
+        "doc_id", F.lit(100).cast("long").alias("n_tokens")
+    )
+    out = pack_sequences(d, "doc_id", "n_tokens", budget=950, n_buckets=8, seed=1)
+    return out.orderBy("pack_id")
+
+
 def _q_dedup_cluster_components(spark, sf_dir):
     """Transitive dedup clustering (round-5 extension): MinHash near-dup
     PAIRS over docs + chained 72%-prefix clones (A→B→C: A~B and B~C pass
@@ -1486,6 +1502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against_corpus": _q_dedup_against_corpus,
         "dedup_cluster_components": _q_dedup_cluster_components,
         "data_mix_sample": _q_data_mix_sample,
+        "pack_sequences_uniform": _q_pack_sequences,
         "minhash_jaccard_exact": _q_minhash_jaccard_exact,
         "winnow_fingerprint": _q_winnow_fingerprint,
         "iceberg_snapshots": _q_iceberg_snapshots,
@@ -1701,6 +1718,27 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_neardup": _MINHASH_LSH_ORACLE_TMPL.format(SIG=_minhash_sig_sql()),
         "dedup_against_corpus": _DEDUP_AGAINST_ORACLE_TMPL.format(SIG=_minhash_sig_sql()),
         "dedup_cluster_components": _DEDUP_CLUSTER_ORACLE_TMPL.format(SIG=_minhash_sig_sql()),
+        # uniform-token closed form: FFD == consecutive groups of 9 per
+        # scramble bucket in id order (heterogeneous case: local-FFD test)
+        "pack_sequences_uniform": """
+            SELECT (bucket * 4294967296 + pack_local) AS pack_id,
+                   list(doc_id ORDER BY doc_id) AS doc_ids,
+                   CAST(COUNT(*) AS INT) AS n_docs,
+                   CAST(COUNT(*) * 100 AS BIGINT) AS total_tokens,
+                   FALSE AS overflow
+            FROM (
+              SELECT doc_id, bucket,
+                     (ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) // 9
+                       AS pack_local
+              FROM (
+                SELECT doc_id,
+                       ((doc_id % 2147483647) * 507000385) % 2147483647 % 8 AS bucket
+                FROM documents WHERE doc_id < 450
+              )
+            )
+            GROUP BY bucket, pack_local
+            ORDER BY pack_id
+        """,
         # the MINSTD scramble replicated verbatim: selection is a pure
         # function of (doc_id, seed), independent of partitioning
         "data_mix_sample": """
