@@ -305,6 +305,45 @@ def winnow_pairs_against(
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 1000,
+):
+    """Benchmark decontamination: drop every TRAIN document sharing
+    ≥ ``min_shared`` winnowed fingerprints with ANY eval document (the
+    n-gram-overlap rule used for public-benchmark leakage). The winnowing
+    guarantee makes this windowed-substring-safe: any shared run of
+    ≥ k+w−1 characters contributes a shared fingerprint.
+
+    Scale shape = the against-corpus pattern with roles swapped: the huge
+    TRAIN side is scanned once for fingerprints; the (small) eval
+    fingerprint set is broadcast. Returns (clean_train, contaminated_ids)
+    — contaminated_ids carries (id, n_eval_hits) for the audit trail."""
+    train_fps = winnow_fingerprints(train, id_col, text_col, k=k, w=w)
+    eval_fps = winnow_fingerprints(eval_df, id_col, text_col, k=k, w=w)
+    hits = winnow_pairs_against(
+        train_fps.select(F.col(id_col), "fp"),
+        eval_fps.select(F.col(id_col), "fp"),
+        id_col,
+        min_shared=min_shared,
+        max_df=max_df,
+    )
+    contaminated = (
+        hits.groupBy(F.col("corpus_id").alias(id_col))
+        .agg(F.count("*").alias("n_eval_hits"))
+    )
+    clean = train.join(
+        F.broadcast(contaminated.select(id_col)), id_col, "left_anti"
+    )
+    return clean, contaminated
+
+
 def incremental_minhash_dedup(
     batch_df: DataFrame,
     table_path: str,

@@ -457,3 +457,32 @@ def test_embedding_against_equals_filtered_self_join(spark):
                    got.cos_sim)) == want
     planted = {int(d) + 1_000_000 for d in range(0, 150, 5)}
     assert planted <= set(got.batch_id.astype(int))
+
+
+def test_decontaminate_drops_eval_overlaps(spark):
+    """Planted leakage: eval items that are verbatim substrings of train
+    docs must knock those train docs out; clean train keeps everything
+    else; fresh eval items contaminate nothing."""
+    from prclz_spark.operators.dedup import decontaminate
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text"))
+        .filter(F.length("text") >= 60)
+    )
+    train = docs.filter(F.col("doc_id") < 80)
+    leaked = train.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.expr("substring(text, 5, 50)").alias("text"),  # mid-doc excerpt
+    )
+    fresh = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 110))
+    eval_df = leaked.unionByName(fresh)
+
+    clean, contaminated = decontaminate(train, eval_df, "doc_id", "text",
+                                        min_shared=3)
+    bad = {r.doc_id for r in contaminated.collect()}
+    leak_sources = {r.doc_id for r in train.filter(F.col("doc_id") % 7 == 0).collect()}
+    assert leak_sources <= bad  # every leaked-from train doc caught
+    clean_ids = {r.doc_id for r in clean.collect()}
+    assert clean_ids.isdisjoint(bad)
+    assert clean_ids | bad == {r.doc_id for r in train.collect()}
