@@ -88,3 +88,41 @@ def test_pack_matches_local_ffd_reference(spark):
         want = sorted(packs)
         have = sorted(p for _pid, p in got.get(bucket, []))
         assert have == want, bucket
+
+
+def test_pack_hypothesis_invariants(spark):
+    """Random token distributions: packing is always a partition of the
+    docs, never exceeds budget (except flagged overlong singletons), and
+    n_contexts is within the FFD guarantee of the LP lower bound."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=1, max_value=1500), min_size=1, max_size=120),
+        st.integers(min_value=200, max_value=1200),
+    )
+    def prop(tokens, budget):
+        d = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(tokens)], "doc_id long, n_tokens long"
+        )
+        rows = pack_sequences(d, "doc_id", "n_tokens", budget, n_buckets=4).collect()
+        packed = sorted(i for r in rows for i in r.doc_ids)
+        assert packed == list(range(len(tokens)))
+        for r in rows:
+            assert r.total_tokens == sum(tokens[i] for i in r.doc_ids)
+            assert r.total_tokens <= budget or (r.overflow and r.n_docs == 1)
+        # FFD bound per bucket: contexts ≤ 11/9·ceil(work/budget) + 1 + overflow
+        import collections
+        by_bucket = collections.Counter(r.pack_id >> 32 for r in rows)
+        from prclz_spark.operators.mix import _K, _P
+        a = (_K + 1 * 2654435761) % _P or 1
+        for b, n_ctx in by_bucket.items():
+            toks = [t for i, t in enumerate(tokens)
+                    if (i % _P) * a % _P % 4 == b and t <= budget]
+            over = sum(1 for i, t in enumerate(tokens)
+                       if (i % _P) * a % _P % 4 == b and t > budget)
+            lower = -(-sum(toks) // budget) if toks else 0
+            assert n_ctx <= (11 * lower) // 9 + 2 + over, (b, n_ctx, lower)
+
+    prop()
