@@ -126,6 +126,33 @@ def main(argv=None):
     sp_dd.add_argument("--out", default=None,
                        help="optional parquet dir for the dup-pair verdicts")
 
+    sp_mix = sub.add_parser(
+        "mix",
+        help="exact deterministic per-stratum sample (training-data mixing); "
+             "quotas as stratum=count pairs",
+    )
+    sp_mix.add_argument("--docs", required=True, help="parquet of documents")
+    sp_mix.add_argument("--strata-col", default="lang")
+    sp_mix.add_argument("--id-col", default="doc_id")
+    sp_mix.add_argument("--quota", action="append", required=True,
+                        metavar="STRATUM=N", help="repeatable, e.g. --quota en=1000")
+    sp_mix.add_argument("--seed", type=int, default=1)
+    sp_mix.add_argument("--out", required=True)
+
+    sp_pack = sub.add_parser(
+        "pack",
+        help="pack documents into fixed token-budget contexts "
+             "(FFD within deterministic scramble buckets)",
+    )
+    sp_pack.add_argument("--docs", required=True, help="parquet of (id, token-count) rows")
+    sp_pack.add_argument("--id-col", default="doc_id")
+    sp_pack.add_argument("--tokens-col", default="n_tokens")
+    sp_pack.add_argument("--budget", type=int, required=True)
+    sp_pack.add_argument("--buckets", type=int, default=None,
+                         help="packing buckets (default: auto ~4096 docs each)")
+    sp_pack.add_argument("--seed", type=int, default=1)
+    sp_pack.add_argument("--out", required=True)
+
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -233,6 +260,44 @@ def main(argv=None):
                 f"snapshot {snap}: {n_surv} survivors appended; "
                 f"{n_cross} corpus-dup pairs, {n_int} batch-internal pairs; "
                 f"table now {IL.read(spark, args.table).count()} signatures",
+                file=sys.stderr,
+            )
+            return
+        elif args.cmd == "mix":
+            from .operators.mix import mix_strata
+
+            quotas = {}
+            for q in args.quota:
+                k, _, v = q.partition("=")
+                quotas[k] = int(v)
+            out_df = mix_strata(
+                spark.read.parquet(args.docs), args.strata_col, quotas,
+                args.id_col, seed=args.seed,
+            )
+            out_df.write.mode("overwrite").parquet(args.out)
+            got = {
+                r[args.strata_col]: r["n"]
+                for r in out_df.groupBy(args.strata_col).agg(
+                    F.count("*").alias("n")
+                ).collect()
+            }
+            print(f"mixed {sum(got.values())} docs: {got} → {args.out}", file=sys.stderr)
+            return
+        elif args.cmd == "pack":
+            from .operators.pack import pack_sequences
+
+            out_df = pack_sequences(
+                spark.read.parquet(args.docs), args.id_col, args.tokens_col,
+                args.budget, n_buckets=args.buckets, seed=args.seed,
+            )
+            out_df.write.mode("overwrite").parquet(args.out)
+            stats = out_df.agg(
+                F.count("*").alias("ctx"), F.sum("n_docs").alias("docs"),
+                F.avg("total_tokens").alias("fill"),
+            ).first()
+            print(
+                f"packed {stats['docs']} docs into {stats['ctx']} contexts "
+                f"(mean fill {stats['fill']:.0f}/{args.budget}) → {args.out}",
                 file=sys.stderr,
             )
             return

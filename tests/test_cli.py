@@ -86,3 +86,26 @@ def test_cli_dedup_batch(spark, tmp_path):
     # no planted twin survived into the table
     sigs = {r.doc_id for r in IL.read(spark, t).select("doc_id").collect()}
     assert sigs.isdisjoint({int(x) + 2_000_000 for x in range(0, 100, 5)})
+
+
+def test_cli_mix_and_pack(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from prclz_spark import cli
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d.select("doc_id", "lang").write.parquet(str(tmp_path / "docs.pq"))
+    cli.main(["mix", "--docs", str(tmp_path / "docs.pq"),
+              "--quota", "en=20", "--quota", "fr=8",
+              "--out", str(tmp_path / "mixed.pq")])
+    m = spark.read.parquet(str(tmp_path / "mixed.pq"))
+    got = {r.lang: r.n for r in m.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got == {"en": 20, "fr": 8}
+
+    d.select("doc_id", (F.length("text") / 4).cast("long").alias("n_tokens")).write.parquet(
+        str(tmp_path / "toks.pq"))
+    cli.main(["pack", "--docs", str(tmp_path / "toks.pq"), "--budget", "1024",
+              "--buckets", "8", "--out", str(tmp_path / "packs.pq")])
+    p = spark.read.parquet(str(tmp_path / "packs.pq"))
+    assert p.agg(F.sum("n_docs")).first()[0] == d.count()
+    assert p.filter((F.col("total_tokens") > 1024) & ~F.col("overflow")).count() == 0
