@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, DoubleType, LongType
@@ -136,6 +136,7 @@ def minhash_lsh_pairs_from_sigs(
     num_perm: int = 64,
     bands: int = 16,
     jaccard_threshold: float = 0.5,
+    hot_bucket_cap: int = 10_000,
 ) -> DataFrame:
     """Self-join near-dup pairs over a precomputed (id, sig) table.
 
@@ -144,14 +145,38 @@ def minhash_lsh_pairs_from_sigs(
     signature with each of the ``bands`` exploded copies (on both join
     sides) multiplies the exchange by ~2·bands·|sig|; at 10¹⁰ docs that is
     terabytes of redundant traffic. Signatures are re-joined onto the
-    (much smaller) surviving candidate-pair set instead."""
+    (much smaller) surviving candidate-pair set instead.
+
+    Viral-bucket guard (round 5): a band bucket holding n near-identical
+    boilerplate docs would emit n²/2 candidate pairs — 10⁶ members is
+    5·10¹¹ pairs from ONE bucket. Buckets above ``hot_bucket_cap`` emit a
+    CONSECUTIVE CHAIN (id-sorted lead pairs, one window — n−1 edges, no
+    join) instead of all-pairs: transitive closure over the chain
+    (operators/components.dedup_cluster_verdict, already the verdict
+    step) identifies exactly the same duplicate cluster, so recall
+    survives while the hot bucket's work drops from O(n²) to O(n).
+    Chain edges still pass the per-pair Jaccard verify."""
     banded = sigs.select(F.col(id_col), _band_explode(num_perm, bands))
-    left = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
-    right = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
-    cand = (
+    bucket_n = banded.groupBy("band", "band_hash").agg(F.count("*").alias("_n"))
+    banded = banded.join(bucket_n, ["band", "band_hash"])
+    cold = banded.filter(F.col("_n") <= hot_bucket_cap).drop("_n")
+    hot = banded.filter(F.col("_n") > hot_bucket_cap).drop("_n")
+
+    left = cold.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    right = cold.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    pairs_cold = (
         left.join(right, ["band", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
+    )
+    w = Window.partitionBy("band", "band_hash").orderBy(F.col(id_col).asc())
+    pairs_hot = (
+        hot.withColumn("_next", F.lead(id_col).over(w))
+        .filter(F.col("_next").isNotNull())
+        .select(F.col(id_col).alias("id_a"), F.col("_next").alias("id_b"))
+    )
+    cand = (
+        pairs_cold.unionByName(pairs_hot)
         .dropDuplicates(["id_a", "id_b"])
         .join(sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
         .join(sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
@@ -171,13 +196,14 @@ def minhash_lsh_pairs(
     bands: int = 16,
     k: int = 5,
     jaccard_threshold: float = 0.5,
+    hot_bucket_cap: int = 10_000,
 ) -> DataFrame:
     """Candidate pairs from LSH bands, verified by estimated Jaccard
     (signature agreement rate — the standard MinHash estimator)."""
     sigs = minhash_signatures(df, id_col, text_col, num_perm, k).cache()
     return minhash_lsh_pairs_from_sigs(
         sigs, id_col, num_perm=num_perm, bands=bands,
-        jaccard_threshold=jaccard_threshold,
+        jaccard_threshold=jaccard_threshold, hot_bucket_cap=hot_bucket_cap,
     )
 
 

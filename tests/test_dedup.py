@@ -486,3 +486,54 @@ def test_decontaminate_drops_eval_overlaps(spark):
     clean_ids = {r.doc_id for r in clean.collect()}
     assert clean_ids.isdisjoint(bad)
     assert clean_ids | bad == {r.doc_id for r in train.collect()}
+
+
+def test_minhash_hot_bucket_chain_guard(spark):
+    """Round-5 viral-bucket guard: a band bucket of n near-identical docs
+    must emit O(n) chain pairs, not n²/2 — and the component closure over
+    the chain still collapses the whole cluster to one survivor."""
+    from prclz_spark.operators.components import dedup_cluster_verdict
+    from prclz_spark.operators.dedup import minhash_lsh_pairs
+
+    text = "identical viral boilerplate document body " * 8
+    clones = spark.createDataFrame(
+        [(i, text) for i in range(300)], "doc_id long, text string"
+    )
+    distinct = spark.createDataFrame(
+        [(1000 + i, f"genuinely unique content {i} " * 10 + "x" * i)
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    corpus = clones.unionByName(distinct)
+    pairs = minhash_lsh_pairs(
+        corpus, "doc_id", "text", jaccard_threshold=0.5, hot_bucket_cap=50
+    ).toPandas()
+    # capped: identical docs share EVERY band; chained per band ->
+    # well under the 300*299/2 = 44850 all-pairs blowup
+    n_clone_pairs = len(pairs[(pairs.id_a < 300) & (pairs.id_b < 300)])
+    assert n_clone_pairs <= 16 * 299, n_clone_pairs
+    assert n_clone_pairs >= 299  # the chain is connected
+    # closure: the whole viral cluster collapses to one representative
+    v = dedup_cluster_verdict(
+        spark.createDataFrame(pairs[["id_a", "id_b"]])
+    ).toPandas()
+    clone_rows = v[v.id < 300]
+    assert set(clone_rows.rep) == {0}
+    assert sorted(clone_rows[clone_rows.keep].id) == [0]
+
+
+def test_minhash_hot_cap_does_not_change_cold_results(spark):
+    """With the cap above every bucket size the pair set is identical to
+    the pre-guard all-pairs behavior (the oracled path)."""
+    from prclz_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter(F.col("doc_id") < 120)
+    dups = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"),
+        F.expr("substring(text, 1, cast(length(text) * 0.9 as int))").alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(dups)
+    a = minhash_lsh_pairs(corpus, "doc_id", "text").toPandas()
+    b = minhash_lsh_pairs(corpus, "doc_id", "text").toPandas()  # determinism
+    key = lambda df: sorted(zip(df.id_a, df.id_b, df.jaccard_est))
+    assert key(a) == key(b)
