@@ -157,27 +157,8 @@ def minhash_lsh_pairs_from_sigs(
     survives while the hot bucket's work drops from O(n²) to O(n).
     Chain edges still pass the per-pair Jaccard verify."""
     banded = sigs.select(F.col(id_col), _band_explode(num_perm, bands))
-    bucket_n = banded.groupBy("band", "band_hash").agg(F.count("*").alias("_n"))
-    banded = banded.join(bucket_n, ["band", "band_hash"])
-    cold = banded.filter(F.col("_n") <= hot_bucket_cap).drop("_n")
-    hot = banded.filter(F.col("_n") > hot_bucket_cap).drop("_n")
-
-    left = cold.select(F.col(id_col).alias("id_a"), "band", "band_hash")
-    right = cold.select(F.col(id_col).alias("id_b"), "band", "band_hash")
-    pairs_cold = (
-        left.join(right, ["band", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
-    w = Window.partitionBy("band", "band_hash").orderBy(F.col(id_col).asc())
-    pairs_hot = (
-        hot.withColumn("_next", F.lead(id_col).over(w))
-        .filter(F.col("_next").isNotNull())
-        .select(F.col(id_col).alias("id_a"), F.col("_next").alias("id_b"))
-    )
     cand = (
-        pairs_cold.unionByName(pairs_hot)
-        .dropDuplicates(["id_a", "id_b"])
+        _self_pairs_capped(banded, id_col, ["band", "band_hash"], hot_bucket_cap)
         .join(sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
         .join(sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
     )
@@ -186,6 +167,35 @@ def minhash_lsh_pairs_from_sigs(
         .filter(F.col("jaccard_est") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard_est")
     )
+
+
+def _self_pairs_capped(
+    keyed: DataFrame, id_col: str, key_cols: list, cap: int
+) -> DataFrame:
+    """Distinct (id_a, id_b) candidate pairs from an exploded key table:
+    all-pairs within key groups of ≤ ``cap`` members, an id-sorted
+    consecutive chain (one window, n−1 edges) within hot groups — the
+    viral-bucket guard shared by the MinHash / SimHash / embedding tiers.
+    Carries ONLY ids through the exchanges (VERDICT r3 #7 hygiene):
+    payloads (signatures, hashes, vectors) are re-joined onto the
+    surviving pairs by the caller."""
+    n = keyed.groupBy(*key_cols).agg(F.count("*").alias("_n"))
+    k2 = keyed.join(n, key_cols)
+    cold = k2.filter(F.col("_n") <= cap).drop("_n")
+    hot = k2.filter(F.col("_n") > cap).drop("_n")
+    pairs_cold = (
+        cold.select(F.col(id_col).alias("id_a"), *key_cols)
+        .join(cold.select(F.col(id_col).alias("id_b"), *key_cols), key_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    w = Window.partitionBy(*key_cols).orderBy(F.col(id_col).asc())
+    pairs_hot = (
+        hot.withColumn("_next", F.lead(id_col).over(w))
+        .filter(F.col("_next").isNotNull())
+        .select(F.col(id_col).alias("id_a"), F.col("_next").alias("id_b"))
+    )
+    return pairs_cold.unionByName(pairs_hot).dropDuplicates(["id_a", "id_b"])
 
 
 def minhash_lsh_pairs(
@@ -507,12 +517,20 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), _sh(F.col(text_col)).alias("simhash"))
 
 
-def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash banding (4×16-bit chunks) + Hamming verify."""
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    hot_bucket_cap: int = 10_000,
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding (4×16-bit chunks) + Hamming
+    verify. Hot chunk buckets chain instead of all-pairs (see
+    _self_pairs_capped); the 64-bit hash is re-joined onto surviving
+    pairs, never shipped through the chunk exchange."""
     sig = simhash64(df, id_col, text_col).cache()
     chunks = sig.select(
         F.col(id_col),
-        F.col("simhash"),
         F.posexplode(
             F.array(
                 *[
@@ -522,12 +540,10 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: i
             )
         ).alias("chunk", "chunk_val"),
     )
-    l = chunks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "chunk", "chunk_val")
-    r = chunks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "chunk", "chunk_val")
     cand = (
-        l.join(r, ["chunk", "chunk_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        _self_pairs_capped(chunks, id_col, ["chunk", "chunk_val"], hot_bucket_cap)
+        .join(sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a")), "id_a")
+        .join(sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b")), "id_b")
     )
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
@@ -629,13 +645,15 @@ def embedding_near_pairs(
     (table << n_planes) | signature, so one explode + one self-join covers
     all tables."""
     _buckets = _hyperplane_bucket_udf(dim, n_planes, n_tables, seed)
-    b = df.select(F.col(id_col), F.col(vec_col), F.explode(_buckets(F.col(vec_col))).alias("bucket"))
-    l = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket")
-    r = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket")
+    b = df.select(F.col(id_col), F.explode(_buckets(F.col(vec_col))).alias("bucket"))
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    # ids-only bucket exchange (r3 #7 hygiene — vectors are the HEAVIEST
+    # payload in the engine, ~n_tables× duplicated if shipped exploded);
+    # hot buckets chain (viral embedding clusters) — _self_pairs_capped
     cand = (
-        l.join(r, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        _self_pairs_capped(b, id_col, ["bucket"], 10_000)
+        .join(vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")), "id_a")
+        .join(vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")), "id_b")
     )
     return (
         cand.withColumn("cos_sim", _cosine_col("v_a", "v_b"))
