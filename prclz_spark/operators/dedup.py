@@ -627,6 +627,7 @@ def embedding_near_pairs(
     cos_threshold: float = 0.95,
     seed: int = 42,
     n_tables: int = 12,
+    hot_bucket_cap: int = 10_000,
 ) -> DataFrame:
     """Random-hyperplane LSH buckets → exact cosine verify within buckets.
 
@@ -651,7 +652,7 @@ def embedding_near_pairs(
     # payload in the engine, ~n_tables× duplicated if shipped exploded);
     # hot buckets chain (viral embedding clusters) — _self_pairs_capped
     cand = (
-        _self_pairs_capped(b, id_col, ["bucket"], 10_000)
+        _self_pairs_capped(b, id_col, ["bucket"], hot_bucket_cap)
         .join(vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")), "id_a")
         .join(vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")), "id_b")
     )

@@ -162,3 +162,31 @@ def test_minhash_against_corpus_one_scan_no_corpus_exchange(spark, tmp_path):
         if n.split("\n")[0].startswith("(") and "Exchange" in n.split("\n")[0]:
             assert "hashpartitioning(band" not in n, \
                 f"corpus-wide band exchange found:\n{n}"
+
+
+def test_embedding_bucket_exchange_ships_no_vectors(spark):
+    """Round-5 hygiene: the hyperplane-bucket self-join must exchange only
+    (id, bucket) — the embedding vectors (the heaviest payload in the
+    engine, n_tables× duplicated if exploded) are re-joined onto the
+    surviving candidate pairs."""
+    import re
+
+    from prclz_spark.operators.dedup import embedding_near_pairs
+
+    e = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 1.0]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    out = embedding_near_pairs(e, "vec_id", "embedding", dim=3)
+    ex = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    nodes = re.split(r"\n(?=\(\d+\) )", ex)
+    bucket_exchanges = [
+        n for n in nodes
+        if n.split("\n")[0].startswith("(") and "Exchange" in n.split("\n")[0]
+        and "hashpartitioning(bucket" in n
+    ]
+    assert bucket_exchanges, "expected bucket-keyed exchanges"
+    for n in bucket_exchanges:
+        assert "embedding" not in n and "v_a" not in n and "v_b" not in n, n
