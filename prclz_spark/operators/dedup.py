@@ -179,23 +179,42 @@ def _self_pairs_capped(
     Carries ONLY ids through the exchanges (VERDICT r3 #7 hygiene):
     payloads (signatures, hashes, vectors) are re-joined onto the
     surviving pairs by the caller."""
-    n = keyed.groupBy(*key_cols).agg(F.count("*").alias("_n"))
-    k2 = keyed.join(n, key_cols)
-    cold = k2.filter(F.col("_n") <= cap).drop("_n")
-    hot = k2.filter(F.col("_n") > cap).drop("_n")
-    pairs_cold = (
-        cold.select(F.col(id_col).alias("id_a"), *key_cols)
-        .join(cold.select(F.col(id_col).alias("id_b"), *key_cols), key_cols)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+    # adaptive pre-pass (same design as skew.hot_cells): hot keys are by
+    # definition FEW (≤ n/cap), so ONE partial-aggregated count finds
+    # them — only (key, count) pairs shuffle, never the rows. With no hot
+    # key — the overwhelmingly common case — the exact all-pairs plan is
+    # emitted untouched (a permanent split/union/checkpoint variant
+    # measured 1.6–2.4× on the sf0.1 bench query).
+    hot_rows = (
+        keyed.groupBy(*key_cols)
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > cap)
+        .select(*key_cols)
+        .collect()
     )
+
+    def all_pairs(src: DataFrame) -> DataFrame:
+        return (
+            src.select(F.col(id_col).alias("id_a"), *key_cols)
+            .join(src.select(F.col(id_col).alias("id_b"), *key_cols), key_cols)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+
+    if not hot_rows:
+        return all_pairs(keyed).dropDuplicates(["id_a", "id_b"])
+    spark = keyed.sparkSession
+    hot_keys = spark.createDataFrame(hot_rows)
+    keyed = keyed.localCheckpoint(eager=False)  # split scans it 3×
+    cold = keyed.join(F.broadcast(hot_keys), key_cols, "left_anti")
+    hot = keyed.join(F.broadcast(hot_keys), key_cols, "left_semi")
     w = Window.partitionBy(*key_cols).orderBy(F.col(id_col).asc())
     pairs_hot = (
         hot.withColumn("_next", F.lead(id_col).over(w))
         .filter(F.col("_next").isNotNull())
         .select(F.col(id_col).alias("id_a"), F.col("_next").alias("id_b"))
     )
-    return pairs_cold.unionByName(pairs_hot).dropDuplicates(["id_a", "id_b"])
+    return all_pairs(cold).unionByName(pairs_hot).dropDuplicates(["id_a", "id_b"])
 
 
 def minhash_lsh_pairs(
