@@ -253,7 +253,9 @@ def wkb_loads_batch(bufs) -> list:
     if (
         len(joined) == 21 * len(live)
         and joined[1] == POINT
-        and all(len(b) == 21 for _, b in live)
+        and (
+            np.fromiter((len(b) for _, b in live), np.int64, len(live)) == 21
+        ).all()
     ):
         m = raw.reshape(-1, 21)
         if (m[:, 0] == 1).all() and (m[:, 1] == POINT).all() and not m[:, 2:5].any():
