@@ -408,6 +408,7 @@ def incremental_minhash_dedup(
     bands: int = 16,
     k: int = 5,
     jaccard_threshold: float = 0.5,
+    compact_every: int = 16,
 ):
     """The daily crawl loop over an iceberg-lite signature table:
 
@@ -416,7 +417,11 @@ def incremental_minhash_dedup(
        (minhash_pairs_against — corpus scanned once, batch broadcast);
     3. self-dedup the batch internally (small self-join; earliest id wins);
     4. append the SURVIVORS' signatures to the table as a new snapshot, so
-       tomorrow's batch dedups against today's survivors too.
+       tomorrow's batch dedups against today's survivors too;
+    5. compact the manifest chain once it exceeds ``compact_every``
+       manifests (a year of daily appends is 365 manifests otherwise;
+       compaction keeps reads O(files) — time travel unaffected).
+       ``compact_every=0`` disables.
 
     Returns (survivors_sigs, cross_pairs, internal_pairs, snapshot_id).
     The table schema must be ``{id_col} bigint, sig array<bigint>``."""
@@ -452,6 +457,8 @@ def incremental_minhash_dedup(
     )
     survivors = batch_sigs.join(F.broadcast(dup_ids), id_col, "left_anti")
     snap = IL.append(survivors.select(id_col, "sig"), table_path)
+    if compact_every and len(IL._manifests(table_path, snap)) > compact_every:
+        snap = IL.compact_manifests(table_path)
     return survivors, cross, internal, snap
 
 

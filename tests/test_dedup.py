@@ -537,3 +537,28 @@ def test_minhash_hot_cap_does_not_change_cold_results(spark):
     b = minhash_lsh_pairs(corpus, "doc_id", "text").toPandas()  # determinism
     key = lambda df: sorted(zip(df.id_a, df.id_b, df.jaccard_est))
     assert key(a) == key(b)
+
+
+def test_incremental_dedup_auto_compacts(spark, tmp_path):
+    """The daily loop keeps the manifest chain bounded: after more than
+    compact_every appends the chain collapses to one manifest; dedup
+    behavior and the table content are unchanged."""
+    from prclz_spark.operators.dedup import incremental_minhash_dedup
+    from prclz_spark.sources import iceberg_lite as IL
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    t = str(tmp_path / "sigs")
+    IL.create_table(t, "doc_id bigint, sig array<bigint>")
+    for day in range(4):
+        batch = docs.filter(
+            (F.col("doc_id") >= day * 20) & (F.col("doc_id") < (day + 1) * 20)
+        )
+        _, _, _, snap = incremental_minhash_dedup(
+            batch, t, "doc_id", "text", compact_every=3
+        )
+    chain = len(IL._manifests(t, IL.current_snapshot(t)))
+    assert chain <= 3 + 1  # compacted at least once
+    # every day's survivors are still present exactly once
+    n = IL.read(spark, t).count()
+    ids = [r.doc_id for r in IL.read(spark, t).select("doc_id").collect()]
+    assert len(ids) == len(set(ids)) == n
