@@ -92,8 +92,11 @@ def dedup_stream_against_corpus(
     ``corpus_sigs``: a static (id, sig) DataFrame — e.g.
     ``iceberg_lite.read(spark, table)``; snapshots appended between
     restarts are picked up at query (re)start, the streaming-native
-    version of the daily `dedup-batch` loop. Batch input runs the
-    identical path minus the watermark (stream≡batch test)."""
+    version of the daily `dedup-batch` loop. The corpus band table is
+    cached: Spark re-evaluates the static side of a stream-static join
+    on EVERY micro-batch, so without the cache each trigger would re-band
+    the whole corpus. Batch input runs the identical path minus the
+    watermark (stream≡batch test)."""
     from ..operators.dedup import _band_explode
 
     corpus_bands = (
@@ -101,6 +104,8 @@ def dedup_stream_against_corpus(
         .select("band", "band_hash")
         .dropDuplicates()
     )
+    if df.isStreaming:
+        corpus_bands = corpus_bands.cache()
     banded = _stream_bands(df, id_col, text_col, ts_col, num_perm, bands, k).join(
         corpus_bands, ["band", "band_hash"], "left_anti"
     )
