@@ -145,7 +145,14 @@ def _points_touch_bulk(g, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
         cross = (P - x0) * dy - (Q - y0) * dx
         dot = (P - x0) * dx + (Q - y0) * dy
         l2 = dx * dx + dy * dy
-        out |= ((np.abs(cross) < 1e-12) & (dot >= -1e-12) & (dot <= l2 + 1e-12)).any(axis=1)
+        on = (np.abs(cross) < 1e-12) & (dot >= -1e-12) & (dot <= l2 + 1e-12)
+        # near-zero-length segments satisfy the cross/dot band for EVERY
+        # point (the project's recorded float-dust trap — repeated
+        # consecutive vertices are common in real OSM linestrings); they
+        # match only at the vertex itself, exactly as the scalar's
+        # point_in_ring guard does
+        on &= (l2 >= 1e-24) | ((np.abs(P - x0) < 1e-12) & (np.abs(Q - y0) < 1e-12))
+        out |= on.any(axis=1)
     return out
 
 

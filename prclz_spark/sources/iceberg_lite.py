@@ -347,12 +347,18 @@ def compact_manifests(path: str, max_retries: int = 5) -> int:
         base = parent if parent is not None else -1
         chain = _manifests(path, base) if base >= 0 else []
         stats_cols = sorted({c for m in chain for c in m.get("stats_cols", [])})
+        # carry BOTH directly-committed and previously-carried delete
+        # specs: a prior compaction stores its deletes in deletes_carried
+        # (no "deletes" key), so collecting only m["deletes"] would make a
+        # SECOND compaction silently resurrect deleted rows
+        carried = [d for m in chain for d in m.get("deletes_carried", [])]
+        carried += [m["deletes"] for m in chain if m.get("deletes")]
         return {
             "snapshot": snap,
             "parent": parent,
             "files": sorted(files_at(path, base), key=lambda e: e["path"]),
             "stats_cols": stats_cols,
-            "deletes_carried": [m["deletes"] for m in chain if m.get("deletes")],
+            "deletes_carried": carried,
             "includes_through": snap,
         }
 

@@ -89,6 +89,15 @@ def dedup_stream_against_corpus(
     with a within-horizon arrival (finish with suppress_ids(), same
     one-stateful-operator contract as dedup_minhash_stream).
 
+    Precision contract — band COLLISION is the decision, with no Jaccard
+    verify (the same contract as dedup_minhash_stream; a per-row verify
+    would need a second stateful aggregation the one-operator streaming
+    budget does not allow). A single agreeing band implies only ~4
+    agreeing minhash slots, so moderately-similar non-duplicates are
+    sometimes suppressed (≈1−(1−j⁴)¹⁶ per corpus doc at Jaccard j); size
+    bands/num_perm for the target false-suppression rate, and use the
+    batch `dedup-batch` loop where verified-pair precision matters.
+
     ``corpus_sigs``: a static (id, sig) DataFrame — e.g.
     ``iceberg_lite.read(spark, table)``; snapshots appended between
     restarts are picked up at query (re)start, the streaming-native

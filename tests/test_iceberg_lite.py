@@ -381,3 +381,18 @@ def test_table_model_random_op_sequences(spark, tmp_path):
     for s, want in history.items():
         got = sorted(r.doc_id for r in IL.read(spark, t, snapshot=s).collect())
         assert got == want, f"time travel to {s}"
+
+
+def test_second_compaction_keeps_deletes(spark, tmp_path):
+    """Review regression: a prior compaction stores deletes in
+    deletes_carried; a SECOND compaction must carry them again, never
+    resurrect deleted rows."""
+    t = str(tmp_path / "cc2")
+    IL.create_table(t, "doc_id bigint")
+    IL.append(spark.range(10).selectExpr("id as doc_id"), t)
+    IL.delete_rows(spark.range(3, 6).selectExpr("id as doc_id"), t, "doc_id")
+    IL.compact_manifests(t)
+    IL.compact_manifests(t)
+    assert len(IL.deletes_at(t)) == 1
+    got = sorted(r.doc_id for r in IL.read(spark, t).collect())
+    assert got == [0, 1, 2, 6, 7, 8, 9]

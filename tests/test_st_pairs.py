@@ -133,3 +133,18 @@ def test_pair_predicate_3x_speedup_many_probes_few_polygons():
         slow = cpu_best(lambda: _scalar_loop(a, b, op))
         assert _pair_predicate_batch(a, b, op) == _scalar_loop(a, b, op)
         assert slow / fast >= gate, (op, slow, fast, slow / fast)
+
+
+def test_degenerate_segment_does_not_match_everything():
+    """Review regression (the recorded float-dust trap): a repeated
+    consecutive vertex gives a zero-length segment whose cross/dot band
+    accepts EVERY point without the guard — the vectorized path must
+    match the scalar's rejection."""
+    line = G.linestring([(0.0, 0.0), (0.0, 0.0), (5.0, 5.0)])
+    a = pd.Series([G.wkb_dumps(line)] * 3)
+    b = pd.Series([G.wkb_dumps(G.point(4.0, 1.0)),   # inside bbox, off line
+                   G.wkb_dumps(G.point(0.0, 0.0)),   # the repeated vertex
+                   G.wkb_dumps(G.point(2.0, 2.0))])  # on the real segment
+    got = _pair_predicate_batch(a, b, "intersects")
+    want = _scalar_loop(a, b, "intersects")
+    assert got == want == [False, True, True]
