@@ -683,7 +683,18 @@ def _q_pack_sequences(spark, sf_dir):
         "doc_id", F.lit(100).cast("long").alias("n_tokens")
     )
     out = pack_sequences(d, "doc_id", "n_tokens", budget=950, n_buckets=8, seed=1)
-    return out.orderBy("pack_id")
+    # The public API returns doc_ids as array<long>; the driver's result
+    # canonicalizer cannot sort list-valued columns, so the QUERY emits a
+    # deterministic scalar encoding (sorted ids joined by ',').
+    return out.select(
+        "pack_id",
+        F.concat_ws(
+            ",", F.transform(F.array_sort("doc_ids"), lambda x: x.cast("string"))
+        ).alias("doc_ids"),
+        "n_docs",
+        "total_tokens",
+        "overflow",
+    ).orderBy("pack_id")
 
 
 def _q_dedup_cluster_components(spark, sf_dir):
@@ -1429,6 +1440,52 @@ _WINNOW_PAIRS_ORACLE = f"""
     WHERE length(list_intersect(a.fps, b.fps)) >= 5
 """
 
+# 6×6 world, one tile per cell (center at the cell center): every
+# block gets exactly one tile — a diagonal cell's center lies ON the
+# diagonal, matching both triangles under closed PIP semantics.
+# Block ids replay polygonize_region's (miny, minx) face enumeration:
+# cells ordered (cj, ci) per quadrant, diagonal cells claiming two
+# consecutive ids.
+_TILE_BLOCK_ORACLE = """
+    WITH cells AS (
+      SELECT a.i AS ci, b.j AS cj,
+             CAST(a.i // 3 AS INT) AS gi, CAST(b.j // 3 AS INT) AS gj,
+             CASE WHEN (a.i * 6 + b.j) % 7 = 3 THEN 2 ELSE 1 END AS nb
+      FROM generate_series(0, 5) a(i), generate_series(0, 5) b(j)
+    ), numbered AS (
+      SELECT *, COALESCE(SUM(nb) OVER (PARTITION BY gi, gj ORDER BY cj, ci
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+      FROM cells
+    )
+    SELECT 'TST.' || CAST(gi + 1 AS VARCHAR) || '.' || CAST(gj + 1 AS VARCHAR)
+             || '_1_' || CAST(base + s.k AS VARCHAR) AS block_id,
+           CAST(1 AS BIGINT) AS n_tiles
+    FROM numbered, generate_series(0, 1) s(k)
+    WHERE s.k < nb
+"""
+
+# 4×4 world, 32×32-pixel tiles: square blocks fully cover their tile
+# (coverage 1); a diagonal triangle covers 528/1024 pixel centers
+# (j ≤ i plus the 32 on-diagonal centers, closed PIP) = 0.5156
+_TILE_COVERAGE_ORACLE = """
+    WITH cells AS (
+      SELECT a.i AS ci, b.j AS cj,
+             CAST(a.i // 2 AS INT) AS gi, CAST(b.j // 2 AS INT) AS gj,
+             CASE WHEN (a.i * 4 + b.j) % 7 = 3 THEN 2 ELSE 1 END AS nb
+      FROM generate_series(0, 3) a(i), generate_series(0, 3) b(j)
+    ), numbered AS (
+      SELECT *, COALESCE(SUM(nb) OVER (PARTITION BY gi, gj ORDER BY cj, ci
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+      FROM cells
+    )
+    SELECT 'img_' || LPAD(CAST(ci * 4 + cj AS VARCHAR), 8, '0') AS image_id,
+           'TST.' || CAST(gi + 1 AS VARCHAR) || '.' || CAST(gj + 1 AS VARCHAR)
+             || '_1_' || CAST(base + s.k AS VARCHAR) AS block_id,
+           CAST(CASE WHEN nb = 2 THEN 0.5156 ELSE 1.0 END AS DOUBLE) AS coverage
+    FROM numbered, generate_series(0, 1) s(k)
+    WHERE s.k < nb
+"""
+
 _TILE_REGION_ORACLE = """
     WITH tiles AS (
       SELECT i,
@@ -1463,6 +1520,76 @@ def _q_tile_block_coverage(spark, sf_dir):  # vector → raster mask stats
     assigned = R.assign_tiles_to_polys(tiles, blocks, "block_id", res)
     cov = R.block_coverage(assigned.select("image_id", "block_id", "geometry", "w", "h"), blocks)
     return cov.select("image_id", "block_id", F.round("coverage", 4).alias("coverage"))
+
+
+# ---- consolidated driver queries (round 6) --------------------------------
+# The driver verifies the first 50 registry entries; r5 had 54 registered so
+# the last four went unchecked. These union-with-label wrappers keep every
+# invariant value-checked while fitting the registry to exactly 50 entries.
+
+
+def _q_tile_raster_checks(spark, sf_dir):
+    """All three raster⋈vector invariants in one checked query: per-block
+    tile counts (6×6 world), per-region tile counts (12×12 world, 3×3
+    regions), and per-tile pixel-mask coverage (4×4 world, 32×32 tiles).
+    Each sub-pipeline is the REAL machinery (images table → footprint UDF →
+    cover-cell PIP join → mask stats); the oracle unions the three
+    closed-form replays under the same (check, key, value) projection."""
+    a = _q_tile_block_assignment(spark, sf_dir).select(
+        F.lit("block_tiles").alias("check"),
+        F.col("block_id").alias("key"),
+        F.col("n_tiles").cast("double").alias("value"),
+    )
+    r = _q_tile_region_assignment(spark, sf_dir).select(
+        F.lit("region_tiles").alias("check"),
+        F.col("gadm").alias("key"),
+        F.col("n_tiles").cast("double").alias("value"),
+    )
+    c = _q_tile_block_coverage(spark, sf_dir).select(
+        F.lit("coverage").alias("check"),
+        F.concat_ws("|", "image_id", "block_id").alias("key"),
+        F.col("coverage").cast("double").alias("value"),
+    )
+    return a.unionByName(r).unionByName(c).orderBy("check", "key")
+
+
+def _q_phash_checks(spark, sf_dir):
+    """Both phash invariants in one checked query: the bucket histogram
+    (256 distinct phashes + 128 phash-preserving PNG re-crawl copies ⇒
+    {copies=1: 128, copies=2: 128}) and the pair-match count (all 128
+    re-encoded copies share their original's phash)."""
+    hist = _q_phash_dedup(spark, sf_dir).select(
+        F.lit("copies_hist").alias("check"),
+        F.col("copies").cast("long").alias("k"),
+        F.col("n_buckets").cast("long").alias("v"),
+    )
+    pair = _q_phash_pair_match(spark, sf_dir).select(
+        F.lit("pair_match").alias("check"),
+        F.col("n_pairs").cast("long").alias("k"),
+        F.col("n_phash_equal").cast("long").alias("v"),
+    )
+    return hist.unionByName(pair).orderBy("check", "k")
+
+
+def _q_winnow_checks(spark, sf_dir):
+    """Both winnowing invariants in one checked query: per-doc fingerprint
+    stats (count/min/max of the k=8,w=4 winnowed set, DuckDB-replicated
+    hash-for-hash) and the planted-clone near-pair set (≥5 shared fps)."""
+    fp = _q_winnow_fingerprint(spark, sf_dir).select(
+        F.lit("fp").alias("check"),
+        F.col("doc_id").cast("long").alias("k1"),
+        F.col("n_fp").cast("long").alias("k2"),
+        F.col("min_fp").cast("long").alias("v1"),
+        F.col("max_fp").cast("long").alias("v2"),
+    )
+    pr = _q_winnow_near_pairs(spark, sf_dir).select(
+        F.lit("pair").alias("check"),
+        F.col("id_a").cast("long").alias("k1"),
+        F.col("id_b").cast("long").alias("k2"),
+        F.col("shared").cast("long").alias("v1"),
+        F.lit(0).cast("long").alias("v2"),
+    )
+    return fp.unionByName(pr).orderBy("check", "k1", "k2")
 
 
 # --------------------------------------------------------------------------
@@ -1504,10 +1631,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_mix_sample": _q_data_mix_sample,
         "pack_sequences_uniform": _q_pack_sequences,
         "minhash_jaccard_exact": _q_minhash_jaccard_exact,
-        "winnow_fingerprint": _q_winnow_fingerprint,
+        "winnow_checks": _q_winnow_checks,
         "iceberg_snapshots": _q_iceberg_snapshots,
         "iceberg_delete_dedup": _q_iceberg_delete_dedup,
-        "winnow_near_pairs": _q_winnow_near_pairs,
         "simhash_neardup": _q_simhash_dedup,
         "embedding_lsh_neardup": _q_embedding_near_dup,
         "geo_blocks_pipeline": _q_geo_blocks,
@@ -1520,11 +1646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_reblock_world": _q_geo_reblock,
         "geo_reblock_full": _q_geo_reblock_full,
         "images_roundtrip_psnr": _q_images_roundtrip,
-        "phash_dedup_buckets": _q_phash_dedup,
-        "phash_pair_match": _q_phash_pair_match,
-        "tile_block_assignment": _q_tile_block_assignment,
-        "tile_region_assignment": _q_tile_region_assignment,
-        "tile_block_coverage": _q_tile_block_coverage,
+        "phash_checks": _q_phash_checks,
+        "tile_raster_checks": _q_tile_raster_checks,
     }
 
 
@@ -1712,9 +1835,33 @@ def oracle_sql() -> dict[str, str]:
                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
             FROM embeddings WHERE vec_id < 300
         """,
-        "tile_region_assignment": _TILE_REGION_ORACLE,
-        "winnow_fingerprint": _WINNOW_FP_ORACLE,
-        "winnow_near_pairs": _WINNOW_PAIRS_ORACLE,
+        # the three tile invariants unioned under (check, key, value) —
+        # each sub-oracle is the unchanged r4/r5 closed-form replay
+        "tile_raster_checks": f"""
+            SELECT 'block_tiles' AS "check", block_id AS key,
+                   CAST(n_tiles AS DOUBLE) AS value
+            FROM ({_TILE_BLOCK_ORACLE})
+            UNION ALL
+            SELECT 'region_tiles' AS "check", gadm AS key,
+                   CAST(n_tiles AS DOUBLE) AS value
+            FROM ({_TILE_REGION_ORACLE})
+            UNION ALL
+            SELECT 'coverage' AS "check", image_id || '|' || block_id AS key,
+                   CAST(coverage AS DOUBLE) AS value
+            FROM ({_TILE_COVERAGE_ORACLE})
+            ORDER BY 1, 2
+        """,
+        # fingerprint stats + planted near-pairs unioned under a label
+        "winnow_checks": f"""
+            SELECT 'fp' AS "check", doc_id AS k1, n_fp AS k2,
+                   min_fp AS v1, max_fp AS v2
+            FROM ({_WINNOW_FP_ORACLE})
+            UNION ALL
+            SELECT 'pair' AS "check", id_a AS k1, id_b AS k2,
+                   shared AS v1, CAST(0 AS BIGINT) AS v2
+            FROM ({_WINNOW_PAIRS_ORACLE})
+            ORDER BY 1, 2, 3
+        """,
         "minhash_lsh_neardup": _MINHASH_LSH_ORACLE_TMPL.format(SIG=_minhash_sig_sql()),
         "dedup_against_corpus": _DEDUP_AGAINST_ORACLE_TMPL.format(SIG=_minhash_sig_sql()),
         "dedup_cluster_components": _DEDUP_CLUSTER_ORACLE_TMPL.format(SIG=_minhash_sig_sql()),
@@ -1722,7 +1869,7 @@ def oracle_sql() -> dict[str, str]:
         # scramble bucket in id order (heterogeneous case: local-FFD test)
         "pack_sequences_uniform": """
             SELECT (bucket * 4294967296 + pack_local) AS pack_id,
-                   list(doc_id ORDER BY doc_id) AS doc_ids,
+                   STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids,
                    CAST(COUNT(*) AS INT) AS n_docs,
                    CAST(COUNT(*) * 100 AS BIGINT) AS total_tokens,
                    FALSE AS overflow
@@ -1850,56 +1997,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(900.0 AS DOUBLE) AS area_e6
             FROM cells GROUP BY 1
         """,
-        # 6×6 world, one tile per cell (center at the cell center): every
-        # block gets exactly one tile — a diagonal cell's center lies ON the
-        # diagonal, matching both triangles under closed PIP semantics.
-        # Block ids replay polygonize_region's (miny, minx) face enumeration:
-        # cells ordered (cj, ci) per quadrant, diagonal cells claiming two
-        # consecutive ids.
-        "tile_block_assignment": """
-            WITH cells AS (
-              SELECT a.i AS ci, b.j AS cj,
-                     CAST(a.i // 3 AS INT) AS gi, CAST(b.j // 3 AS INT) AS gj,
-                     CASE WHEN (a.i * 6 + b.j) % 7 = 3 THEN 2 ELSE 1 END AS nb
-              FROM generate_series(0, 5) a(i), generate_series(0, 5) b(j)
-            ), numbered AS (
-              SELECT *, COALESCE(SUM(nb) OVER (PARTITION BY gi, gj ORDER BY cj, ci
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
-              FROM cells
-            )
-            SELECT 'TST.' || CAST(gi + 1 AS VARCHAR) || '.' || CAST(gj + 1 AS VARCHAR)
-                     || '_1_' || CAST(base + s.k AS VARCHAR) AS block_id,
-                   CAST(1 AS BIGINT) AS n_tiles
-            FROM numbered, generate_series(0, 1) s(k)
-            WHERE s.k < nb
-        """,
-        # lossless-at-the-phash-stage re-encode: all 128 even-id copies
-        # must share their original's phash (see _q_phash_pair_match)
-        "phash_pair_match": """
-            SELECT CAST(128 AS BIGINT) AS n_pairs,
-                   CAST(128 AS BIGINT) AS n_phash_equal
-        """,
-        # 4×4 world, 32×32-pixel tiles: square blocks fully cover their tile
-        # (coverage 1); a diagonal triangle covers 528/1024 pixel centers
-        # (j ≤ i plus the 32 on-diagonal centers, closed PIP) = 0.5156
-        "tile_block_coverage": """
-            WITH cells AS (
-              SELECT a.i AS ci, b.j AS cj,
-                     CAST(a.i // 2 AS INT) AS gi, CAST(b.j // 2 AS INT) AS gj,
-                     CASE WHEN (a.i * 4 + b.j) % 7 = 3 THEN 2 ELSE 1 END AS nb
-              FROM generate_series(0, 3) a(i), generate_series(0, 3) b(j)
-            ), numbered AS (
-              SELECT *, COALESCE(SUM(nb) OVER (PARTITION BY gi, gj ORDER BY cj, ci
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
-              FROM cells
-            )
-            SELECT 'img_' || LPAD(CAST(ci * 4 + cj AS VARCHAR), 8, '0') AS image_id,
-                   'TST.' || CAST(gi + 1 AS VARCHAR) || '.' || CAST(gj + 1 AS VARCHAR)
-                     || '_1_' || CAST(base + s.k AS VARCHAR) AS block_id,
-                   CAST(CASE WHEN nb = 2 THEN 0.5156 ELSE 1.0 END AS DOUBLE) AS coverage
-            FROM numbered, generate_series(0, 1) s(k)
-            WHERE s.k < nb
-        """,
         # U-block orphan reunion: every fact is closed-form (see
         # _q_geo_parcels_orphans docstring), so the oracle is a constant row
         "geo_parcels_orphans": """
@@ -1952,12 +2049,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY fmt
         """,
         # 256 distinct phashes + phash-preserving re-encode ⇒ exactly 128
-        # singleton buckets and 128 pair buckets
-        "phash_dedup_buckets": """
-            SELECT CAST(copies AS BIGINT) AS copies,
-                   CAST(n_buckets AS BIGINT) AS n_buckets
-            FROM (VALUES (1, 128), (2, 128)) AS t(copies, n_buckets)
-            ORDER BY copies
+        # singleton / 128 pair buckets, and all 128 re-crawl copies share
+        # their original's phash (both invariants closed-form)
+        "phash_checks": """
+            SELECT "check", CAST(k AS BIGINT) AS k, CAST(v AS BIGINT) AS v
+            FROM (VALUES ('copies_hist', 1, 128),
+                         ('copies_hist', 2, 128),
+                         ('pair_match', 128, 128)) AS t("check", k, v)
+            ORDER BY 1, 2
         """,
         # planted-twin closed forms (derivations in the query docstrings):
         # each of the 50 queries' rank-1 hit must be its ×1.01 scale twin

@@ -21,6 +21,16 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
+            # The driver's canonicalizer sorts RAW columns: a list/ndarray
+            # value raises TypeError there (r5 pack_sequences_uniform).
+            # Fail loudly here so the gap can't hide behind str().
+            bad = df[c].map(lambda v: isinstance(v, (list, tuple, dict))
+                            or hasattr(v, "__array__"))
+            if bad.any():
+                raise TypeError(
+                    f"column {c!r} holds non-scalar values; the driver "
+                    "cannot canonicalize it — emit a scalar encoding"
+                )
             df[c] = df[c].astype(str)
         elif str(df[c].dtype).startswith("float"):
             df[c] = df[c].astype("float64").round(9)
