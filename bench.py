@@ -246,6 +246,69 @@ def skew_evidence(cpus: int) -> dict:
     return out
 
 
+def mix_skew_evidence(cpus: int) -> dict:
+    """Task-time evidence for the round-6 mix_strata rewrite (VERDICT r5
+    #2): a 4M-row corpus with 90% of rows in ONE stratum runs both the r5
+    single-window formulation (each stratum ranked in one task — the
+    dominant stratum serializes) and the shipped threshold-selection path
+    (histogram pre-pass + map-side filter + boundary-bucket-only rank),
+    recording the max/median per-task executorRunTime of each variant's
+    heaviest post-shuffle stage off the status REST API. Both variants
+    select the byte-identical set (pinned by test_mix); the numbers here
+    show only the threshold path survives a dominant stratum."""
+    import urllib.request
+
+    from prclz_spark.operators.mix import mix_strata, mix_strata_windowed
+    from prclz_spark.session import get_spark
+
+    spark = get_spark(
+        f"local[{cpus}]", app="bench-mix-skew", shuffle_partitions=cpus,
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4048"},
+    )
+    sc = spark.sparkContext
+    sc.setLogLevel("ERROR")
+    n = int(os.environ.get("BENCH_MIX_N", "4000000"))
+    rows = spark.range(0, n, 1, cpus).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 10 < 9 THEN 'en' ELSE 'fr' END AS lang",
+    ).localCheckpoint()  # freeze the input so both variants rank the same rows
+    quotas = {"en": n // 20, "fr": n // 40}
+    base = sc.uiWebUrl
+    app_id = sc.applicationId
+
+    def _get(path):
+        with urllib.request.urlopen(f"{base}/api/v1/applications/{app_id}{path}") as r:
+            return json.load(r)
+
+    def run(fn) -> dict:
+        prev = max((s["stageId"] for s in _get("/stages")), default=-1)
+        t0 = time.time()
+        cnt = fn(rows, "lang", quotas, "doc_id", seed=3).count()
+        sec = round(time.time() - t0, 2)
+        stages = [s for s in _get("/stages?status=COMPLETE") if s["stageId"] > prev]
+        # the serialization risk lives in the post-shuffle (rank) stages,
+        # not the uniform map-side scan
+        reading = [s for s in stages if s.get("shuffleReadBytes", 0) > 0] or stages
+        heavy = max(reading, key=lambda s: s.get("executorRunTime", 0))
+        q = _get(
+            f"/stages/{heavy['stageId']}/{heavy['attemptId']}/taskSummary"
+            "?quantiles=0.5,1.0"
+        )
+        med_ms, max_ms = q["executorRunTime"]
+        return {
+            "sec": sec, "rows": cnt, "n_tasks": heavy["numCompleteTasks"],
+            "median_task_ms": round(med_ms), "max_task_ms": round(max_ms),
+        }
+
+    out = {
+        "n_rows": n, "dominant_frac": 0.9, "quotas": quotas,
+        "windowed_r5": run(mix_strata_windowed),
+        "threshold": run(mix_strata),
+    }
+    spark.stop()
+    return out
+
+
 def _mp_work(seed: int) -> int:
     """One region's worth of fused-kernel load (polygonize a 5×5-cell grid,
     bulk-PIP 600 points, k-complexity per block) — the same numpy/networkx
@@ -392,6 +455,10 @@ def main():
         # round-5 addition (VERDICT r4 #6/#10: new key, prior keys frozen):
         # hot-cell-skewed PIP through the salted non-broadcast path
         "pip_join_skew",
+        # round-6 additions (VERDICT r5 #9: new keys, prior keys frozen):
+        # the LLM-mixture tier gets perf tracking
+        "data_mix_sample",
+        "pack_sequences_uniform",
     ]
     qs = E.queries()
     q_times = {}
@@ -427,6 +494,13 @@ def main():
         skew = {"error": str(ex)}
         print(f"# bench skew evidence failed: {ex}", file=sys.stderr)
 
+    # --- dominant-stratum mixing task-time evidence (VERDICT r5 #2) ------
+    try:
+        mix_skew = mix_skew_evidence(cpus)
+    except Exception as ex:
+        mix_skew = {"error": str(ex)}
+        print(f"# bench mix skew evidence failed: {ex}", file=sys.stderr)
+
     out = {
         "metric": "blocks+parcels processed/sec (end-to-end block extraction -> k-index) "
         "+ headline query secs; N vs 4N scaling at local[2] vs local[8] "
@@ -436,6 +510,7 @@ def main():
         "queries": q_times,
         "sf": sf,
         "skew": skew,
+        "mix_skew": mix_skew,
         "pipeline": {
             "geo_grid": f"{GEO_NX}x{GEO_NX}",
             "blocks": n32["blocks"],

@@ -8,16 +8,33 @@ seed and partitioning both match. This operator gives:
 
 * **exact quotas** — each stratum contributes min(quota, |stratum|) rows;
 * **determinism** — selection order is a fixed multiplicative scramble of
-  the id (Lehmer/MINSTD: h = (id mod P + seed)·48271 mod P, P = 2³¹−1),
+  the id (Lehmer/MINSTD: h = (id mod P)·a(seed) mod P, P = 2³¹−1),
   so the same table and seed produce byte-identical samples on any
   cluster, any partitioning — reproducibility a training pipeline can cite;
 * **uniformity** — the scramble is a bijection on [1, P): ordering by it
   is equivalent to ordering by a fixed pseudo-random permutation of ids.
 
-Scale shape: one hash projection + one window rank per stratum partition
-(a single shuffle on the strata column); quotas ride in as a broadcast
-map literal. Oversized strata never materialize: rank > quota rows are
-filtered before anything downstream.
+Scale shape (round 6 — the r5 design ranked each stratum with ONE
+``row_number`` window task, serializing a dominant stratum; a "90% en"
+100 TB corpus would sort 90 TB in one task): selection of the quota
+smallest scramble keys is a THRESHOLD problem, because the scramble is a
+fixed bijection. Two bounded passes:
+
+1. **Histogram pre-pass** — per (stratum, scramble-bucket) counts
+   (map-side combinable, one small shuffle of ≤ strata×buckets rows),
+   collected to the driver (≤ ``hist_buckets``·|quotas| tuples). The
+   cumulative histogram locates, per stratum, the bucket b* containing
+   the quota-th smallest scramble value.
+2. **Map-side select** — rows in buckets < b* are selected with NO
+   shuffle at all (pure filter against two broadcast literal maps); only
+   the boundary bucket — |stratum|/hist_buckets rows, ~120k rows per
+   10⁹-row stratum at the default 8192 — is exactly ranked by
+   (scramble, id) to take the remaining quota slice.
+
+The selected set is byte-identical to the full-sort definition (the
+quota lexicographically-smallest (scramble, id) pairs per stratum) on
+any partitioning; ties on the scramble value land in the same bucket by
+construction, so the boundary rank resolves them with the id tie-break.
 """
 
 from __future__ import annotations
@@ -42,25 +59,101 @@ def scramble(id_col: str, seed: int = 1):
     return F.pmod(F.pmod(F.col(id_col), F.lit(_P)) * F.lit(a), F.lit(_P))
 
 
+def _quota_map(quotas: dict, strata_col: str):
+    return F.create_map(
+        *[F.lit(x) for kv in quotas.items() for x in kv]
+    )[F.col(strata_col)]
+
+
 def mix_strata(
     df: DataFrame,
     strata_col: str,
     quotas: dict,
     id_col: str,
     seed: int = 1,
+    hist_buckets: int = 8192,
 ) -> DataFrame:
     """Exact deterministic per-stratum sample: up to ``quotas[stratum]``
     rows for each listed stratum (unlisted strata are dropped — a mixture
     is a whitelist), chosen by the scrambled-id order with ``id_col`` as
-    the total tie-break."""
-    quota_col = F.create_map(
-        *[F.lit(x) for kv in quotas.items() for x in kv]
+    the total tie-break. Equivalent to ranking each whole stratum by
+    (scramble, id) and keeping rank ≤ quota, but only the boundary
+    scramble-bucket (~|stratum|/``hist_buckets`` rows) is ever sorted —
+    see the module docstring for the two-pass shape."""
+    bw = _P // hist_buckets + 1  # bucket width; _b = scramble // bw < hist_buckets
+    keyed = (
+        df.withColumn("_quota", _quota_map(quotas, strata_col))
+        .filter(F.col("_quota").isNotNull())
+        .withColumn("_h", scramble(id_col, seed))
+        .withColumn("_b", F.expr(f"_h div {bw}"))  # exact integer division
+    )
+
+    # Pass 1: bounded histogram (map-side combine; ≤ |quotas|·hist_buckets
+    # rows reach the driver). This is an eager action by design — the two
+    # maps it produces are pure literals, so the main plan stays lazy.
+    hist = {}
+    for r in keyed.groupBy(strata_col, "_b").count().collect():
+        hist.setdefault(r[strata_col], {})[r["_b"]] = r["count"]
+
+    bstar, remaining = {}, {}
+    for stratum, buckets in hist.items():
+        quota = quotas[stratum]
+        total = sum(buckets.values())
+        if total <= quota:
+            bstar[stratum] = hist_buckets  # every bucket < hist_buckets: take all
+            remaining[stratum] = 0
+            continue
+        below = 0
+        for b in sorted(buckets):
+            if below + buckets[b] >= quota:
+                bstar[stratum] = b
+                remaining[stratum] = quota - below
+                break
+            below += buckets[b]
+
+    if not bstar:  # no listed stratum present
+        return keyed.filter(F.lit(False)).drop("_quota", "_h", "_b")
+
+    bstar_col = F.create_map(
+        *[F.lit(x) for kv in bstar.items() for x in kv]
     )[F.col(strata_col)]
+    rem_col = F.create_map(
+        *[F.lit(x) for kv in remaining.items() for x in kv]
+    )[F.col(strata_col)]
+
+    # Pass 2a: everything strictly below the boundary bucket — a pure
+    # map-side filter, no shuffle, no sort.
+    below_df = keyed.filter(F.col("_b") < bstar_col)
+    # Pass 2b: the boundary bucket only (≤ |stratum|/hist_buckets rows per
+    # stratum) takes the remaining slice by exact (scramble, id) rank.
+    wb = Window.partitionBy(strata_col).orderBy(
+        F.col("_h").asc(), F.col(id_col).asc()
+    )
+    edge_df = (
+        keyed.filter(F.col("_b") == bstar_col)
+        .withColumn("_rn", F.row_number().over(wb))
+        .filter(F.col("_rn") <= rem_col)
+        .drop("_rn")
+    )
+    return below_df.unionByName(edge_df).drop("_quota", "_h", "_b")
+
+
+def mix_strata_windowed(
+    df: DataFrame,
+    strata_col: str,
+    quotas: dict,
+    id_col: str,
+    seed: int = 1,
+) -> DataFrame:
+    """The r5 single-window formulation (each stratum ranked in one task).
+    Kept as the semantic reference for equivalence tests and as the
+    skew-evidence baseline in bench.py — do NOT use on large strata: a
+    dominant stratum sorts in a single task."""
     w = Window.partitionBy(strata_col).orderBy(
         scramble(id_col, seed).asc(), F.col(id_col).asc()
     )
     return (
-        df.withColumn("_quota", quota_col)
+        df.withColumn("_quota", _quota_map(quotas, strata_col))
         .filter(F.col("_quota").isNotNull())
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= F.col("_quota"))

@@ -2,7 +2,7 @@
 
 from pyspark.sql import functions as F
 
-from prclz_spark.operators.mix import mix_strata
+from prclz_spark.operators.mix import mix_strata, mix_strata_windowed
 
 SF = "/root/testdata/sf0.001"
 
@@ -27,3 +27,33 @@ def test_mix_deterministic_across_partitionings_and_seeds(spark):
     assert c != a  # a different seed is a different (but fixed) mixture
     c2 = sorted(r.doc_id for r in mix_strata(d, "lang", q, "doc_id", seed=99).collect())
     assert c2 == c
+
+
+def test_mix_threshold_equals_windowed_reference(spark):
+    """The round-6 threshold-selection path must pick the byte-identical
+    set the single-window formulation defines, across seeds, quota shapes
+    (tiny, boundary-exact, oversized), and bucket granularities — including
+    hist_buckets=1 (everything is the boundary bucket, pure window) and a
+    coarse 7 (multi-bucket cumsum with uneven boundary slices)."""
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang")
+    for seed in (1, 99):
+        for q in ({"en": 25, "fr": 10, "zh": 10_000}, {"en": 1}, {"de": 13, "en": 40}):
+            ref = sorted(
+                (r.lang, r.doc_id)
+                for r in mix_strata_windowed(d, "lang", q, "doc_id", seed=seed).collect()
+            )
+            for hb in (1, 7, 8192):
+                got = sorted(
+                    (r.lang, r.doc_id)
+                    for r in mix_strata(
+                        d, "lang", q, "doc_id", seed=seed, hist_buckets=hb
+                    ).collect()
+                )
+                assert got == ref, (seed, q, hb)
+
+
+def test_mix_no_listed_stratum_present(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang")
+    out = mix_strata(d, "lang", {"xx_not_a_lang": 10}, "doc_id")
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "lang"]
