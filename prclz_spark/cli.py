@@ -112,17 +112,25 @@ def main(argv=None):
 
     sp_dd = sub.add_parser(
         "dedup-batch",
-        help="incremental MinHash dedup of a document batch against a "
-             "persisted signature corpus (iceberg-lite): corpus scanned "
-             "once, batch broadcast; survivors' signatures appended as a "
-             "new snapshot (creates the table on first use)",
+        help="incremental dedup of a document batch against a persisted "
+             "fingerprint corpus (iceberg-lite): corpus scanned once, "
+             "batch broadcast; survivors' fingerprints appended as a new "
+             "snapshot (creates the table on first use)",
     )
-    sp_dd.add_argument("--table", required=True, help="signature table root path")
+    sp_dd.add_argument("--table", required=True, help="fingerprint table root path")
     sp_dd.add_argument("--batch", required=True, help="parquet of documents")
+    sp_dd.add_argument("--tier", default="minhash",
+                       choices=["exact", "minhash", "simhash", "winnow", "embedding"])
     sp_dd.add_argument("--id-col", default="doc_id")
     sp_dd.add_argument("--text-col", default="text")
-    sp_dd.add_argument("--threshold", type=float, default=0.5,
-                       help="estimated-Jaccard near-dup threshold")
+    sp_dd.add_argument("--vec-col", default="embedding",
+                       help="embedding tier: vector column")
+    sp_dd.add_argument("--dim", type=int, default=None,
+                       help="embedding tier: vector length")
+    sp_dd.add_argument("--threshold", type=float, default=None,
+                       help="tier threshold: est-Jaccard (minhash), max "
+                            "Hamming (simhash), min shared fps (winnow), "
+                            "cosine (embedding)")
     sp_dd.add_argument("--out", default=None,
                        help="optional parquet dir for the dup-pair verdicts")
 
@@ -237,29 +245,40 @@ def main(argv=None):
             )
             return
         elif args.cmd == "dedup-batch":
-            import os as _os
-
-            from .operators.dedup import incremental_minhash_dedup
+            from .operators.dedup import incremental_dedup
             from .sources import iceberg_lite as IL
 
-            if not _os.path.exists(_os.path.join(args.table, "metadata")):
-                IL.create_table(args.table, f"{args.id_col} bigint, sig array<bigint>")
+            thr_param = {
+                "minhash": "jaccard_threshold", "simhash": "max_hamming",
+                "winnow": "min_shared", "embedding": "cos_threshold",
+            }.get(args.tier)
+            params = {}
+            if args.threshold is not None and thr_param:
+                v = args.threshold
+                params[thr_param] = int(v) if thr_param in (
+                    "max_hamming", "min_shared") else v
             batch = spark.read.parquet(args.batch)
-            surv, cross, internal, snap = incremental_minhash_dedup(
-                batch, args.table, args.id_col, args.text_col,
-                jaccard_threshold=args.threshold,
+            surv, cross, internal, snap = incremental_dedup(
+                batch, args.table, args.id_col, tier=args.tier,
+                text_col=args.text_col, vec_col=args.vec_col, dim=args.dim,
+                **params,
             )
-            n_surv, n_cross, n_int = surv.count(), cross.count(), internal.count()
+            # survivors can be multi-row per doc (winnow fps): count docs
+            n_surv = surv.select(args.id_col).distinct().count()
+            n_cross, n_int = cross.count(), internal.count()
             if args.out:
-                cross.withColumn("kind", F.lit("corpus")).unionByName(
+                cross.select("batch_id", "corpus_id").withColumn(
+                    "kind", F.lit("corpus")
+                ).unionByName(
                     internal.selectExpr(
-                        "id_b as batch_id", "id_a as corpus_id", "jaccard_est"
+                        "id_b as batch_id", "id_a as corpus_id"
                     ).withColumn("kind", F.lit("batch"))
                 ).write.mode("overwrite").parquet(args.out)
             print(
-                f"snapshot {snap}: {n_surv} survivors appended; "
-                f"{n_cross} corpus-dup pairs, {n_int} batch-internal pairs; "
-                f"table now {IL.read(spark, args.table).count()} signatures",
+                f"[{args.tier}] snapshot {snap}: {n_surv} survivor docs "
+                f"appended; {n_cross} corpus-dup pairs, {n_int} "
+                f"batch-internal pairs; table now "
+                f"{IL.read(spark, args.table).count()} fingerprint rows",
                 file=sys.stderr,
             )
             return

@@ -419,52 +419,153 @@ def decontaminate(
     return clean, contaminated
 
 
-def incremental_minhash_dedup(
+def _dedup_tier_spec(
+    tier: str, id_col: str, text_col: str, vec_col: str, dim, params: dict
+) -> dict:
+    """Per-tier (sign, cross, internal, persisted schema) plumbing for the
+    generic incremental loop. Every tier reuses the SHARED fingerprint
+    definitions (_band_explode, _hyperplane_bucket_udf, simhash64,
+    winnow_fingerprints, xxhash64) so rows persisted by one round bucket
+    identically against every later batch."""
+    if tier == "minhash":
+        num_perm = params.get("num_perm", 64)
+        bands = params.get("bands", 16)
+        k = params.get("k", 5)
+        thr = params.get("jaccard_threshold", 0.5)
+        return {
+            "schema": f"{id_col} bigint, sig array<bigint>",
+            "cols": [id_col, "sig"],
+            "sign": lambda df: minhash_signatures(df, id_col, text_col, num_perm, k),
+            "cross": lambda c, b: minhash_pairs_against(
+                c, b, id_col, num_perm=num_perm, bands=bands, jaccard_threshold=thr
+            ),
+            "internal": lambda b: minhash_lsh_pairs_from_sigs(
+                b, id_col, num_perm=num_perm, bands=bands, jaccard_threshold=thr
+            ),
+        }
+    if tier == "exact":
+        cap = params.get("hot_bucket_cap", 10_000)
+        return {
+            "schema": f"{id_col} bigint, content_hash bigint",
+            "cols": [id_col, "content_hash"],
+            "sign": lambda df: df.select(
+                F.col(id_col), F.xxhash64(F.col(text_col)).alias("content_hash")
+            ),
+            "cross": lambda c, b: exact_matches_against(c, b, "content_hash", id_col),
+            # equal-hash groups are transitive, so the hot-bucket chain is
+            # lossless here (every chain edge IS a duplicate edge)
+            "internal": lambda b: _self_pairs_capped(
+                b, id_col, ["content_hash"], cap, order_col="content_hash"
+            ),
+        }
+    if tier == "simhash":
+        max_hamming = params.get("max_hamming", 3)
+        cap = params.get("hot_bucket_cap", 10_000)
+        return {
+            "schema": f"{id_col} bigint, simhash bigint",
+            "cols": [id_col, "simhash"],
+            "sign": lambda df: simhash64(df, id_col, text_col),
+            "cross": lambda c, b: simhash_pairs_against(
+                c, b, id_col, max_hamming=max_hamming
+            ),
+            "internal": lambda b: simhash_near_pairs_from_sigs(
+                b, id_col, max_hamming=max_hamming, hot_bucket_cap=cap
+            ),
+        }
+    if tier == "winnow":
+        k = params.get("k", 8)
+        w = params.get("w", 4)
+        min_shared = params.get("min_shared", 2)
+        max_df = params.get("max_df", 1000)
+        return {
+            "schema": f"{id_col} bigint, fp bigint",
+            "cols": [id_col, "fp"],
+            "sign": lambda df: winnow_fingerprints(df, id_col, text_col, k=k, w=w),
+            "cross": lambda c, b: winnow_pairs_against(
+                c, b, id_col, min_shared=min_shared, max_df=max_df
+            ),
+            "internal": lambda b: winnow_near_pairs_from_fps(
+                b, id_col, min_shared=min_shared, max_df=max_df
+            ),
+        }
+    if tier == "embedding":
+        if dim is None:
+            raise ValueError("embedding tier needs dim=<vector length>")
+        n_planes = params.get("n_planes", 12)
+        n_tables = params.get("n_tables", 12)
+        seed = params.get("seed", 42)
+        thr = params.get("cos_threshold", 0.95)
+        cap = params.get("hot_bucket_cap", 10_000)
+        return {
+            "schema": f"{id_col} bigint, {vec_col} array<double>",
+            "cols": [id_col, vec_col],
+            "sign": lambda df: df.select(
+                F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+            ),
+            "cross": lambda c, b: embedding_pairs_against(
+                c, b, id_col, vec_col, dim, n_planes=n_planes,
+                cos_threshold=thr, seed=seed, n_tables=n_tables,
+            ),
+            "internal": lambda b: embedding_near_pairs(
+                b, id_col, vec_col, dim, n_planes=n_planes, cos_threshold=thr,
+                seed=seed, n_tables=n_tables, hot_bucket_cap=cap,
+            ),
+        }
+    raise ValueError(f"unknown dedup tier {tier!r}")
+
+
+def incremental_dedup(
     batch_df: DataFrame,
     table_path: str,
     id_col: str,
-    text_col: str,
-    num_perm: int = 64,
-    bands: int = 16,
-    k: int = 5,
-    jaccard_threshold: float = 0.5,
+    tier: str = "minhash",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    dim: int | None = None,
     compact_every: int = 16,
+    **params,
 ):
-    """The daily crawl loop over an iceberg-lite signature table:
+    """The daily crawl loop over an iceberg-lite fingerprint table, for
+    any tier (``exact``/``minhash``/``simhash``/``winnow``/``embedding``):
 
-    1. sign the incoming batch (one Arrow pass);
-    2. cross-dedup it against the persisted corpus signatures
-       (minhash_pairs_against — corpus scanned once, batch broadcast);
-    3. self-dedup the batch internally (small self-join; earliest id wins);
-    4. append the SURVIVORS' signatures to the table as a new snapshot, so
-       tomorrow's batch dedups against today's survivors too;
+    1. sign the incoming batch (one Arrow pass; the embedding tier's
+       "signature" is the vector itself);
+    2. cross-dedup it against the persisted corpus fingerprints
+       (*_pairs_against — corpus scanned once, batch broadcast, zero
+       corpus-side shuffle);
+    3. self-dedup the batch internally (small self-join; transitive
+       closure picks one winner per duplicate component);
+    4. append the SURVIVORS' fingerprints to the table as a new snapshot,
+       so tomorrow's batch dedups against today's survivors too (the
+       table is created on first use with the tier's schema);
     5. compact the manifest chain once it exceeds ``compact_every``
        manifests (a year of daily appends is 365 manifests otherwise;
        compaction keeps reads O(files) — time travel unaffected).
        ``compact_every=0`` disables.
 
-    Returns (survivors_sigs, cross_pairs, internal_pairs, snapshot_id).
-    The table schema must be ``{id_col} bigint, sig array<bigint>``."""
+    Tier parameters ride in ``**params`` (e.g. ``jaccard_threshold`` for
+    minhash, ``max_hamming`` for simhash, ``min_shared``/``max_df`` for
+    winnow, ``cos_threshold``/``n_planes``/``n_tables`` for embedding —
+    which also needs ``dim``). Returns
+    (survivors_sigs, cross_pairs, internal_pairs, snapshot_id)."""
+    import os
+
     from ..sources import iceberg_lite as IL
+    from .components import dedup_cluster_verdict
 
     spark = batch_df.sparkSession
+    spec = _dedup_tier_spec(tier, id_col, text_col, vec_col, dim, params)
+    if not os.path.exists(os.path.join(table_path, "metadata")):
+        IL.create_table(table_path, spec["schema"])
     corpus_sigs = IL.read(spark, table_path)
-    batch_sigs = minhash_signatures(batch_df, id_col, text_col, num_perm, k).cache()
-    cross = minhash_pairs_against(
-        corpus_sigs, batch_sigs, id_col, num_perm=num_perm, bands=bands,
-        jaccard_threshold=jaccard_threshold,
-    ).cache()
-    internal = minhash_lsh_pairs_from_sigs(
-        batch_sigs, id_col, num_perm=num_perm, bands=bands,
-        jaccard_threshold=jaccard_threshold,
-    ).cache()
+    batch_sigs = spec["sign"](batch_df).cache()
+    cross = spec["cross"](corpus_sigs, batch_sigs).cache()
+    internal = spec["internal"](batch_sigs).cache()
     # batch-internal losers via the TRANSITIVE closure (components), not
     # per-pair id_b: a component {1,5,9} with pairs (5,9),(1,9) only must
     # still keep just its minimum — see operators/components.py
-    from .components import dedup_cluster_verdict
-
     internal_losers = (
-        dedup_cluster_verdict(internal)
+        dedup_cluster_verdict(internal.select("id_a", "id_b"))
         .filter(~F.col("keep"))
         .select(F.col("id").alias(id_col))
         if internal.limit(1).count()
@@ -476,10 +577,30 @@ def incremental_minhash_dedup(
         .dropDuplicates()
     )
     survivors = batch_sigs.join(F.broadcast(dup_ids), id_col, "left_anti")
-    snap = IL.append(survivors.select(id_col, "sig"), table_path)
+    snap = IL.append(survivors.select(*spec["cols"]), table_path)
     if compact_every and len(IL._manifests(table_path, snap)) > compact_every:
         snap = IL.compact_manifests(table_path)
     return survivors, cross, internal, snap
+
+
+def incremental_minhash_dedup(
+    batch_df: DataFrame,
+    table_path: str,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    jaccard_threshold: float = 0.5,
+    compact_every: int = 16,
+):
+    """The original (round-5) minhash-only entry point — now a thin
+    wrapper over the generic tier loop. See incremental_dedup."""
+    return incremental_dedup(
+        batch_df, table_path, id_col, tier="minhash", text_col=text_col,
+        compact_every=compact_every, num_perm=num_perm, bands=bands, k=k,
+        jaccard_threshold=jaccard_threshold,
+    )
 
 
 def _token_hashes64(tokens: np.ndarray) -> np.ndarray:
@@ -575,6 +696,20 @@ def simhash_near_pairs(
     _self_pairs_capped); the 64-bit hash is re-joined onto surviving
     pairs, never shipped through the chunk exchange."""
     sig = simhash64(df, id_col, text_col).cache()
+    return simhash_near_pairs_from_sigs(
+        sig, id_col, max_hamming=max_hamming, hot_bucket_cap=hot_bucket_cap
+    )
+
+
+def simhash_near_pairs_from_sigs(
+    sig: DataFrame,
+    id_col: str,
+    max_hamming: int = 3,
+    hot_bucket_cap: int = 10_000,
+) -> DataFrame:
+    """simhash_near_pairs over a precomputed ``(id, simhash)`` table —
+    the form the incremental loop uses (the batch is signed once and the
+    signatures both self-join here and persist to the corpus table)."""
     chunks = sig.select(
         F.col(id_col),
         F.col("simhash").alias("_ord"),
@@ -651,6 +786,19 @@ def winnow_near_pairs(
     otherwise create an O(df²) hot bucket, the same skew defusal as LSH
     band caps. Returns (id_a, id_b, shared)."""
     fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+    return winnow_near_pairs_from_fps(
+        fps, id_col, min_shared=min_shared, max_df=max_df
+    )
+
+
+def winnow_near_pairs_from_fps(
+    fps: DataFrame,
+    id_col: str,
+    min_shared: int = 2,
+    max_df: int = 1000,
+) -> DataFrame:
+    """winnow_near_pairs over a precomputed ``(id, fp)`` table — the form
+    the incremental loop uses."""
     rare = fps.groupBy("fp").agg(F.count("*").alias("df_cnt")).filter(
         F.col("df_cnt") <= max_df
     )
