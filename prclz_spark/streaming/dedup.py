@@ -133,6 +133,101 @@ def dedup_stream_against_corpus(
     return suppress_ids(fresh, id_col, bands)
 
 
+def dedup_stream_against_corpus_refreshing(
+    df: DataFrame,
+    corpus_loader,
+    id_col: str,
+    text_col: str,
+    ts_col: str,
+    sink_fn,
+    refresh_every: int = 10,
+    watermark: str = "1 day",
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+):
+    """dedup_stream_against_corpus with a MID-STREAM corpus refresh (r5
+    VERDICT #5): the plain variant caches the corpus band table once at
+    query start, so snapshots appended by the daily `dedup-batch` loop
+    stay invisible until query restart (and repeated invocations pile up
+    cached RDDs). This variant moves the corpus anti-join into a
+    ``foreachBatch`` callable that re-evaluates ``corpus_loader`` every
+    ``refresh_every`` micro-batches, unpersisting the previous cache
+    (the new cache is materialized before the old one is dropped, so a
+    failed refresh never leaves the join uncovered).
+
+    Operator order is FLIPPED vs the plain variant — within-stream
+    watermark dedup in the stream graph, corpus anti-join per sink batch
+    — which selects the same survivors: a band is suppressed iff it is
+    in the corpus or seen earlier within the horizon, and both orders
+    compute exactly that disjunction (a first-arrival band that is also
+    a corpus band wins the in-stream state, then dies at the corpus
+    join; its later re-arrivals die in-stream — dead either way).
+
+    Usage::
+
+        survivors, fn = dedup_stream_against_corpus_refreshing(
+            stream, lambda: IL.read(spark, table), "doc_id", "text", "ts",
+            sink_fn=lambda ids_df, bid: ids_df.write...,
+            refresh_every=10)
+        survivors.writeStream.foreachBatch(fn).outputMode("append").start()
+
+    ``corpus_loader``: zero-arg callable returning the CURRENT static
+    (id, sig) DataFrame — e.g. ``lambda: iceberg_lite.read(spark, t)``;
+    re-reading inside the loader is what picks up new snapshots.
+    ``sink_fn(survivor_ids_df, batch_id)`` receives the suppress_ids()
+    output per micro-batch. Returns ``(survivor_bands_stream, fn)``."""
+    from ..operators.dedup import _band_explode
+
+    banded = _stream_bands(df, id_col, text_col, ts_col, num_perm, bands, k)
+    if banded.isStreaming:
+        survivors = banded.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["band", "band_hash"]
+        )
+    else:  # batch: deterministic earliest-(ts, id) band winners
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "band_hash").orderBy(ts_col, id_col)
+        survivors = (
+            banded.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    state = {"bands": None, "cache": None, "next_refresh": 0, "epoch": 0}
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        if state["bands"] is None or batch_id >= state["next_refresh"]:
+            # The `_refresh_epoch` literal makes each refresh's plan
+            # canonically DISTINCT: Spark's cache manager keys entries by
+            # canonicalized plan, and a path-based parquet re-read after
+            # an append canonicalizes EQUAL to the previous read — so
+            # without the tag the re-cache is a silent no-op and
+            # `old.unpersist()` drops the only live entry, leaving the
+            # corpus re-evaluated on every later micro-batch (measured:
+            # CacheManager size 0 after one refresh cycle). With the tag,
+            # entries coexist and unpersist hits only its own epoch.
+            state["epoch"] += 1
+            fresh_cache = (
+                corpus_loader()
+                .select(_band_explode(num_perm, bands))
+                .select("band", "band_hash")
+                .dropDuplicates()
+                .withColumn("_refresh_epoch", F.lit(state["epoch"]))
+                .cache()
+            )
+            fresh_cache.count()  # materialize BEFORE dropping the old cache
+            old = state["cache"]
+            state["cache"] = fresh_cache
+            state["bands"] = fresh_cache.drop("_refresh_epoch")
+            state["next_refresh"] = batch_id + refresh_every
+            if old is not None:
+                old.unpersist()
+        kept = batch_df.join(state["bands"], ["band", "band_hash"], "left_anti")
+        sink_fn(suppress_ids(kept, id_col, bands), batch_id)
+
+    return survivors, fn
+
+
 def dedup_minhash_stream(
     df: DataFrame,
     id_col: str,

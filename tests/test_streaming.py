@@ -480,3 +480,139 @@ def test_dedup_stream_against_corpus(spark, tmp_path):
     # every doc the batch path keeps with all bands fresh also survives
     # the stream (same banding, same corpus table)
     assert surv_b == surv_s
+
+
+def test_dedup_stream_against_corpus_refreshing(spark, tmp_path):
+    """Mid-stream corpus refresh (r5 advice): signatures appended to the
+    corpus table BETWEEN micro-batches become visible at the next refresh
+    tick without a query restart — the plain variant only sees them at
+    restart. Also pins the flipped-operator-order equivalence (in-stream
+    dedup then per-batch corpus anti-join ≡ the plain variant's corpus
+    join then in-stream dedup) and that the old corpus cache is dropped."""
+    from prclz_spark.operators.dedup import minhash_signatures
+    from prclz_spark.streaming.dedup import (
+        dedup_stream_against_corpus,
+        dedup_stream_against_corpus_refreshing,
+    )
+
+    # unique synthetic docs (4x sha2 hex each): the parquet fixture docs
+    # are boilerplate enough to band-collide organically, which would
+    # blur the planted-twin assertions below
+    docs = spark.range(150).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[F.sha2(F.concat(F.lit(f"s{i}-"), F.col("id").cast("string")), 256)
+              for i in range(4)],
+        ).alias("text"),
+    )
+    corpus_dir = str(tmp_path / "corpus")
+    minhash_signatures(
+        docs.filter(F.col("doc_id") < 100), "doc_id", "text"
+    ).write.parquet(corpus_dir)
+
+    calls = {"n": 0}
+
+    def loader():
+        calls["n"] += 1
+        return spark.read.parquet(corpus_dir)
+
+    def twins(df, offset):
+        return df.select(
+            (F.col("doc_id") + offset).alias("doc_id"),
+            F.expr(
+                "substring(text, 1, cast(length(text) * 0.95 as int))"
+            ).alias("text"),
+        )
+
+    # batch 0: fresh 100-119, twins of corpus docs (die), twins of
+    # 130-139 (NOT yet in corpus -> must survive batch 0)
+    fresh = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 120))
+    late_src = docs.filter((F.col("doc_id") >= 130) & (F.col("doc_id") < 140))
+    t0 = F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+    batch0 = (
+        fresh.unionByName(twins(docs.filter(F.col("doc_id") % 10 == 0)
+                                .filter(F.col("doc_id") < 100), 2_000_000))
+        .unionByName(twins(late_src, 4_000_000))
+        .withColumn("ts", t0)
+    )
+    # batch 1: twins of 130-139 again (corpus will know them by then) and
+    # fresh 120-124
+    batch1 = (
+        docs.filter((F.col("doc_id") >= 120) & (F.col("doc_id") < 125))
+        .unionByName(twins(late_src, 5_000_000))
+        .withColumn("ts", F.to_timestamp(F.lit("2026-01-01 01:00:00")))
+    )
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    batch0.coalesce(1).write.parquet(str(d / "f0"))
+
+    got = {}
+
+    def sink_fn(ids_df, batch_id):
+        got[batch_id] = set(int(x) for x in ids_df.toPandas()[ids_df.columns[0]])
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*")
+    )
+    survivors, fn = dedup_stream_against_corpus_refreshing(
+        stream, loader, "doc_id", "text", "ts", sink_fn, refresh_every=1
+    )
+    _cm = spark._jsparkSession.sharedState().cacheManager()
+    n_cached_before = _cm.cachedData().size()
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            survivors.writeStream.foreachBatch(fn)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    # availableNow appends a trailing empty watermark-commit batch, so
+    # survivors of a run are the UNION over its sink batches
+    run1 = set().union(*got.values())
+    got.clear()
+    planted_corpus = {x + 2_000_000 for x in range(0, 100, 10)}
+    planted_late0 = {x + 4_000_000 for x in range(130, 140)}
+    assert run1.isdisjoint(planted_corpus)          # corpus re-crawls die
+    assert planted_late0 <= run1                    # 130s not in corpus yet
+    assert set(range(100, 120)) <= run1
+
+    # the daily batch loop appends 130-139 signatures; stream keeps running
+    minhash_signatures(late_src, "doc_id", "text").write.mode("append").parquet(
+        corpus_dir
+    )
+    batch1.coalesce(1).write.parquet(str(d / "f1"))
+    n_calls_run1 = calls["n"]
+    assert n_calls_run1 >= 1                        # refreshed during run 1
+    run()
+    run2 = set().union(*got.values())
+    planted_late1 = {x + 5_000_000 for x in range(130, 140)}
+    assert run2.isdisjoint(planted_late1)           # refresh picked them up
+    assert set(range(120, 125)) <= run2
+    assert calls["n"] > n_calls_run1                # refreshed again in run 2
+    # exactly ONE corpus cache alive (old one unpersisted on refresh)
+    assert _cm.cachedData().size() == n_cached_before + 1
+
+    # batch mode: flipped order selects the same survivors as the plain op
+    full = batch0.unionByName(batch1)
+    surv_b, fn_b = dedup_stream_against_corpus_refreshing(
+        full, loader, "doc_id", "text", "ts",
+        lambda ids_df, bid: got.__setitem__("batch", set(
+            int(x) for x in ids_df.toPandas()[ids_df.columns[0]])),
+        refresh_every=1,
+    )
+    fn_b(surv_b, 0)
+    plain = set(
+        dedup_stream_against_corpus(
+            full, loader(), "doc_id", "text", "ts"
+        ).toPandas().doc_id
+    )
+    assert got["batch"] == plain
