@@ -175,7 +175,7 @@ def minhash_lsh_pairs_from_sigs(
 
 def _self_pairs_capped(
     keyed: DataFrame, id_col: str, key_cols: list, cap: int,
-    order_col: str | None = None,
+    order_col: str | None = None, rep_pair_cap: int = 500,
 ) -> DataFrame:
     """Distinct (id_a, id_b) candidate pairs from an exploded key table:
     all-pairs within key groups of ≤ ``cap`` members, a consecutive chain
@@ -184,13 +184,25 @@ def _self_pairs_capped(
     (plus the 8-byte ``order_col``) through the exchanges (VERDICT r3 #7
     hygiene): payloads are re-joined onto surviving pairs by the caller.
 
-    Chains are ordered by ``order_col`` (a hash of the full fingerprint)
-    so EXACT-fingerprint clones — the actual viral case — are contiguous
-    and every chain edge passes the caller's verify. Honest limit: a hot
-    bucket mixing sub-clusters whose members fail pairwise verification
-    has its chain broken at the boundary, losing cross-sub-cluster pairs
-    the uncapped all-pairs path would have found; the guard trades that
-    tail recall for not emitting n²/2 pairs from one bucket."""
+    Hot-group edges, when ``order_col`` (a hash of the full fingerprint)
+    is given, come in three bounded sets (r5 advice — the heterogeneous
+    hot bucket): (1) a chain WITHIN each distinct-fingerprint group,
+    ordered by id — every edge links exact fingerprint clones, so the
+    caller's verify always passes (the viral case, lossless); (2) a
+    chain across group representatives in fingerprint order (the old
+    boundary edges); (3) ALL-PAIRS across the first ⌈√(2·cap)⌉
+    representatives per group ranking — this is what recovers
+    intra-family pairs when a bucket interleaves several NEAR-dup
+    families with pairwise-distinct fingerprints (measured in
+    tests/test_dedup.py: the pure fingerprint-ordered chain connects
+    almost nothing there, because nearly every consecutive edge crosses
+    families and fails verify). Emitted pairs per hot bucket are
+    bounded by n + rep_pair_cap²/2 (default 500 → ≤125k). Honest
+    limit: fingerprints ranking beyond the representative head only get
+    chain edges — material only for buckets with >rep_pair_cap DISTINCT
+    fingerprints whose near-dup pairs share no other bucket, i.e.
+    marginal-similarity pairs inside boilerplate-driven buckets; with no
+    ``order_col`` the plain id-ordered chain is the fallback."""
     # adaptive pre-pass (same design as skew.hot_cells): hot keys are by
     # definition FEW (≤ n/cap), so ONE partial-aggregated count finds
     # them — only (key, count) pairs shuffle, never the rows. With no hot
@@ -220,20 +232,43 @@ def _self_pairs_capped(
     keyed = keyed.localCheckpoint(eager=False)  # split scans it 3×
     cold = keyed.join(F.broadcast(hot_keys), key_cols, "left_anti")
     hot = keyed.join(F.broadcast(hot_keys), key_cols, "left_semi")
-    order = (
-        [F.col(order_col).asc(), F.col(id_col).asc()]
-        if order_col
-        else [F.col(id_col).asc()]
-    )
-    w = Window.partitionBy(*key_cols).orderBy(*order)
-    pairs_hot = (
-        hot.withColumn("_next", F.lead(id_col).over(w))
-        .filter(F.col("_next").isNotNull())
-        .select(
-            F.least(F.col(id_col), F.col("_next")).alias("id_a"),
-            F.greatest(F.col(id_col), F.col("_next")).alias("id_b"),
+    def chain(src: DataFrame, w: Window) -> DataFrame:
+        return (
+            src.withColumn("_next", F.lead(id_col).over(w))
+            .filter(F.col("_next").isNotNull())
+            .select(
+                F.least(F.col(id_col), F.col("_next")).alias("id_a"),
+                F.greatest(F.col(id_col), F.col("_next")).alias("id_b"),
+            )
         )
-    )
+
+    if order_col is None:
+        pairs_hot = chain(
+            hot, Window.partitionBy(*key_cols).orderBy(F.col(id_col).asc())
+        )
+    else:
+        # (1) lossless chain within each exact-fingerprint group
+        intra = chain(
+            hot,
+            Window.partitionBy(*key_cols, order_col).orderBy(F.col(id_col).asc()),
+        )
+        # one representative (min id) per distinct fingerprint
+        reps = hot.groupBy(*key_cols, order_col).agg(F.min(id_col).alias(id_col))
+        w_rep = Window.partitionBy(*key_cols).orderBy(
+            F.col(order_col).asc(), F.col(id_col).asc()
+        )
+        # (2) boundary chain across representatives (old guard's edges)
+        rep_chain = chain(reps, w_rep)
+        # (3) all-pairs over the first rep_pair_cap reps. Reps count
+        # DISTINCT FINGERPRINTS, not members: the realistic viral bucket
+        # has millions of members but few clone families, so the head
+        # usually covers every family and cross-family recall is full.
+        head = (
+            reps.withColumn("_rk", F.row_number().over(w_rep))
+            .filter(F.col("_rk") <= rep_pair_cap)
+            .select(*key_cols, id_col)
+        )
+        pairs_hot = intra.unionByName(rep_chain).unionByName(all_pairs(head))
     return all_pairs(cold).unionByName(pairs_hot).dropDuplicates(["id_a", "id_b"])
 
 

@@ -666,3 +666,58 @@ def test_incremental_dedup_auto_compacts(spark, tmp_path):
     n = IL.read(spark, t).count()
     ids = [r.doc_id for r in IL.read(spark, t).select("doc_id").collect()]
     assert len(ids) == len(set(ids)) == n
+
+
+def test_hot_bucket_heterogeneous_family_recall(spark):
+    """r5 advice: a hot bucket that interleaves many NEAR-dup families
+    with pairwise-distinct fingerprints used to lose almost every
+    intra-family pair — the fingerprint-ordered chain linked alternating
+    families whose edges fail the Jaccard verify. The representative
+    all-pairs head recovers them in full whenever the bucket's DISTINCT
+    fingerprint count fits rep_pair_cap.
+
+    Construction: 60 docs, one viral band shared by all (band 0 slots
+    identical), partners (2i, 2i+1) agree on exactly 32/64 slots —
+    passing the 0.5 verify — spread ≤3-per-band outside band 0 so NO
+    other band collides (the pair exists only through the hot bucket)."""
+    import numpy as np
+
+    from prclz_spark.operators.dedup import minhash_lsh_pairs_from_sigs
+
+    rng = np.random.default_rng(7)
+    uniq = iter(range(10_000_000, 99_000_000))
+    sigs = []
+    for fam in range(30):
+        # 28 family-shared slot values outside band 0: 3 per band for
+        # bands 1..9, 1 for band 10
+        fam_vals = {}
+        for b in range(1, 10):
+            for j in range(3):
+                fam_vals[4 * b + j] = 1_000_000 + fam * 100 + b * 10 + j
+        fam_vals[40] = 2_000_000 + fam
+        for member in range(2):
+            sig = [next(uniq) for _ in range(64)]
+            sig[0:4] = [11, 22, 33, 44]          # the viral band
+            for slot, v in fam_vals.items():
+                sig[slot] = v
+            sigs.append((fam * 2 + member, sig))
+    df = spark.createDataFrame(sigs, "doc_id long, sig array<long>")
+
+    pairs = minhash_lsh_pairs_from_sigs(
+        df, "doc_id", jaccard_threshold=0.5, hot_bucket_cap=20
+    ).toPandas()
+    got = {tuple(sorted((int(a), int(b)))) for a, b in zip(pairs.id_a, pairs.id_b)}
+    want = {(2 * f, 2 * f + 1) for f in range(30)}
+    assert want <= got                      # 100% family recall
+    assert got == want                      # verify kills cross-family pairs
+
+    # materiality: the old pure-chain guard in fingerprint-hash order
+    # finds a partner only when it lands adjacent — measure it
+    import pandas as pd
+    h = df.select("doc_id", F.xxhash64("sig").alias("h")).toPandas()
+    order = list(h.sort_values("h").doc_id)
+    chain_hits = sum(
+        1 for a, b in zip(order, order[1:])
+        if tuple(sorted((int(a), int(b)))) in want
+    )
+    assert chain_hits < len(want) // 2      # the loss WAS material
