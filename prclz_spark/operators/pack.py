@@ -73,6 +73,17 @@ def _ffd_kernel(budget: int):
     return kernel
 
 
+_MAX_BUCKETS = (1 << 31) - 1  # pack_id = bucket·2³² + local needs bucket < 2³¹
+
+
+def _auto_buckets(n: int, target_docs: int, max_buckets: int | None) -> int:
+    """Bucket count for an ``n``-doc corpus at ~``target_docs`` docs per
+    bucket, clamped to [1, min(max_buckets, 2³¹−1)]. Pure so the 10¹²-doc
+    regime is unit-testable without 10¹² rows."""
+    hard = _MAX_BUCKETS if max_buckets is None else min(max_buckets, _MAX_BUCKETS)
+    return int(min(hard, max(1, n // target_docs)))
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,
@@ -80,21 +91,35 @@ def pack_sequences(
     budget: int,
     n_buckets: int | None = None,
     seed: int = 1,
+    target_docs: int = 4096,
+    max_buckets: int | None = None,
 ) -> DataFrame:
     """Pack (id, token-count) rows into contexts of ≤ ``budget`` tokens.
     Deterministic: bucket assignment and in-bucket order are pure
     functions of the id, so the packing is byte-identical on any
     partitioning.
 
-    ``n_buckets=None`` (default) auto-sizes to ~4096 docs per bucket from
-    a count of the input (one narrow scan): a bucket is the packing unit,
-    so too many buckets for the corpus strands docs in near-empty
-    contexts (measured: 500 docs over 1024 buckets → 295 contexts at 6%
-    fill, vs 20 contexts at 92% with one bucket). Pass it explicitly to
-    pin the task granularity at known corpus sizes."""
+    ``n_buckets=None`` (default) auto-sizes to ~``target_docs`` docs per
+    bucket from a count of the input (one narrow scan): a bucket is the
+    packing unit, so too many buckets for the corpus strands docs in
+    near-empty contexts (measured: 500 docs over 1024 buckets → 295
+    contexts at 6% fill, vs 20 contexts at 92% with one bucket). Pass it
+    explicitly to pin the task granularity at known corpus sizes.
+
+    Auto-sizing is unbounded by default up to the 2³¹−1 pack_id-layout
+    ceiling (the r5 cap of 65,536 broke the ~4096-doc bucket target past
+    ~2.7·10⁸ docs — the kernel's in-memory doc list grew with the
+    corpus). ``max_buckets`` re-caps it for callers who want coarser
+    tasks. No bucket-of-buckets scheme is needed below the ceiling: a
+    bucket is just a deterministic bounded group, and one scramble mod
+    ``n_buckets`` provides exactly that — at 10¹² docs, 2.4·10⁸ buckets
+    of ~4096 docs. The MINSTD value space (2³¹−1) quantizes bucket fill
+    to multiples of ⌈id_range/2³¹⌉ docs (ids sharing ``id mod 2³¹−1``
+    always co-bucket), a ±12% size spread at that scale; past the hard
+    ceiling bucket size grows as n/2³¹ — still only ~4·10⁶ docs (64 MB
+    kernel state) at an 8.8·10¹⁵-doc corpus."""
     if n_buckets is None:
-        n = df.count()
-        n_buckets = int(min(65_536, max(1, n // 4096)))
+        n_buckets = _auto_buckets(df.count(), target_docs, max_buckets)
     src = df.select(
         F.col(id_col).cast("long").alias("_id"),
         F.col(tokens_col).cast("long").alias("_tokens"),

@@ -126,3 +126,42 @@ def test_pack_hypothesis_invariants(spark):
             assert n_ctx <= (11 * lower) // 9 + 2 + over, (b, n_ctx, lower)
 
     prop()
+
+
+def test_auto_bucket_sizing_unbounded(spark):
+    """r5 advice: the 65,536 auto-size cap let per-bucket doc counts grow
+    without bound past ~2.7e8 docs. The formula is now a pure function,
+    unbounded by default up to the 2^31-1 pack_id-layout ceiling."""
+    from prclz_spark.operators.pack import _MAX_BUCKETS, _auto_buckets
+
+    assert _auto_buckets(500, 4096, None) == 1
+    assert _auto_buckets(10 * 4096, 4096, None) == 10
+    # the regime the old cap broke: 10^12 docs -> ~2.4e8 buckets, bucket
+    # size stays at the 4096 target instead of 3.7M docs
+    assert _auto_buckets(10**12, 4096, None) == 10**12 // 4096 > 65_536
+    # opt-in re-cap and the hard pack_id ceiling
+    assert _auto_buckets(10**12, 4096, 65_536) == 65_536
+    assert _auto_buckets(10**17, 4096, None) == _MAX_BUCKETS
+    assert (_MAX_BUCKETS << 32) > 0  # bucket field never signs the long
+
+
+def test_pack_many_buckets_end_to_end(spark):
+    """Explicit n_buckets beyond the old 65,536 cap: pack_id bucket field
+    decodes inside range, every doc packed exactly once, deterministic."""
+    from prclz_spark.operators.pack import pack_sequences
+
+    d = spark.range(3000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 90 + 10).alias("n_tokens")
+    )
+    out = pack_sequences(
+        d, "doc_id", "n_tokens", budget=500, n_buckets=1_000_000, seed=3
+    ).collect()
+    packed = sorted(i for r in out for i in r.doc_ids)
+    assert packed == list(range(3000))
+    assert all(0 <= (r.pack_id >> 32) < 1_000_000 and r.pack_id >= 0 for r in out)
+    again = pack_sequences(
+        d.repartition(17), "doc_id", "n_tokens", budget=500,
+        n_buckets=1_000_000, seed=3,
+    ).collect()
+    assert sorted(map(tuple, ((r.pack_id, tuple(r.doc_ids)) for r in out))) == \
+        sorted(map(tuple, ((r.pack_id, tuple(r.doc_ids)) for r in again)))
