@@ -120,7 +120,8 @@ def main(argv=None):
     sp_dd.add_argument("--table", required=True, help="fingerprint table root path")
     sp_dd.add_argument("--batch", required=True, help="parquet of documents")
     sp_dd.add_argument("--tier", default="minhash",
-                       choices=["exact", "minhash", "simhash", "winnow", "embedding"])
+                       choices=["exact", "minhash", "simhash", "winnow",
+                                "embedding", "phash"])
     sp_dd.add_argument("--id-col", default="doc_id")
     sp_dd.add_argument("--text-col", default="text")
     sp_dd.add_argument("--vec-col", default="embedding",
@@ -129,8 +130,8 @@ def main(argv=None):
                        help="embedding tier: vector length")
     sp_dd.add_argument("--threshold", type=float, default=None,
                        help="tier threshold: est-Jaccard (minhash), max "
-                            "Hamming (simhash), min shared fps (winnow), "
-                            "cosine (embedding)")
+                            "Hamming (simhash, phash), min shared fps "
+                            "(winnow), cosine (embedding)")
     sp_dd.add_argument("--out", default=None,
                        help="optional parquet dir for the dup-pair verdicts")
 
@@ -251,6 +252,7 @@ def main(argv=None):
             thr_param = {
                 "minhash": "jaccard_threshold", "simhash": "max_hamming",
                 "winnow": "min_shared", "embedding": "cos_threshold",
+                "phash": "max_hamming",
             }.get(args.tier)
             params = {}
             if args.threshold is not None and thr_param:

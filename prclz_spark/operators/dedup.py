@@ -523,6 +523,39 @@ def _dedup_tier_spec(
                 b, id_col, min_shared=min_shared, max_df=max_df
             ),
         }
+    if tier == "phash":
+        max_hamming = params.get("max_hamming", 6)
+        cap = params.get("hot_bucket_cap", 10_000)
+        phash_col = params.get("phash_col", "phash")
+        bytes_col = params.get("bytes_col", "bytes")
+        fmt_col = params.get("fmt_col", "fmt")
+
+        def _sign_phash(df):
+            # image batches either carry the precomputed phash column
+            # (the input-table schema does) or raw bytes+fmt to hash here
+            if phash_col in df.columns:
+                return df.select(
+                    F.col(id_col), F.col(phash_col).cast("long").alias("phash")
+                )
+            from .. import images as IM
+
+            u = IM.make_udfs()
+            return df.select(
+                F.col(id_col),
+                u["img_phash"](F.col(bytes_col), F.col(fmt_col)).alias("phash"),
+            )
+
+        return {
+            "schema": f"{id_col} bigint, phash bigint",
+            "cols": [id_col, "phash"],
+            "sign": _sign_phash,
+            "cross": lambda c, b: phash_pairs_against(
+                c, b, id_col, max_hamming=max_hamming
+            ),
+            "internal": lambda b: phash_near_pairs_from_sigs(
+                b, id_col, max_hamming=max_hamming, hot_bucket_cap=cap
+            ),
+        }
     if tier == "embedding":
         if dim is None:
             raise ValueError("embedding tier needs dim=<vector length>")
@@ -561,7 +594,9 @@ def incremental_dedup(
     **params,
 ):
     """The daily crawl loop over an iceberg-lite fingerprint table, for
-    any tier (``exact``/``minhash``/``simhash``/``winnow``/``embedding``):
+    any tier (``exact``/``minhash``/``simhash``/``winnow``/``embedding``/
+    ``phash`` — the last over image batches, signed from the precomputed
+    ``phash`` column or raw ``bytes``+``fmt``):
 
     1. sign the incoming batch (one Arrow pass; the embedding tier's
        "signature" is the vector itself);
@@ -766,6 +801,89 @@ def simhash_near_pairs_from_sigs(
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
         "id_a", "id_b", "hamming"
+    )
+
+
+_PHASH_BYTE_PAIRS = [(i, j) for i in range(8) for j in range(i + 1, 8)]
+
+
+def _phash_band_array(col: str):
+    """The 28 byte-pair pigeonhole bands of a 64-bit perceptual hash
+    (multi-index Hamming search, Norouzi et al., CVPR'12 family): split
+    the code into 8 bytes, emit each unordered byte PAIR as a 16-bit
+    band value; codes within Hamming distance h collide on some band
+    whenever their differing bits touch ≤ 6 of the 8 bytes — in
+    particular recall is EXACT for h ≤ 6 (≤6 flipped bits leave ≥2
+    clean bytes, and every byte pair is a band). Single-byte bands
+    would guarantee h ≤ 7 but give only 8×256 distinct bucket keys —
+    at 10¹²-image scale each (band, value) bucket holds ~10⁹ codes and
+    the candidate join degenerates; 16-bit pair values keep 28×65536
+    keys, trading one byte of guarantee for ~256× bucket selectivity.
+    Shared by the self / against / incremental paths so rows persisted
+    by one round bucket identically against every later batch."""
+    byte = lambda i: F.shiftrightunsigned(F.col(col), 8 * i).bitwiseAND(F.lit(0xFF))
+    return F.array(*[byte(i) * 256 + byte(j) for i, j in _PHASH_BYTE_PAIRS])
+
+
+def phash_near_pairs_from_sigs(
+    sig: DataFrame,
+    id_col: str,
+    max_hamming: int = 6,
+    hot_bucket_cap: int = 10_000,
+) -> DataFrame:
+    """Near-duplicate image pairs from a ``(id, phash)`` table: byte-pair
+    band explode (see _phash_band_array) → capped self-join on the band
+    key (viral-bucket guard shared with the text tiers; ``_ord`` = the
+    code itself, so exact phash clones chain contiguously and losslessly)
+    → 64-bit Hamming verify on surviving pairs only. Exact recall for
+    ``max_hamming`` ≤ 6; above that candidates still require one clean
+    byte pair (documented partial recall). Only ids + the 8-byte code
+    ride the band exchange."""
+    bands = sig.select(
+        F.col(id_col),
+        F.col("phash").alias("_ord"),
+        F.posexplode(_phash_band_array("phash")).alias("band", "band_val"),
+    )
+    cand = (
+        _self_pairs_capped(bands, id_col, ["band", "band_val"], hot_bucket_cap,
+                           order_col="_ord")
+        .join(sig.select(F.col(id_col).alias("id_a"), F.col("phash").alias("h_a")), "id_a")
+        .join(sig.select(F.col(id_col).alias("id_b"), F.col("phash").alias("h_b")), "id_b")
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+def phash_pairs_against(
+    corpus_sigs: DataFrame,
+    batch_sigs: DataFrame,
+    id_col: str,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Cross phash near-dups (batch_id, corpus_id, hamming) for the
+    incremental image-dedup loop: corpus scanned ONCE with an on-the-fly
+    band explode, batch side broadcast, Hamming verify inline (the code
+    rides the corpus rows — 8 bytes, cheaper than a re-join). Same band
+    definitions as the self path, so recall is exact at ≤ 6 bits."""
+    c = corpus_sigs.select(F.col(id_col).alias("corpus_id"), F.col("phash").alias("h_a"))
+    cc = c.select(
+        "corpus_id", "h_a",
+        F.posexplode(_phash_band_array("h_a")).alias("band", "band_val"),
+    )
+    b = batch_sigs.select(F.col(id_col).alias("batch_id"), F.col("phash").alias("h_b"))
+    bc = b.select(
+        "batch_id", "h_b",
+        F.posexplode(_phash_band_array("h_b")).alias("band", "band_val"),
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cc.join(F.broadcast(bc), ["band", "band_val"])
+        .dropDuplicates(["batch_id", "corpus_id"])
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("batch_id", "corpus_id", "hamming")
     )
 
 

@@ -467,6 +467,19 @@ def test_incremental_dedup_all_tiers(spark, tmp_path):
         (F.col("doc_id") + 2_000_000).alias("doc_id"),
         F.expr("transform(embedding, x -> x * CAST(1.001 AS FLOAT))").alias("embedding"),
     )
+    # phash tier: batches are (id, phash) image rows; twins flip 6 bits
+    # spread over 6 distinct bytes — the exact-recall guarantee boundary
+    ph_mask = sum(1 << b for b in (0, 9, 18, 27, 36, 45))
+
+    def ph_rows(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "id AS doc_id", "xxhash64(cast(id AS string)) AS phash"
+        )
+
+    ph_twins = ph_rows(0, 100).filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.expr(f"phash ^ CAST({ph_mask} AS BIGINT)").alias("phash"),
+    )
     cases = {
         # (corpus, fresh, twins, planted ids, loop kwargs)
         "exact": (corpus_t, fresh_t, text_twins(1.0),
@@ -482,6 +495,8 @@ def test_incremental_dedup_all_tiers(spark, tmp_path):
             {d + 2_000_000 for d in range(0, 150, 5)},
             {"vec_col": "embedding", "dim": dim, "cos_threshold": 0.98},
         ),
+        "phash": (ph_rows(0, 100), ph_rows(100, 140), ph_twins,
+                  {d + 2_000_000 for d in range(0, 100, 5)}, {}),
     }
     for tier, (corpus, fresh, twins, planted, kw) in cases.items():
         t = str(tmp_path / f"tbl_{tier}")
@@ -721,3 +736,77 @@ def test_hot_bucket_heterogeneous_family_recall(spark):
         if tuple(sorted((int(a), int(b)))) in want
     )
     assert chain_hits < len(want) // 2      # the loss WAS material
+
+
+def test_phash_near_pairs_exact_recall_vs_bruteforce(spark):
+    """phash tier (round-6 image-axis extension): byte-pair pigeonhole
+    banding has EXACT recall at Hamming ≤ 6 — the Spark pair set must
+    equal the brute-force all-pairs set. Fixture: 150 random 64-bit
+    codes + planted families at Hamming 1..6 (flips spread over ≤6
+    distinct bytes AND concentrated in one byte — both sides of the
+    pigeonhole argument), plus a 7-bit pair touching 7 bytes that the
+    bands cannot guarantee (asserted missed, pinning the documented
+    bound)."""
+    from prclz_spark.operators.dedup import phash_near_pairs_from_sigs
+
+    rng = np.random.default_rng(11)
+    codes = {i: int(rng.integers(0, 2**63)) for i in range(150)}
+    nid = 1000
+    spread = [0, 9, 18, 27, 36, 45]          # 6 bits in 6 distinct bytes
+    for base in range(0, 30, 5):
+        for h in range(1, 7):
+            m = 0
+            for b in spread[:h]:
+                m |= 1 << b
+            codes[nid] = codes[base] ^ m     # spread flips
+            codes[nid + 1] = codes[base] ^ ((1 << h) - 1)  # one-byte flips
+            nid += 2
+    seven = 0
+    for b in (0, 9, 18, 27, 36, 45, 54):     # 7 flips, 7 distinct bytes
+        seven |= 1 << b
+    codes[9000] = codes[40] ^ seven
+
+    def _i64(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    sig = spark.createDataFrame(
+        [(k, _i64(v)) for k, v in codes.items()], "doc_id bigint, phash bigint"
+    )
+    got = {
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b), r.hamming)
+        for r in phash_near_pairs_from_sigs(sig, "doc_id", max_hamming=6).collect()
+    }
+    ids = sorted(codes)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin((codes[a] ^ codes[b]) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if h <= 6:
+                want.add((a, b, h))
+    assert got == want
+    assert not any(9000 in (a, b) for a, b, _ in got)  # 7-bit/7-byte miss
+
+
+def test_phash_against_equals_filtered_self_join(spark):
+    """The against-corpus phash form must produce exactly the cross
+    subset of the brute-force pair set (same bands as the self path)."""
+    from prclz_spark.operators.dedup import phash_pairs_against
+
+    rng = np.random.default_rng(12)
+    corpus = {i: int(rng.integers(0, 2**62)) for i in range(80)}
+    batch = {1000 + i: int(rng.integers(0, 2**62)) for i in range(30)}
+    for k, src in ((1000, 3), (1005, 17), (1011, 44)):  # planted near-dups
+        batch[k] = corpus[src] ^ ((1 << 5) - 1)          # hamming 5
+    cdf = spark.createDataFrame(list(corpus.items()), "doc_id bigint, phash bigint")
+    bdf = spark.createDataFrame(list(batch.items()), "doc_id bigint, phash bigint")
+    got = {
+        (r.batch_id, r.corpus_id, r.hamming)
+        for r in phash_pairs_against(cdf, bdf, "doc_id", max_hamming=6).collect()
+    }
+    want = {
+        (bi, ci, bin(bv ^ cv).count("1"))
+        for bi, bv in batch.items()
+        for ci, cv in corpus.items()
+        if bin(bv ^ cv).count("1") <= 6
+    }
+    assert got == want and len(want) >= 3
