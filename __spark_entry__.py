@@ -1554,10 +1554,20 @@ def _q_tile_raster_checks(spark, sf_dir):
 
 
 def _q_phash_checks(spark, sf_dir):
-    """Both phash invariants in one checked query: the bucket histogram
-    (256 distinct phashes + 128 phash-preserving PNG re-crawl copies ⇒
-    {copies=1: 128, copies=2: 128}) and the pair-match count (all 128
-    re-encoded copies share their original's phash)."""
+    """All three phash invariants in one checked query: the bucket
+    histogram (256 distinct phashes + 128 phash-preserving PNG re-crawl
+    copies ⇒ {copies=1: 128, copies=2: 128}), the pair-match count (all
+    128 re-encoded copies share their original's phash), and the round-6
+    NEAR-dup tier through the real engine path
+    (phash_near_pairs_from_sigs: byte-pair pigeonhole bands → capped
+    self-join → Hamming verify): 200 xxhash64-derived codes, each with a
+    planted twin at Hamming EXACTLY 6 (the band guarantee boundary —
+    6 flips spread over 6 distinct bytes). Closed form: the pair set is
+    exactly the 200 planted (base, base+10⁶) pairs, because the minimum
+    off-family Hamming distance in this frozen fixture is 17 (verified
+    exhaustively at build time; xxhash64 is deterministic)."""
+    from prclz_spark.operators.dedup import phash_near_pairs_from_sigs
+
     hist = _q_phash_dedup(spark, sf_dir).select(
         F.lit("copies_hist").alias("check"),
         F.col("copies").cast("long").alias("k"),
@@ -1568,7 +1578,22 @@ def _q_phash_checks(spark, sf_dir):
         F.col("n_pairs").cast("long").alias("k"),
         F.col("n_phash_equal").cast("long").alias("v"),
     )
-    return hist.unionByName(pair).orderBy("check", "k")
+    mask = sum(1 << b for b in (0, 9, 18, 27, 36, 45))
+    base = spark.range(0, 200).selectExpr(
+        "id AS doc_id", "xxhash64(cast(id AS string)) AS phash"
+    )
+    twins = base.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr(f"phash ^ CAST({mask} AS BIGINT)").alias("phash"),
+    )
+    near = phash_near_pairs_from_sigs(
+        base.unionByName(twins), "doc_id", max_hamming=6
+    ).select(
+        F.lit("near_pair").alias("check"),
+        F.col("id_a").cast("long").alias("k"),
+        F.col("id_b").cast("long").alias("v"),
+    )
+    return hist.unionByName(pair).unionByName(near).orderBy("check", "k")
 
 
 def _q_winnow_checks(spark, sf_dir):
@@ -2053,9 +2078,11 @@ def oracle_sql() -> dict[str, str]:
         # their original's phash (both invariants closed-form)
         "phash_checks": """
             SELECT "check", CAST(k AS BIGINT) AS k, CAST(v AS BIGINT) AS v
-            FROM (VALUES ('copies_hist', 1, 128),
-                         ('copies_hist', 2, 128),
-                         ('pair_match', 128, 128)) AS t("check", k, v)
+            FROM (SELECT 'copies_hist' AS "check", 1 AS k, 128 AS v
+                  UNION ALL SELECT 'copies_hist', 2, 128
+                  UNION ALL SELECT 'pair_match', 128, 128
+                  UNION ALL
+                  SELECT 'near_pair', i, i + 1000000 FROM range(200) t(i))
             ORDER BY 1, 2
         """,
         # planted-twin closed forms (derivations in the query docstrings):
