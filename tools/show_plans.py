@@ -182,6 +182,40 @@ def main() -> None:
         )
     )
 
+    from prclz_spark.operators.mix import mix_strata
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 10 else "fr") for i in range(2000)], "doc_id long, lang string"
+    )
+    sections.append(
+        (
+            "mix_strata threshold selection (r6 — the r5 scale-killer fix)",
+            "NO whole-stratum window: the plan is filter(scramble ≤ per-stratum "
+            "threshold) — fully parallel — plus a rank window over ONLY the "
+            "boundary scramble-bucket (~|stratum|/8192 rows). A dominant "
+            "stratum no longer sorts in one task.",
+            fmt(mix_strata(docs, "lang", {"en": 500, "fr": 100}, "doc_id")),
+        )
+    )
+
+    from prclz_spark.operators.dedup import phash_pairs_against
+
+    corpus_ph = spark.range(0, 10_000).selectExpr(
+        "id AS doc_id", "xxhash64(cast(id AS string)) AS phash"
+    )
+    batch_ph = spark.range(0, 100).selectExpr(
+        "id + 1000000 AS doc_id", "xxhash64(cast(id AS string)) AS phash"
+    )
+    sections.append(
+        (
+            "phash against-corpus image dedup (r6 tier)",
+            "corpus scanned ONCE → generate (28 byte-pair bands) map-side → "
+            "broadcast hash join against the batch bands — no corpus shuffle, "
+            "Hamming verify inline. Same daily-crawl shape as the text tiers.",
+            fmt(phash_pairs_against(corpus_ph, batch_ph, "doc_id")),
+        )
+    )
+
     out = ["# Physical plans of the flagship operators\n",
            "Generated by `python tools/show_plans.py` (4×4 fixture world; the",
            "plan SHAPE is scale-independent — sizes only move AQE thresholds).\n"]
