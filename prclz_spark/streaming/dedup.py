@@ -284,3 +284,201 @@ def suppress_ids(fresh_bands: DataFrame, id_col: str, bands: int = 16) -> DataFr
         .agg(F.count("*").alias("bands_kept"))
         .filter(F.col("bands_kept") >= bands)
     )
+
+
+# ---------------------------------------------------------------------------
+# phash (image) streaming near-dup — VERIFIED, not collision-only
+# ---------------------------------------------------------------------------
+#
+# The text tiers above use band COLLISION as the streaming decision (their
+# band keys are 64-bit hashes — a collision already implies similarity).
+# phash bands are 16-bit byte-pair values (operators.dedup._phash_band_array):
+# two UNRELATED codes collide on some band with p ≈ 28/2¹⁶ ≈ 4·10⁻⁴, so a
+# collision-only stream would false-suppress ~1 in 2300 fresh images per
+# in-horizon image — unusable beyond toy horizons. The streaming image
+# operator therefore VERIFIES: state per (band, band_val) key holds the
+# in-horizon codes, and a new arrival is flagged only when a stored code is
+# within ``max_hamming`` bits (the same inline-verify contract as the batch
+# tier, via applyInPandasWithState — §2.8's arbitrary-stateful surface).
+#
+# Recall equals the batch tier's (exact at Hamming ≤ 6: both codes of a
+# ≤6-bit pair share a clean byte pair, hence a band key — and the pair is
+# then Hamming-verified in that key's group). State is horizon-bounded by
+# event-time pruning; expected entries per live key ≈ 28·H/2¹⁶ for an
+# in-horizon population H (≈43k at H=10⁸ — cap with ``state_cap``,
+# which drops OLDEST codes first and is disclosed recall loss beyond it).
+
+import numpy as np
+import pandas as pd
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _hamming_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(len(a), len(b)) pairwise Hamming distances between uint64 codes
+    (numpy<2 has no bitwise_count: XOR → uint8 view → 256-entry popcount
+    table → sum over the 8 bytes)."""
+    if not len(a) or not len(b):
+        return np.zeros((len(a), len(b)), dtype=np.int64)
+    x = np.ascontiguousarray(a[:, None] ^ b[None, :])
+    return _POP8[x.view(np.uint8).reshape(len(a), len(b), 8)].sum(
+        axis=2, dtype=np.int64
+    )
+
+
+def _phash_verdict_state_func(
+    key, pdfs, state, max_hamming: int, horizon_us: int, state_cap: int
+):
+    """Per-(band, band_val) state: arrival-ordered (ids, codes, ts_us)
+    arrays of the in-horizon codes. Every arrival is appended (an earlier
+    row suppresses later ones even if it was itself suppressed in another
+    band — first-occurrence semantics, same as the batch orientation);
+    the emitted ``dup_of`` is the EARLIEST in-state match so the global
+    min over band groups is well-defined."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    batch = pd.concat(list(pdfs))
+    if not len(batch):
+        return
+    batch = batch.sort_values(["ts_us", "_pid"])
+    if state.exists:
+        ids_b, codes_b, ts_b = state.get
+        ids = np.frombuffer(ids_b, dtype=np.int64).copy()
+        codes = np.frombuffer(codes_b, dtype=np.uint64).copy()
+        tss = np.frombuffer(ts_b, dtype=np.int64).copy()
+    else:
+        ids = np.zeros(0, dtype=np.int64)
+        codes = np.zeros(0, dtype=np.uint64)
+        tss = np.zeros(0, dtype=np.int64)
+    out = []
+    new_codes = batch["_code"].to_numpy(np.int64).view(np.uint64)
+    for pid, code, ts in zip(
+        batch["_pid"].to_numpy(np.int64),
+        new_codes,
+        batch["ts_us"].to_numpy(np.int64),
+    ):
+        ham = _hamming_matrix(code.reshape(1), codes)[0]
+        # the horizon gates the MATCH (event-time window per arrival), not
+        # just state GC — an entry that outlived the horizon must not flag
+        # a new row even if GC hasn't dropped it yet this trigger
+        hit = np.nonzero((ham <= max_hamming) & (tss >= ts - horizon_us))[0]
+        if len(hit):
+            # true earliest (ts, id) match — arrival order only coincides
+            # with it when data arrives in order, and late rows may not
+            j = hit[np.lexsort((ids[hit], tss[hit]))[0]]
+            out.append((pid, ts, int(ids[j]), int(tss[j])))
+        else:
+            out.append((pid, ts, None, None))
+        ids = np.append(ids, pid)
+        codes = np.append(codes, code)
+        tss = np.append(tss, ts)
+    keep = tss >= tss.max() - horizon_us
+    if state_cap and keep.sum() > state_cap:
+        order = np.nonzero(keep)[0]
+        keep = np.zeros(len(tss), dtype=bool)
+        keep[order[-state_cap:]] = True  # drop OLDEST beyond the cap
+    ids, codes, tss = ids[keep], codes[keep], tss[keep]
+    state.update((ids.tobytes(), codes.tobytes(), tss.tobytes()))
+    yield pd.DataFrame(out, columns=["_pid", "ts_us", "dup_of", "dup_ts_us"])
+
+
+def dedup_phash_stream(
+    df: DataFrame,
+    id_col: str,
+    ts_col: str,
+    phash_col: str = "phash",
+    max_hamming: int = 6,
+    horizon: str = "1 day",
+    state_cap: int = 4096,
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming verified image near-dup (see the section comment): a row
+    is flagged when ANY earlier in-horizon row's phash is within
+    ``max_hamming`` bits. Streaming input → per-band verdict rows
+    ``(id, ts_us, band, dup_of, dup_ts_us)`` (aggregate per sink batch
+    with phash_suppress_verdicts — the one-stateful-operator contract,
+    like the minhash stream). Batch input → the aggregated
+    ``(id, ts_us, dup_of)`` verdicts directly, whole-input horizon, via
+    the batch tier's pair kernel and the same event-time horizon window —
+    the stream≡batch tests pin the two paths to identical results."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.dedup import _phash_band_array, phash_near_pairs_from_sigs
+
+    horizon_us = int(pd.Timedelta(horizon).value // 1_000)
+    src = df.select(
+        F.col(id_col).cast("long").alias("_pid"),
+        F.col(phash_col).cast("long").alias("_code"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+    )
+    if df.isStreaming:
+        # no withWatermark: state is event-time pruned INSIDE the state
+        # function (entries older than max-seen-ts − horizon drop on every
+        # trigger), so late rows are still verified instead of silently
+        # discarded; idle keys evict via the optional processing-time
+        # timeout
+        banded = src.select(
+            "_pid", "_code", "ts_us",
+            F.posexplode(_phash_band_array("_code")).alias("band", "band_val"),
+        )
+        timeout = (
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        )
+
+        def fn(key, pdfs, state):
+            for out in _phash_verdict_state_func(
+                key, pdfs, state, max_hamming, horizon_us, state_cap
+            ):
+                if idle_timeout_ms is not None:
+                    state.setTimeoutDuration(idle_timeout_ms)
+                yield out.assign(band=key[0])
+
+        return banded.groupBy("band", "band_val").applyInPandasWithState(
+            fn,
+            "_pid long, ts_us long, dup_of long, dup_ts_us long, band int",
+            "ids binary, codes binary, tss binary",
+            "update",
+            timeout,
+        ).withColumnRenamed("_pid", id_col)
+    # batch path: same semantics over the whole input, built on the batch
+    # tier's verified pair kernel, with the same event-time horizon window
+    sig = src.select(F.col("_pid").alias(id_col), F.col("_code").alias("phash"))
+    pairs = phash_near_pairs_from_sigs(sig, id_col, max_hamming=max_hamming)
+    both = pairs.selectExpr("id_a AS x", "id_b AS y").unionAll(
+        pairs.selectExpr("id_b AS x", "id_a AS y")
+    )
+    t = src.select(F.col("_pid"), "ts_us")
+    oriented = (
+        both.join(t.selectExpr("_pid AS x", "ts_us AS ts_x"), "x")
+        .join(t.selectExpr("_pid AS y", "ts_us AS ts_y"), "y")
+        .filter(
+            (F.col("ts_y") < F.col("ts_x"))
+            | ((F.col("ts_y") == F.col("ts_x")) & (F.col("y") < F.col("x")))
+        )
+        .filter(F.col("ts_y") >= F.col("ts_x") - F.lit(horizon_us))
+    )
+    earliest = oriented.groupBy("x").agg(
+        F.min_by(F.col("y"), F.struct("ts_y", "y")).alias("dup_of")
+    )
+    return (
+        src.join(earliest.withColumnRenamed("x", "_pid"), "_pid", "left")
+        .select(F.col("_pid").alias(id_col), "ts_us", "dup_of")
+    )
+
+
+def phash_suppress_verdicts(verdicts: DataFrame, id_col: str) -> DataFrame:
+    """Aggregate the streaming per-band verdict rows to one
+    ``(id, ts_us, dup_of)`` row per image (dup_of = the globally earliest
+    flagged match, NULL ⇒ survivor) — applied per sink batch, the same
+    contract as suppress_ids for the minhash stream."""
+    return verdicts.groupBy(id_col, "ts_us").agg(
+        F.min_by(
+            F.col("dup_of"),
+            F.when(
+                F.col("dup_of").isNotNull(), F.struct("dup_ts_us", "dup_of")
+            ),
+        ).alias("dup_of")
+    )

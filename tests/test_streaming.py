@@ -1,5 +1,6 @@
 """Streaming/batch equivalence on the events table."""
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from prclz_spark.streaming.events import (
@@ -616,3 +617,127 @@ def test_dedup_stream_against_corpus_refreshing(spark, tmp_path):
         ).toPandas().doc_id
     )
     assert got["batch"] == plain
+
+
+# ---------------------------------------------------------------------------
+# phash (image) streaming near-dup — verified stateful operator
+# ---------------------------------------------------------------------------
+
+
+def _phash_world(spark, tmp_path):
+    """Deterministic 64-bit codes: 40 well-separated base images (early
+    ts), then a late arrival file of near-twins (6 bit flips → in-radius)
+    and far clones (20 flips → out of radius of their own base, but ground
+    truth below brute-forces ALL pairs so accidental closeness is handled,
+    not assumed away)."""
+    import random
+
+    rng = random.Random(42)
+
+    def flip(c, k):
+        for b in rng.sample(range(64), k):
+            c ^= 1 << b
+        return c
+
+    def signed(c):
+        return c - (1 << 64) if c >= 1 << 63 else c
+
+    bases = {i: rng.getrandbits(64) for i in range(40)}
+    twins = {i + 5000: flip(bases[i], 6) for i in range(0, 40, 3)}
+    far = {i + 9000: flip(bases[i], 20) for i in range(1, 40, 3)}
+
+    t0, t1 = "2026-01-01 00:00:00", "2026-01-01 01:00:00"
+    early = [(i, signed(c), t0) for i, c in bases.items()]
+    late = [(i, signed(c), t1) for i, c in {**twins, **far}.items()]
+    mk = lambda rows: spark.createDataFrame(
+        [(i, c, None) for i, c, _ in rows], "img_id long, phash long, ts timestamp"
+    ).withColumn("ts", F.to_timestamp(F.lit(rows[0][2])))
+    early_df, late_df = mk(early), mk(late)
+
+    d = tmp_path / "phash_stream"
+    d.mkdir()
+    early_df.coalesce(1).write.parquet(str(d / "f0"))
+    late_df.coalesce(1).write.parquet(str(d / "f1"))
+
+    # brute-force ground truth: earliest (ts, id) match within Hamming<=6
+    rows = sorted(
+        [(0, i, c) for i, c in bases.items()]
+        + [(1, i, c) for i, c in {**twins, **far}.items()]
+    )
+    truth = {}
+    for n, (tsk, i, c) in enumerate(rows):
+        best = None
+        for tsk2, j, c2 in rows[:n]:
+            if bin(c ^ c2).count("1") <= 6:
+                best = (tsk2, j) if best is None else min(best, (tsk2, j))
+        truth[i] = None if best is None else best[1]
+    return str(d), early_df.unionByName(late_df), truth
+
+
+def test_dedup_phash_stream_matches_batch_and_truth(spark, tmp_path):
+    from prclz_spark.streaming.dedup import dedup_phash_stream, phash_suppress_verdicts
+
+    d, full, truth = _phash_world(spark, tmp_path)
+    assert sum(v is not None for v in truth.values()) >= 14  # all 14 twins hit
+
+    # batch path == brute-force truth
+    batch = dedup_phash_stream(full, "img_id", "ts", horizon="2 days").toPandas()
+    got_b = {
+        int(r.img_id): (None if pd.isna(r.dup_of) else int(r.dup_of))
+        for r in batch.itertuples()
+    }
+    assert got_b == truth
+
+    # streaming path (file-per-trigger arrival order) == batch path
+    stream = (
+        spark.readStream.schema("img_id long, phash long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*")
+    )
+    q = (
+        dedup_phash_stream(stream, "img_id", "ts", horizon="2 days")
+        .writeStream.format("memory")
+        .queryName("phash_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sink = spark.table("phash_stream")
+    # every image emitted one verdict row per band (28 byte-pair bands)
+    per_img = sink.groupBy("img_id").count().toPandas()
+    assert (per_img["count"] == 28).all()
+    got_s = {
+        int(r.img_id): (None if pd.isna(r.dup_of) else int(r.dup_of))
+        for r in phash_suppress_verdicts(sink, "img_id").toPandas().itertuples()
+    }
+    assert got_s == truth
+
+
+def test_dedup_phash_stream_horizon_window(spark, tmp_path):
+    """A twin arriving beyond the horizon is NOT flagged — the horizon
+    gates the match itself (event-time window), not just state GC, in
+    BOTH the batch and streaming paths."""
+    from prclz_spark.streaming.dedup import dedup_phash_stream, phash_suppress_verdicts
+
+    d, full, truth = _phash_world(spark, tmp_path)  # late file is +1 h
+    batch = dedup_phash_stream(full, "img_id", "ts", horizon="30 minutes").toPandas()
+    assert batch.dup_of.isna().all()
+
+    stream = (
+        spark.readStream.schema("img_id long, phash long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*")
+    )
+    q = (
+        dedup_phash_stream(stream, "img_id", "ts", horizon="30 minutes")
+        .writeStream.format("memory")
+        .queryName("phash_stream_hz")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = phash_suppress_verdicts(spark.table("phash_stream_hz"), "img_id").toPandas()
+    assert got.dup_of.isna().all()
+    assert len(got) == len(truth)
