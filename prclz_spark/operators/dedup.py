@@ -454,6 +454,56 @@ def decontaminate(
     return clean, contaminated
 
 
+def _sign_phash_frame(df, id_col, phash_col="phash", bytes_col="bytes",
+                      fmt_col="fmt"):
+    """(id, phash) from an image frame: use the precomputed phash column
+    when present (the input-table schema carries one), else hash raw
+    bytes+fmt with the Arrow image UDF."""
+    if phash_col in df.columns:
+        return df.select(
+            F.col(id_col), F.col(phash_col).cast("long").alias("phash")
+        )
+    from .. import images as IM
+
+    u = IM.make_udfs()
+    return df.select(
+        F.col(id_col),
+        u["img_phash"](F.col(bytes_col), F.col(fmt_col)).alias("phash"),
+    )
+
+
+def decontaminate_images(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    phash_col: str = "phash",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    max_hamming: int = 6,
+):
+    """Image-benchmark decontamination, the perceptual counterpart of
+    ``decontaminate``: drop every TRAIN image whose 64-bit phash is
+    within ``max_hamming`` bits of ANY eval image (exact recall at ≤ 6
+    via the byte-pair pigeonhole — see _phash_band_array). Same scale
+    shape: the huge train side is scanned once, the small eval phash set
+    is broadcast through phash_pairs_against. Returns (clean_train,
+    contaminated_ids) — contaminated_ids carries (id, n_eval_hits,
+    min_hamming) for the audit trail."""
+    train_sigs = _sign_phash_frame(train, id_col, phash_col, bytes_col, fmt_col)
+    eval_sigs = _sign_phash_frame(eval_df, id_col, phash_col, bytes_col, fmt_col)
+    hits = phash_pairs_against(
+        train_sigs, eval_sigs, id_col, max_hamming=max_hamming
+    )
+    contaminated = hits.groupBy(F.col("corpus_id").alias(id_col)).agg(
+        F.count("*").alias("n_eval_hits"),
+        F.min("hamming").alias("min_hamming"),
+    )
+    clean = train.join(
+        F.broadcast(contaminated.select(id_col)), id_col, "left_anti"
+    )
+    return clean, contaminated
+
+
 def _dedup_tier_spec(
     tier: str, id_col: str, text_col: str, vec_col: str, dim, params: dict
 ) -> dict:
@@ -531,19 +581,7 @@ def _dedup_tier_spec(
         fmt_col = params.get("fmt_col", "fmt")
 
         def _sign_phash(df):
-            # image batches either carry the precomputed phash column
-            # (the input-table schema does) or raw bytes+fmt to hash here
-            if phash_col in df.columns:
-                return df.select(
-                    F.col(id_col), F.col(phash_col).cast("long").alias("phash")
-                )
-            from .. import images as IM
-
-            u = IM.make_udfs()
-            return df.select(
-                F.col(id_col),
-                u["img_phash"](F.col(bytes_col), F.col(fmt_col)).alias("phash"),
-            )
+            return _sign_phash_frame(df, id_col, phash_col, bytes_col, fmt_col)
 
         return {
             "schema": f"{id_col} bigint, phash bigint",
@@ -625,10 +663,16 @@ def incremental_dedup(
 
     spark = batch_df.sparkSession
     spec = _dedup_tier_spec(tier, id_col, text_col, vec_col, dim, params)
-    if not os.path.exists(os.path.join(table_path, "metadata")):
-        IL.create_table(table_path, spec["schema"])
-    corpus_sigs = IL.read(spark, table_path)
     batch_sigs = spec["sign"](batch_df).cache()
+    if not os.path.exists(os.path.join(table_path, "metadata")):
+        # auto-create from the SIGNED batch's actual schema — the spec's
+        # DDL assumes bigint ids, but real corpora (the images table)
+        # carry string ids, and the table must match what append() ships
+        IL.create_table(
+            table_path,
+            batch_sigs.select(*spec["cols"]).schema.simpleString()[7:-1],
+        )
+    corpus_sigs = IL.read(spark, table_path)
     cross = spec["cross"](corpus_sigs, batch_sigs).cache()
     internal = spec["internal"](batch_sigs).cache()
     # batch-internal losers via the TRANSITIVE closure (components), not

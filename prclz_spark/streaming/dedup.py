@@ -304,9 +304,12 @@ def suppress_ids(fresh_bands: DataFrame, id_col: str, bands: int = 16) -> DataFr
 # Recall equals the batch tier's (exact at Hamming ≤ 6: both codes of a
 # ≤6-bit pair share a clean byte pair, hence a band key — and the pair is
 # then Hamming-verified in that key's group). State is horizon-bounded by
-# event-time pruning; expected entries per live key ≈ 28·H/2¹⁶ for an
-# in-horizon population H (≈43k at H=10⁸ — cap with ``state_cap``,
-# which drops OLDEST codes first and is disclosed recall loss beyond it).
+# event-time pruning; each image lands in 28 (band, band_val) keys out of
+# 28·2¹⁶ ≈ 1.8M, so the expected entries per live key ≈ H/2¹⁶ for an
+# in-horizon population H (≈1.5k at H=10⁸, well under the default
+# ``state_cap`` of 4096; the cap drops OLDEST codes first and is disclosed
+# recall loss beyond it — total state is 28·H entries ≈ 67 GB of
+# (id, code, ts) at H=10⁸, sharded across executors by the key hash).
 
 import numpy as np
 import pandas as pd

@@ -810,3 +810,110 @@ def test_phash_against_equals_filtered_self_join(spark):
         if bin(bv ^ cv).count("1") <= 6
     }
     assert got == want and len(want) >= 3
+
+
+def test_decontaminate_images_drops_eval_matches(spark):
+    """Image-benchmark decontamination (phash counterpart of the winnow
+    rule): train images within Hamming<=6 of any eval image are dropped;
+    unrelated eval images contaminate nothing; audit columns carry the
+    hit count and the minimum distance."""
+    import random
+
+    from prclz_spark.operators.dedup import decontaminate_images
+
+    rng = random.Random(11)
+
+    def flip(c, k):
+        for b in rng.sample(range(64), k):
+            c ^= 1 << b
+        return c
+
+    signed = lambda c: c - (1 << 64) if c >= 1 << 63 else c
+    bases = {i: rng.getrandbits(64) for i in range(40)}
+    # guard the fixture: distinct bases must be far apart
+    codes = list(bases.values())
+    assert min(
+        bin(a ^ b).count("1")
+        for i, a in enumerate(codes) for b in codes[i + 1:]
+    ) > 13
+
+    train = spark.createDataFrame(
+        [(i, signed(c)) for i, c in bases.items()], "img_id long, phash long"
+    )
+    # eval: twins of train 0,5,10,...,35 at 6 flips; two at distance 1 of
+    # train#0 (multi-hit); 10 far codes (20 flips off base 1..10)
+    leaked = [(1000 + i, signed(flip(bases[i], 6))) for i in range(0, 40, 5)]
+    leaked += [(2000, signed(bases[0] ^ 1)), (2001, signed(bases[0] ^ 2))]
+    fresh = [(3000 + i, signed(flip(bases[i], 20))) for i in range(1, 11)]
+    eval_df = spark.createDataFrame(leaked + fresh, "img_id long, phash long")
+
+    clean, contaminated = decontaminate_images(train, eval_df, "img_id")
+    got = {r.img_id: (r.n_eval_hits, r.min_hamming) for r in contaminated.collect()}
+    assert set(got) == {0, 5, 10, 15, 20, 25, 30, 35}
+    assert got[0] == (3, 1)          # twin + the two 1-bit probes
+    assert all(v == (1, 6) for k, v in got.items() if k != 0)
+    clean_ids = {r.img_id for r in clean.collect()}
+    assert clean_ids == set(range(40)) - set(got)
+
+
+def test_decontaminate_images_signs_from_bytes(spark):
+    """Without a phash column the operator hashes raw bytes+fmt with the
+    image UDF: a train image that IS an eval image (same pixels) must be
+    caught end to end from bytes; string ids pass through untouched."""
+    from prclz_spark import images as IM
+    from prclz_spark.operators.dedup import decontaminate_images
+
+    imgs = IM.images_table(spark, 12).select("image_id", "bytes", "fmt")
+    train = imgs.filter(F.col("image_id") < "img_00000010")
+    eval_df = imgs.filter(
+        F.col("image_id").isin("img_00000002", "img_00000007")
+    ).select(
+        F.concat(F.lit("eval_"), "image_id").alias("image_id"), "bytes", "fmt"
+    )
+    clean, contaminated = decontaminate_images(train, eval_df, "image_id")
+    assert {r.image_id for r in contaminated.collect()} == {
+        "img_00000002", "img_00000007"
+    }
+    assert {r.image_id for r in clean.collect()} == {
+        f"img_{i:08d}" for i in range(10) if i not in (2, 7)
+    }
+
+
+def test_incremental_dedup_string_ids_from_bytes(spark, tmp_path):
+    """Real corpora carry STRING ids (the images input table) — the loop
+    must auto-create the fingerprint table from the signed batch's actual
+    schema, not the spec's bigint-id DDL, and the closure/anti-join
+    machinery must work on string keys end to end. Signing goes through
+    the raw bytes+fmt UDF path (no precomputed phash column). Regression:
+    round 6 CLI drive found day-0 crashed on a schema-mismatch append."""
+    from prclz_spark import images as IM
+    from prclz_spark.operators.dedup import incremental_dedup
+    from prclz_spark.sources import iceberg_lite as IL
+
+    t = str(tmp_path / "phash_tbl")
+    imgs = IM.images_table(spark, 120)
+    day0 = imgs.filter(F.col("image_id") < "img_00000100").select(
+        "image_id", "bytes", "fmt"
+    )
+    day1 = (
+        imgs.filter(F.col("image_id") >= "img_00000100")
+        .select("image_id", "bytes", "fmt")
+        .unionByName(
+            day0.filter(F.col("image_id") < "img_00000005").select(
+                F.concat(F.lit("re_"), "image_id").alias("image_id"),
+                "bytes", "fmt",
+            )
+        )
+    )
+    surv0, cross0, _, _ = incremental_dedup(day0, t, "image_id", tier="phash")
+    assert cross0.count() == 0 and surv0.count() == 100
+    assert "image_id:string" in IL.table_schema(t).replace(" ", "")
+
+    surv1, cross1, _, _ = incremental_dedup(day1, t, "image_id", tier="phash")
+    got = {(r.batch_id, r.corpus_id) for r in cross1.collect()}
+    assert got == {(f"re_img_{i:08d}", f"img_{i:08d}") for i in range(5)}
+    assert {r.image_id for r in surv1.collect()} == {
+        f"img_{i:08d}" for i in range(100, 120)
+    }
+    # table now holds both days' survivors, string ids intact
+    assert IL.read(spark, t).count() == 120

@@ -741,3 +741,101 @@ def test_dedup_phash_stream_horizon_window(spark, tmp_path):
     got = phash_suppress_verdicts(spark.table("phash_stream_hz"), "img_id").toPandas()
     assert got.dup_of.isna().all()
     assert len(got) == len(truth)
+
+
+def test_phash_state_func_gc_cap_and_timeout():
+    """The phash state handler driven directly with a stub GroupState:
+    (a) an out-of-horizon state entry neither matches a new arrival nor
+    survives GC; (b) state_cap trims to the NEWEST entries; (c) the
+    timeout branch removes state and emits nothing."""
+    import numpy as np
+
+    from prclz_spark.streaming.dedup import _phash_verdict_state_func
+
+    class StubState:
+        def __init__(self):
+            self._v, self.hasTimedOut = None, False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v = None
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    H = 1_000_000  # 1 s horizon in µs
+
+    def batch(rows):  # rows: (pid, code, ts_us)
+        return iter([pd.DataFrame(rows, columns=["_pid", "_code", "ts_us"])])
+
+    run = lambda st, rows, cap=0: list(
+        _phash_verdict_state_func(None, batch(rows), st, 6, H, cap)
+    )[0]
+
+    # (a) same code arrives at t=0 and t=2s: out of horizon → no match,
+    # and the t=0 entry is GC'd from state
+    st = StubState()
+    run(st, [(1, 42, 0)])
+    out = run(st, [(2, 42, 2 * H)])
+    assert out.dup_of.isna().all()
+    ids = np.frombuffer(st._v[0], dtype=np.int64)
+    assert list(ids) == [2]
+
+    # in-horizon same code DOES match
+    out = run(st, [(3, 42, 2 * H + 1000)])
+    assert list(out.dup_of) == [2]
+
+    # (b) cap=3 over 5 in-horizon arrivals keeps the 3 newest
+    st = StubState()
+    run(st, [(i, 1000 + i * 128, i) for i in range(5)], cap=3)
+    ids = np.frombuffer(st._v[0], dtype=np.int64)
+    assert list(ids) == [2, 3, 4]
+
+    # (c) timeout branch: state removed, nothing emitted
+    st.hasTimedOut = True
+    assert list(_phash_verdict_state_func(None, iter([]), st, 6, H, 0)) == []
+    assert not st.exists
+
+
+def test_dedup_phash_stream_timeout_path_runs(spark, tmp_path):
+    """The processing-time eviction variant drains cleanly and emits the
+    same verdicts (timeouts cannot FIRE under availableNow's short run —
+    this pins the setTimeoutDuration call path, like the k-complexity
+    twin test)."""
+    from prclz_spark.streaming.dedup import dedup_phash_stream, phash_suppress_verdicts
+
+    d, full, truth = _phash_world(spark, tmp_path)
+    stream = (
+        spark.readStream.schema("img_id long, phash long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*")
+    )
+    q = (
+        dedup_phash_stream(
+            stream, "img_id", "ts", horizon="2 days", idle_timeout_ms=60_000
+        )
+        .writeStream.format("memory")
+        .queryName("phash_stream_to")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = {
+        int(r.img_id): (None if pd.isna(r.dup_of) else int(r.dup_of))
+        for r in phash_suppress_verdicts(
+            spark.table("phash_stream_to"), "img_id"
+        ).toPandas().itertuples()
+    }
+    assert got == truth
