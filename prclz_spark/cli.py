@@ -103,6 +103,28 @@ def main(argv=None):
     sp_ing.add_argument("--n", type=int, default=256,
                         help="synthetic tile count when --images is omitted")
 
+    sp_ist = sub.add_parser(
+        "ingest-stream",
+        help="exactly-once streaming ingest of a parquet arrival directory "
+             "into an iceberg-lite table (foreachBatch commits stamped with "
+             "the micro-batch id; re-run with the same --checkpoint and "
+             "--query-id to resume, crash-replayed batches are skipped)",
+    )
+    sp_ist.add_argument("--src", required=True,
+                        help="parquet arrival directory (glob ok)")
+    sp_ist.add_argument("--schema", required=True,
+                        help="DDL of the arrival rows, e.g. 'doc_id long, text string'")
+    sp_ist.add_argument("--table", required=True, help="table root path")
+    sp_ist.add_argument("--checkpoint", required=True,
+                        help="streaming checkpoint dir (pair 1:1 with --query-id)")
+    sp_ist.add_argument("--query-id", default="ingest",
+                        help="idempotence key recorded on each commit")
+    sp_ist.add_argument("--stats-col", action="append", default=None,
+                        help="repeatable: record per-file min/max for pruning")
+    sp_ist.add_argument("--max-files-per-trigger", type=int, default=None)
+    sp_ist.add_argument("--continuous", action="store_true",
+                        help="keep running (default: drain available files, exit)")
+
     sp_cmp = sub.add_parser(
         "compact-table",
         help="merge an iceberg-lite table's manifest chain (read becomes "
@@ -134,6 +156,27 @@ def main(argv=None):
                             "(winnow), cosine (embedding)")
     sp_dd.add_argument("--out", default=None,
                        help="optional parquet dir for the dup-pair verdicts")
+
+    sp_dc = sub.add_parser(
+        "decontam",
+        help="benchmark decontamination: drop train rows overlapping an "
+             "eval set (text tier: shared winnowed fingerprints; image "
+             "tier: phash within a Hamming radius)",
+    )
+    sp_dc.add_argument("--train", required=True, help="parquet of train rows")
+    sp_dc.add_argument("--eval", dest="eval_path", required=True,
+                       help="parquet of eval rows")
+    sp_dc.add_argument("--tier", default="text", choices=["text", "image"])
+    sp_dc.add_argument("--id-col", default="doc_id")
+    sp_dc.add_argument("--text-col", default="text")
+    sp_dc.add_argument("--min-shared", type=int, default=2,
+                       help="text tier: min shared fingerprints")
+    sp_dc.add_argument("--max-hamming", type=int, default=6,
+                       help="image tier: max phash Hamming distance")
+    sp_dc.add_argument("--out", required=True,
+                       help="parquet dir for the clean train set")
+    sp_dc.add_argument("--audit", default=None,
+                       help="optional parquet dir for contaminated ids")
 
     sp_mix = sub.add_parser(
         "mix",
@@ -234,6 +277,28 @@ def main(argv=None):
             n = IL.read(spark, args.table).count()
             print(f"committed snapshot {snap}: table now {n} rows", file=sys.stderr)
             return
+        elif args.cmd == "ingest-stream":
+            from .sources import iceberg_lite as IL
+            from .streaming.ingest import write_stream_to_iceberg
+
+            r = spark.readStream.schema(args.schema)
+            if args.max_files_per_trigger:
+                r = r.option("maxFilesPerTrigger", args.max_files_per_trigger)
+            q = write_stream_to_iceberg(
+                r.parquet(args.src), args.table, args.query_id,
+                args.checkpoint, stats_cols=args.stats_col,
+                available_now=not args.continuous,
+            )
+            q.awaitTermination()
+            if not args.continuous:
+                q.stop()
+                wm = IL.last_committed_batch(args.table, args.query_id)
+                n = IL.read(spark, args.table).count()
+                print(
+                    f"ingested through batch {wm}: table now {n} rows",
+                    file=sys.stderr,
+                )
+            return
         elif args.cmd == "compact-table":
             from .sources import iceberg_lite as IL
 
@@ -283,6 +348,26 @@ def main(argv=None):
                 f"{IL.read(spark, args.table).count()} fingerprint rows",
                 file=sys.stderr,
             )
+            return
+        elif args.cmd == "decontam":
+            from .operators.dedup import decontaminate, decontaminate_images
+
+            train = spark.read.parquet(args.train)
+            eval_df = spark.read.parquet(args.eval_path)
+            if args.tier == "text":
+                clean, contaminated = decontaminate(
+                    train, eval_df, args.id_col, args.text_col,
+                    min_shared=args.min_shared,
+                )
+            else:
+                clean, contaminated = decontaminate_images(
+                    train, eval_df, args.id_col, max_hamming=args.max_hamming,
+                )
+            if args.audit:
+                contaminated.write.mode("overwrite").parquet(args.audit)
+            clean.write.mode("overwrite").parquet(args.out)
+            n_c = spark.read.parquet(args.out).count()
+            print(f"clean train: {n_c} rows -> {args.out}", file=sys.stderr)
             return
         elif args.cmd == "mix":
             from .operators.mix import mix_strata

@@ -178,6 +178,7 @@ def append(
     path: str,
     stats_cols: list[str] | None = None,
     max_retries: int = 5,
+    properties: dict | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot; returns the new snapshot id.
 
@@ -191,6 +192,12 @@ def append(
 
     Data files are written once; only the (metadata-sized) manifest commit
     participates in the optimistic rebase loop on concurrent writers.
+
+    ``properties``: opaque key/values recorded on the manifest (Iceberg's
+    snapshot-summary properties). The streaming ingest sink stores
+    ``{"query_id": ..., "batch_id": n}`` here to make micro-batch commits
+    idempotent across restarts (see streaming/ingest.py and
+    last_committed_batch).
     """
     from pyspark.sql import functions as F
 
@@ -207,12 +214,15 @@ def append(
     per_file = _scan_file_stats(spark, out_dir, stats_cols or [])
 
     def build(snap: int, parent: int | None) -> dict:
-        return {
+        m = {
             "snapshot": snap,
             "parent": parent,
             "files": _file_entries(per_file, stats_cols or [], snap),
             "stats_cols": stats_cols or [],
         }
+        if properties:
+            m["properties"] = properties
+        return m
 
     return _commit_with_rebase(path, build, max_retries)
 
@@ -245,6 +255,22 @@ def _file_entries(per_file, stats_cols: list[str], snap: int) -> list[dict]:
     return sorted(files, key=lambda e: e["path"])
 
 
+def _merge_ingest_watermarks(chain: list[dict]) -> dict:
+    """Max committed micro-batch id per streaming query_id across a
+    manifest chain — both directly-stamped commit properties and maps a
+    prior compaction/rewrite carried (the recursive carry-forward rule:
+    absorb direct AND previously-absorbed state, or a second absorption
+    silently loses it)."""
+    wm: dict = {}
+    for m in chain:
+        for qid, b in m.get("ingest_watermarks", {}).items():
+            wm[qid] = max(wm.get(qid, -1), b)
+        p = m.get("properties") or {}
+        if "query_id" in p and "batch_id" in p:
+            wm[p["query_id"]] = max(wm.get(p["query_id"], -1), p["batch_id"])
+    return wm
+
+
 def rewrite_data_files(spark: SparkSession, path: str, max_retries: int = 3) -> int:
     """Materialize deletes physically (Iceberg's rewrite-data-files): read
     the table as of the current snapshot (tombstones applied), write fresh
@@ -275,6 +301,10 @@ def rewrite_data_files(spark: SparkSession, path: str, max_retries: int = 3) -> 
             "parent": base,
             "files": _file_entries(per_file, stats_cols, snap),
             "stats_cols": stats_cols,
+            # a rewrite absorbs the chain like a compaction does — the
+            # streaming-ingest watermarks must ride along or a replayed
+            # micro-batch after a rewrite would double-append
+            "ingest_watermarks": _merge_ingest_watermarks(_manifests(path, base)),
             "includes_through": snap,
         }
         try:
@@ -359,6 +389,7 @@ def compact_manifests(path: str, max_retries: int = 5) -> int:
             "files": sorted(files_at(path, base), key=lambda e: e["path"]),
             "stats_cols": stats_cols,
             "deletes_carried": carried,
+            "ingest_watermarks": _merge_ingest_watermarks(chain),
             "includes_through": snap,
         }
 
@@ -424,6 +455,25 @@ def deletes_at(path: str, snapshot: int | None = None) -> list[dict]:
         if m.get("deletes"):
             out.append(m["deletes"])
     return sorted(out, key=lambda d: d["as_of"])
+
+
+def last_committed_batch(path: str, query_id: str,
+                         snapshot: int | None = None) -> int | None:
+    """Highest micro-batch id committed for ``query_id`` at ``snapshot``
+    (default: latest), or None — the idempotence watermark the streaming
+    ingest sink consults before committing a (possibly re-delivered)
+    batch. Reads manifest ``properties`` on the live chain plus the
+    ``ingest_watermarks`` a compaction carried for absorbed manifests."""
+    snap = current_snapshot(path) if snapshot is None else snapshot
+    if snap < 0:
+        return None
+    best = -1
+    for m in _manifests(path, snap):
+        best = max(best, m.get("ingest_watermarks", {}).get(query_id, -1))
+        p = m.get("properties") or {}
+        if p.get("query_id") == query_id and "batch_id" in p:
+            best = max(best, p["batch_id"])
+    return None if best < 0 else best
 
 
 def read(spark: SparkSession, path: str, snapshot: int | None = None,

@@ -321,11 +321,16 @@ def test_empty_delete_set_is_harmless(spark, tmp_path):
 
 def test_table_model_random_op_sequences(spark, tmp_path):
     """Model-based property test of the whole table layer: random
-    append / delete / compact / rewrite sequences, replayed against a
-    plain in-memory model (list of (id, added_seq) + delete log). After
-    EVERY op, the live read matches the model; at the end, time travel to
-    every recorded snapshot matches the model's historical state."""
+    append / delete / compact / rewrite / streaming-ingest / crash-replay
+    sequences, replayed against a plain in-memory model (list of
+    (id, added_seq) + delete log + per-query ingest watermark). After
+    EVERY op, the live read matches the model and the ingest watermark
+    survives compaction/rewrite; a replayed micro-batch never changes the
+    table; at the end, time travel to every recorded snapshot matches the
+    model's historical state."""
     import random as rnd
+
+    from prclz_spark.streaming.ingest import iceberg_batch_sink
 
     rng = rnd.Random(17)
     t = str(tmp_path / "model")
@@ -335,6 +340,8 @@ def test_table_model_random_op_sequences(spark, tmp_path):
     deletes: list[tuple[set, int]] = []     # (ids, as_of_snapshot)
     history: dict[int, list[int]] = {}      # snapshot -> visible ids
     next_id = 0
+    sink = iceberg_batch_sink(t, "qM")
+    wm = -1                                  # model ingest watermark
 
     def visible(rows, dels):
         out = []
@@ -344,9 +351,26 @@ def test_table_model_random_op_sequences(spark, tmp_path):
             out.append(i)
         return sorted(out)
 
-    for _ in range(14):
-        op = rng.choice(["append", "append", "delete", "compact", "rewrite"])
-        if op == "append":
+    for _ in range(18):
+        op = rng.choice(["append", "append", "delete", "compact", "rewrite",
+                         "ingest", "replay"])
+        if op == "replay":
+            if wm < 0:
+                continue
+            before = IL.current_snapshot(t)
+            bid = rng.randint(0, wm)
+            sink(spark.createDataFrame([(999_000 + bid,)], "doc_id bigint"), bid)
+            assert IL.current_snapshot(t) == before, "replay committed!"
+            continue
+        if op == "ingest":
+            n = rng.randint(1, 4)
+            ids = list(range(next_id, next_id + n))
+            next_id += n
+            wm += 1
+            sink(spark.createDataFrame([(i,) for i in ids], "doc_id bigint"), wm)
+            s = IL.current_snapshot(t)
+            model_rows.extend((i, s) for i in ids)
+        elif op == "append":
             n = rng.randint(1, 6)
             ids = list(range(next_id, next_id + n))
             next_id += n
@@ -377,6 +401,8 @@ def test_table_model_random_op_sequences(spark, tmp_path):
         history[s] = visible(model_rows, deletes)
         got = sorted(r.doc_id for r in IL.read(spark, t).collect())
         assert got == history[s], (op, s)
+        want_wm = None if wm < 0 else wm
+        assert IL.last_committed_batch(t, "qM") == want_wm, (op, s)
 
     for s, want in history.items():
         got = sorted(r.doc_id for r in IL.read(spark, t, snapshot=s).collect())
