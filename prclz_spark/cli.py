@@ -132,6 +132,20 @@ def main(argv=None):
     )
     sp_cmp.add_argument("--table", required=True, help="table root path")
 
+    sp_exp = sub.add_parser(
+        "expire-table",
+        help="expire old iceberg-lite snapshots and vacuum unreferenced "
+             "data files (run after compact-table; retained reads and "
+             "delete tombstones are preserved)",
+    )
+    sp_exp.add_argument("--table", required=True, help="table root path")
+    sp_exp.add_argument("--retain-last", type=int, default=3,
+                        help="snapshots to keep (plus their chains)")
+    sp_exp.add_argument("--orphan-grace-seconds", type=float, default=3600.0,
+                        help="min age before an unreferenced file is vacuumed")
+    sp_exp.add_argument("--no-vacuum", action="store_true",
+                        help="expire manifests only, keep all data files")
+
     sp_dd = sub.add_parser(
         "dedup-batch",
         help="incremental dedup of a document batch against a persisted "
@@ -307,6 +321,21 @@ def main(argv=None):
             print(
                 f"compacted at snapshot {snap}: reads now touch "
                 f"{n_manifests} manifest(s)",
+                file=sys.stderr,
+            )
+            return
+        elif args.cmd == "expire-table":
+            from .sources import iceberg_lite as IL
+
+            r = IL.expire_snapshots(
+                args.table, retain_last=args.retain_last,
+                vacuum=not args.no_vacuum,
+                orphan_grace_seconds=args.orphan_grace_seconds,
+            )
+            print(
+                f"expired {len(r['expired'])} snapshot(s) "
+                f"{r['expired']}; vacuumed {r['data_files_removed']} "
+                f"data file(s), {r['dirs_removed']} dir(s)",
                 file=sys.stderr,
             )
             return

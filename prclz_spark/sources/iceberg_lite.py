@@ -396,6 +396,111 @@ def compact_manifests(path: str, max_retries: int = 5) -> int:
     return _commit_with_rebase(path, build, max_retries)
 
 
+def _snapshot_ids(path: str) -> list[int]:
+    """All committed snapshot ids present on disk, ascending."""
+    try:
+        names = os.listdir(_meta_dir(path))
+    except FileNotFoundError:
+        return []
+    return sorted(
+        int(n[len("manifest-"):-len(".json")])
+        for n in names
+        if n.startswith("manifest-") and n.endswith(".json")
+    )
+
+
+def expire_snapshots(
+    path: str,
+    retain_last: int = 1,
+    vacuum: bool = True,
+    orphan_grace_seconds: float = 3600.0,
+) -> dict:
+    """Iceberg's expire-snapshots maintenance: drop manifests no retained
+    snapshot's chain needs and (``vacuum``) delete data files nothing
+    retained references — including orphans from appends that wrote data
+    but crashed before their commit. Retains the most recent
+    ``retain_last`` snapshots plus every manifest their chains reach, so
+    it only frees history once a compaction/rewrite has made the recent
+    chain self-contained (before that, every chain walks to snapshot 0
+    and nothing is expirable — by design: expiry must never break a
+    retained read). Time travel to an expired snapshot raises a clear
+    ValueError.
+
+    Orphan safety: a concurrent append writes its data directory BEFORE
+    its manifest commit, so unreferenced files are only removed when
+    older than ``orphan_grace_seconds`` (default 1 h — far beyond any
+    write-to-commit window). Like compaction, this is a single
+    maintenance writer by design; it never conflicts with concurrent
+    appends (their new manifest ids are above the retained set).
+    Returns {"expired": [...], "data_files_removed": n,
+    "dirs_removed": n}.
+    """
+    import time as _time
+
+    existing = _snapshot_ids(path)
+    if not existing:
+        return {"expired": [], "data_files_removed": 0, "dirs_removed": 0}
+    retained = existing[-max(1, retain_last):]
+    needed: set[int] = set()
+    for snap in retained:
+        needed.update(m["snapshot"] for m in _manifests(path, snap))
+    expirable = [i for i in existing if i not in needed]
+    referenced = {
+        os.path.realpath(e["path"])
+        for snap in retained
+        for e in files_at(path, snap)
+    }
+    # delete-spec parquet tombstones referenced by retained manifests
+    for snap in retained:
+        for d in deletes_at(path, snap):
+            referenced.update(os.path.realpath(q) for q in d.get("paths", []))
+    for i in expirable:
+        os.unlink(_manifest_file(path, i))
+    removed_files = removed_dirs = 0
+    if vacuum:
+        cutoff = _time.time() - orphan_grace_seconds
+        data_root = os.path.join(path, "data")
+        for sub in sorted(os.listdir(data_root)):
+            subdir = os.path.join(data_root, sub)
+            if not os.path.isdir(subdir):
+                continue
+            # only DATA files count as vacuumable; Spark sidecars
+            # (_SUCCESS, .crc) ride with their directory and are cleared
+            # only once every data file in it is gone
+            removed_here = 0
+            for fn in os.listdir(subdir):
+                if not fn.endswith(".parquet"):
+                    continue
+                fp = os.path.join(subdir, fn)
+                if os.path.realpath(fp) in referenced:
+                    continue
+                if os.path.getmtime(fp) > cutoff:
+                    continue  # possibly an in-flight append — grace period
+                os.unlink(fp)
+                removed_files += 1
+                removed_here += 1
+            rest = os.listdir(subdir)
+            clearable = (
+                not any(fn.endswith(".parquet") for fn in rest)
+                # an in-flight write still has Spark's _temporary subdir
+                # (or nothing yet) — leave anything non-flat, and anything
+                # young UNLESS this very pass just vacuumed its data
+                # (unlink refreshes the dir mtime)
+                and all(os.path.isfile(os.path.join(subdir, fn)) for fn in rest)
+                and (removed_here > 0 or os.path.getmtime(subdir) <= cutoff)
+            )
+            if clearable:
+                for fn in rest:
+                    os.unlink(os.path.join(subdir, fn))
+                os.rmdir(subdir)
+                removed_dirs += 1
+    return {
+        "expired": expirable,
+        "data_files_removed": removed_files,
+        "dirs_removed": removed_dirs,
+    }
+
+
 def _manifests(path: str, snapshot: int) -> list[dict]:
     """Manifest chain whose union is the table state at ``snapshot``:
     follow each manifest's explicit ``parent`` pointer (Iceberg's snapshot
@@ -405,8 +510,14 @@ def _manifests(path: str, snapshot: int) -> list[dict]:
     out = []
     s: int | None = snapshot
     while s is not None and s >= 0:
-        with open(_manifest_file(path, s)) as f:
-            m = json.load(f)
+        try:
+            with open(_manifest_file(path, s)) as f:
+                m = json.load(f)
+        except FileNotFoundError:
+            raise ValueError(
+                f"snapshot {s} at {path} has been expired "
+                f"(expire_snapshots) or never existed"
+            ) from None
         out.append(m)
         if m.get("includes_through") is not None:
             break

@@ -422,3 +422,86 @@ def test_second_compaction_keeps_deletes(spark, tmp_path):
     assert len(IL.deletes_at(t)) == 1
     got = sorted(r.doc_id for r in IL.read(spark, t).collect())
     assert got == [0, 1, 2, 6, 7, 8, 9]
+
+
+def test_expire_snapshots_and_vacuum(spark, tmp_path):
+    """expire-snapshots maintenance: nothing is expirable while the
+    retained chain still walks to snapshot 0; after a compaction the
+    absorbed manifests expire, time travel to them raises a clear error,
+    data files stay while referenced, and a rewrite makes the originals
+    unreferenced so a second expiry vacuums them. Orphan dirs from
+    crashed appends are removed only past the grace period."""
+    t = str(tmp_path / "tbl")
+    IL.create_table(t, DDL)
+    for lo, hi in [(0, 40), (40, 70), (70, 100)]:
+        IL.append(_frame(spark, lo, hi), t)          # snaps 0,1,2
+
+    # pre-compaction: every retained chain reaches snapshot 0 — no-op
+    r = IL.expire_snapshots(t, retain_last=1, orphan_grace_seconds=0)
+    assert r["expired"] == [] and r["data_files_removed"] == 0
+    assert IL.read(spark, t, snapshot=0).count() == 40
+
+    comp = IL.compact_manifests(t)                    # snap 3, absorbs 0-2
+    IL.append(_frame(spark, 100, 120), t)             # snap 4
+    r = IL.expire_snapshots(t, retain_last=2, orphan_grace_seconds=0)
+    assert r["expired"] == [0, 1, 2]
+    # compaction reuses the original data files — nothing vacuumable yet
+    assert r["data_files_removed"] == 0
+    assert IL.read(spark, t).count() == 120
+    assert IL.read(spark, t, snapshot=comp).count() == 100
+    with pytest.raises(ValueError, match="expired"):
+        IL.read(spark, t, snapshot=1)
+
+    # a rewrite copies rows into fresh files; the originals then expire
+    n_parquet = lambda: sum(
+        1 for d in os.listdir(f"{t}/data")
+        for f in os.listdir(f"{t}/data/{d}") if f.endswith(".parquet")
+    )
+    before = n_parquet()
+    IL.rewrite_data_files(spark, t)                   # snap 5
+    r = IL.expire_snapshots(t, retain_last=1, orphan_grace_seconds=0)
+    assert set(r["expired"]) == {comp, 4}
+    assert r["data_files_removed"] >= before
+    assert IL.read(spark, t).count() == 120
+    assert sorted(x.image_id for x in IL.read(spark, t).collect()) == sorted(
+        f"img_{i:08d}" for i in range(120)
+    )
+
+    # orphan from a crashed append: fresh files survive the grace window,
+    # aged ones are vacuumed
+    orphan = f"{t}/data/add-orphan"
+    os.makedirs(orphan)
+    with open(f"{orphan}/part-0.parquet", "wb") as f:
+        f.write(b"torn")
+    r = IL.expire_snapshots(t, retain_last=1)         # default 1 h grace
+    assert r["data_files_removed"] == 0 and os.path.exists(orphan)
+    old = 1_000_000_000
+    os.utime(f"{orphan}/part-0.parquet", (old, old))
+    os.utime(orphan, (old, old))
+    r = IL.expire_snapshots(t, retain_last=1, orphan_grace_seconds=3600)
+    assert r["data_files_removed"] == 1 and not os.path.exists(orphan)
+
+
+def test_expire_keeps_delete_tombstones_and_watermarks(spark, tmp_path):
+    """Tombstone parquet referenced by carried delete specs must survive
+    expiry (or reads would resurrect deleted rows), and the streaming
+    ingest watermark — carried by the compaction manifest — survives the
+    absorbed manifests' expiry."""
+    from prclz_spark.streaming.ingest import iceberg_batch_sink
+
+    t = str(tmp_path / "tbl")
+    IL.create_table(t, DDL)
+    sink = iceberg_batch_sink(t, "qE")
+    sink(_frame(spark, 0, 60), 0)                     # snap 0 (ingest)
+    IL.delete_rows(
+        _frame(spark, 10, 20).select("image_id"), t, "image_id"
+    )                                                 # snap 1
+    IL.compact_manifests(t)                           # snap 2
+    r = IL.expire_snapshots(t, retain_last=1, orphan_grace_seconds=0)
+    assert r["expired"] == [0, 1]
+    got = {x.image_id for x in IL.read(spark, t).collect()}
+    assert got == {f"img_{i:08d}" for i in range(60) if not 10 <= i < 20}
+    # watermark carried through compaction outlives the expired commit
+    assert IL.last_committed_batch(t, "qE") == 0
+    sink(_frame(spark, 0, 60), 0)                     # replay — still skipped
+    assert IL.read(spark, t).count() == 50
