@@ -629,6 +629,7 @@ def incremental_dedup(
     vec_col: str = "embedding",
     dim: int | None = None,
     compact_every: int = 16,
+    commit_properties: dict | None = None,
     **params,
 ):
     """The daily crawl loop over an iceberg-lite fingerprint table, for
@@ -691,7 +692,10 @@ def incremental_dedup(
         .dropDuplicates()
     )
     survivors = batch_sigs.join(F.broadcast(dup_ids), id_col, "left_anti")
-    snap = IL.append(survivors.select(*spec["cols"]), table_path)
+    snap = IL.append(
+        survivors.select(*spec["cols"]), table_path,
+        properties=commit_properties,
+    )
     if compact_every and len(IL._manifests(table_path, snap)) > compact_every:
         snap = IL.compact_manifests(table_path)
     return survivors, cross, internal, snap
