@@ -196,3 +196,37 @@ def test_embedding_bucket_exchange_ships_no_vectors(spark):
     assert bucket_exchanges, "expected bucket-carrying exchanges"
     for n in bucket_exchanges:
         assert "embedding" not in n and "v_a" not in n and "v_b" not in n, n
+
+
+def test_decontaminate_images_one_train_scan_eval_broadcast(spark, tmp_path):
+    """Round-6: image decontamination must scan the (huge) train table
+    exactly once for the contamination verdict, broadcast the (small)
+    eval phash set, and never shuffle train rows on the band key — the
+    same 100 TB shape as the against-corpus dedup it builds on."""
+    import re
+
+    from prclz_spark.operators.dedup import decontaminate_images
+
+    t = str(tmp_path / "train.parquet")
+    spark.range(2000).select(
+        F.col("id").alias("img_id"),
+        F.xxhash64(F.col("id").cast("string")).alias("phash"),
+    ).write.parquet(t)
+    train = spark.read.parquet(t)
+    eval_df = spark.createDataFrame(
+        [(9000 + i, i * 7919) for i in range(8)], "img_id long, phash long"
+    )
+    _, contaminated = decontaminate_images(train, eval_df, "img_id")
+    ex = contaminated._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    nodes = re.split(r"\n(?=\(\d+\) )", ex)
+    train_scans = [n for n in nodes if "Scan parquet" in n.split("\n")[0]
+                   and "train.parquet" in n]
+    assert len(train_scans) == 1, f"train must be scanned exactly once:\n{ex}"
+    assert "SortMergeJoin" not in ex and "ShuffledHashJoin" not in ex
+    assert "BroadcastHashJoin" in ex
+    for n in nodes:
+        if n.split("\n")[0].startswith("(") and "Exchange" in n.split("\n")[0]:
+            assert "hashpartitioning(band" not in n, \
+                f"train-wide band exchange found:\n{n}"

@@ -216,6 +216,46 @@ def main() -> None:
         )
     )
 
+    from prclz_spark.operators.dedup import decontaminate_images
+
+    eval_ph = spark.range(0, 50).selectExpr(
+        "id + 5000000 AS img_id", "xxhash64(cast(id*7 AS string)) AS phash"
+    )
+    train_ph = spark.range(0, 20_000).selectExpr(
+        "id AS img_id", "xxhash64(cast(id AS string)) AS phash"
+    )
+    _, contaminated = decontaminate_images(train_ph, eval_ph, "img_id")
+    sections.append(
+        (
+            "image decontamination verdict (r6)",
+            "train scanned ONCE, eval phash set broadcast through the "
+            "against-corpus band join, no train-side band shuffle; the "
+            "only exchanges are candidate-sized (dedup + per-train-id "
+            "verdict agg). clean = train anti-join broadcast(verdict).",
+            fmt(contaminated),
+        )
+    )
+
+    from prclz_spark.sources import iceberg_lite as IL
+    import tempfile
+    ing = tempfile.mkdtemp() + "/ingest_tbl"
+    from prclz_spark.streaming.ingest import iceberg_batch_sink
+    sink = iceberg_batch_sink(ing, "q", stats_cols=["doc_id"])
+    for b in range(3):
+        sink(spark.range(b * 100, b * 100 + 100).selectExpr("id AS doc_id"), b)
+    IL.compact_manifests(ing)
+    IL.expire_snapshots(ing, retain_last=1, orphan_grace_seconds=0)
+    sections.append(
+        (
+            "iceberg-lite read after ingest → compact → expire (r6)",
+            "three exactly-once streamed micro-batch commits, compacted and "
+            "expired: the read is ONE bare multi-file parquet scan — no "
+            "manifest chain walk, no anti-joins, commit metadata "
+            "(batch-id watermarks) carried outside the data path.",
+            fmt(IL.read(spark, ing)),
+        )
+    )
+
     out = ["# Physical plans of the flagship operators\n",
            "Generated by `python tools/show_plans.py` (4×4 fixture world; the",
            "plan SHAPE is scale-independent — sizes only move AQE thresholds).\n"]
