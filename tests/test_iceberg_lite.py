@@ -322,12 +322,13 @@ def test_empty_delete_set_is_harmless(spark, tmp_path):
 def test_table_model_random_op_sequences(spark, tmp_path):
     """Model-based property test of the whole table layer: random
     append / delete / compact / rewrite / streaming-ingest / crash-replay
-    sequences, replayed against a plain in-memory model (list of
+    / expire sequences, replayed against a plain in-memory model (list of
     (id, added_seq) + delete log + per-query ingest watermark). After
     EVERY op, the live read matches the model and the ingest watermark
-    survives compaction/rewrite; a replayed micro-batch never changes the
-    table; at the end, time travel to every recorded snapshot matches the
-    model's historical state."""
+    survives compaction/rewrite/expiry; a replayed micro-batch never
+    changes the table; expiry never changes the current read and drops
+    expired ids from the time-travel set; at the end, time travel to
+    every still-retained snapshot matches the model's historical state."""
     import random as rnd
 
     from prclz_spark.streaming.ingest import iceberg_batch_sink
