@@ -354,28 +354,85 @@ def _phash_verdict_state_func(
         ids = np.zeros(0, dtype=np.int64)
         codes = np.zeros(0, dtype=np.uint64)
         tss = np.zeros(0, dtype=np.int64)
-    out = []
+    new_ids = batch["_pid"].to_numpy(np.int64)
     new_codes = batch["_code"].to_numpy(np.int64).view(np.uint64)
-    for pid, code, ts in zip(
-        batch["_pid"].to_numpy(np.int64),
-        new_codes,
-        batch["ts_us"].to_numpy(np.int64),
-    ):
-        ham = _hamming_matrix(code.reshape(1), codes)[0]
-        # the horizon gates the MATCH (event-time window per arrival), not
-        # just state GC — an entry that outlived the horizon must not flag
-        # a new row even if GC hasn't dropped it yet this trigger
-        hit = np.nonzero((ham <= max_hamming) & (tss >= ts - horizon_us))[0]
-        if len(hit):
-            # true earliest (ts, id) match — arrival order only coincides
-            # with it when data arrives in order, and late rows may not
-            j = hit[np.lexsort((ids[hit], tss[hit]))[0]]
-            out.append((pid, ts, int(ids[j]), int(tss[j])))
-        else:
-            out.append((pid, ts, None, None))
-        ids = np.append(ids, pid)
-        codes = np.append(codes, code)
-        tss = np.append(tss, ts)
+    new_tss = batch["ts_us"].to_numpy(np.int64)
+    # Vectorized verdicts over DISTINCT codes. A viral exact-clone code
+    # (blank thumbnails at crawl scale) funnels its whole micro-batch
+    # share into ONE key; any per-row or per-pair formulation is O(B²)
+    # exactly where B is largest. Codes factorize first — the viral key
+    # collapses to U=1 distinct code — the U×U Hamming test runs on
+    # distinct codes only, and each row's verdict is two binary searches
+    # per allowed code: state and earlier-batch candidate lists are kept
+    # sorted by (ts, id), so "earliest eligible match" is the element at
+    # searchsorted(ts_row − horizon) when it exists. Eligibility is
+    # arrival precedence (state ∪ strictly-earlier batch rows) AND the
+    # event-time window ts_cand ≥ ts_row − horizon — the horizon gates
+    # the MATCH, not just state GC, so an entry that outlived it cannot
+    # flag a new row even before GC drops it this trigger; and the pick
+    # is the true earliest (ts, id) match, which coincides with arrival
+    # order only when data arrives in order (late rows may not).
+    B = len(new_ids)
+    uniq, inv = np.unique(np.concatenate([codes, new_codes]), return_inverse=True)
+    inv_s, inv_n = inv[: len(codes)], inv[len(codes):]
+    allowed = _hamming_matrix(uniq, uniq) <= max_hamming
+
+    # state candidates per distinct code, sorted by (ts, id)
+    state_groups: dict = {}
+    for v in np.unique(inv_s):
+        m = inv_s == v
+        o = np.lexsort((ids[m], tss[m]))
+        state_groups[int(v)] = (tss[m][o], ids[m][o])
+    # batch candidates per distinct code keep batch order, which IS
+    # (ts, id) order — positions ascend alongside ts
+    batch_groups: dict = {}
+    for u in np.unique(inv_n):
+        pos = np.nonzero(inv_n == u)[0]
+        batch_groups[int(u)] = (pos, new_tss[pos], new_ids[pos])
+
+    imax = np.iinfo(np.int64).max
+    best_ts = np.full(B, imax, dtype=np.int64)
+    best_id = np.full(B, imax, dtype=np.int64)
+    found = np.zeros(B, dtype=bool)
+
+    def _upd(rows, cts, cids):
+        better = (cts < best_ts[rows]) | (
+            (cts == best_ts[rows]) & (cids < best_id[rows])
+        )
+        r = rows[better]
+        best_ts[r], best_id[r], found[r] = cts[better], cids[better], True
+
+    for u, (pos_u, ts_u, _ids_u) in batch_groups.items():
+        cut = ts_u - horizon_us
+        for v in np.nonzero(allowed[u])[0]:
+            sg = state_groups.get(int(v))
+            if sg is not None:
+                ts_v, id_v = sg
+                k = np.searchsorted(ts_v, cut, side="left")
+                ok = k < len(ts_v)
+                if ok.any():
+                    _upd(pos_u[ok], ts_v[k[ok]], id_v[k[ok]])
+            bg = batch_groups.get(int(v))  # v may be state-only
+            if bg is None:
+                continue
+            pos_v, ts_bv, id_bv = bg
+            k = np.searchsorted(ts_bv, cut, side="left")
+            m = np.searchsorted(pos_v, pos_u)  # candidates strictly before
+            ok = k < m
+            if ok.any():
+                _upd(pos_u[ok], ts_bv[k[ok]], id_bv[k[ok]])
+
+    out = list(
+        zip(
+            new_ids.tolist(),
+            new_tss.tolist(),
+            [int(i) if f else None for i, f in zip(best_id, found)],
+            [int(t) if f else None for t, f in zip(best_ts, found)],
+        )
+    )
+    ids = np.concatenate([ids, new_ids])
+    codes = np.concatenate([codes, new_codes])
+    tss = np.concatenate([tss, new_tss])
     keep = tss >= tss.max() - horizon_us
     if state_cap and keep.sum() > state_cap:
         order = np.nonzero(keep)[0]

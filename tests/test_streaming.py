@@ -839,3 +839,102 @@ def test_dedup_phash_stream_timeout_path_runs(spark, tmp_path):
         ).toPandas().itertuples()
     }
     assert got == truth
+
+
+def test_phash_state_func_vectorized_equals_scalar_reference():
+    """The distinct-code verdict kernel (factorize → U×U Hamming on
+    distinct codes → two binary searches per row per allowed code) ≡ a
+    per-arrival reference loop, on random multi-trigger workloads with
+    clone bursts, late rows, and (ts, id) ties; plus a CPU bound on the
+    viral key (5000 exact clones in one trigger): the kernel is
+    near-linear there (measured 0.02 s; 1M clones ≈ 3.3 s) where any
+    per-pair formulation is O(B²) — gate at 0.5 s."""
+    import random
+    import time
+
+    import numpy as np
+
+    from prclz_spark.streaming.dedup import _phash_verdict_state_func
+
+    class StubState:
+        def __init__(self):
+            self._v, self.hasTimedOut = None, False
+
+        exists = property(lambda s: s._v is not None)
+        get = property(lambda s: s._v)
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v = None
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    def reference(triggers, max_h, horizon):
+        """Per-arrival loop over the same (sorted) trigger stream."""
+        ids, codes, tss = [], [], []
+        out = []
+        for rows in triggers:
+            for pid, code, ts in sorted(rows, key=lambda r: (r[2], r[0])):
+                best = None
+                for i, c, t in zip(ids, codes, tss):
+                    if t >= ts - horizon and bin(code ^ c).count("1") <= max_h:
+                        k = (t, i)
+                        best = k if best is None else min(best, k)
+                out.append((pid, ts, None if best is None else best[1]))
+                ids.append(pid), codes.append(code), tss.append(ts)
+            mx = max(tss)
+            keep = [k for k in range(len(tss)) if tss[k] >= mx - horizon]
+            ids = [ids[k] for k in keep]
+            codes = [codes[k] for k in keep]
+            tss = [tss[k] for k in keep]
+        return out
+
+    rng = random.Random(5)
+    H = 1000
+    fam = [rng.getrandbits(63) for _ in range(6)]
+    rows, nid = [], 0
+
+    def mk_rows(n, t_lo, t_hi):
+        nonlocal nid
+        out = []
+        for _ in range(n):
+            base = rng.choice(fam)
+            code = base
+            for b in rng.sample(range(63), rng.randint(0, 8)):
+                code ^= 1 << b
+            out.append((nid, code, rng.randint(t_lo, t_hi)))
+            nid += 1
+        return out
+
+    triggers = [mk_rows(60, 0, 500), mk_rows(80, 300, 1400), mk_rows(50, 900, 2600)]
+    want = reference(triggers, 6, H)
+
+    st = StubState()
+    got = []
+    for rows in triggers:
+        pdf = pd.DataFrame(rows, columns=["_pid", "_code", "ts_us"])
+        (o,) = list(_phash_verdict_state_func(None, iter([pdf]), st, 6, H, 0))
+        got.extend(
+            (int(pid), int(ts), None if pd.isna(d) else int(d))
+            for pid, ts, d, _dt in o.itertuples(index=False, name=None)
+        )
+    assert got == want
+
+    # viral key: 5000 exact clones in one trigger — every row after the
+    # first must flag the first
+    n = 5000
+    clones = pd.DataFrame(
+        {"_pid": np.arange(n), "_code": 12345, "ts_us": np.arange(n)}
+    )
+    st2 = StubState()
+    t0 = time.process_time()
+    (o,) = list(_phash_verdict_state_func(None, iter([clones]), st2, 6, 10**9, 0))
+    cpu = time.process_time() - t0
+    assert o.dup_of.iloc[0] is None or pd.isna(o.dup_of.iloc[0])
+    assert (o.dup_of.iloc[1:] == 0).all()
+    # interpreted loop ≈10 s, full-matrix kernel ≈5.7 s at 5000 rows;
+    # the distinct-code kernel measures 0.02 s — gate with 25× headroom
+    assert cpu < 0.5, f"viral-key kernel too slow: {cpu:.2f}s CPU"
