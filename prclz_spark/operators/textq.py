@@ -1,0 +1,274 @@
+"""Text-quality repetition metrics and corpus-level boilerplate removal.
+
+Two standard training-data curation steps the dedup tiers don't cover:
+
+* ``repetition_metrics`` — the Gopher repetition filters (Rae et al. 2021,
+  appendix A1): per-document duplicate-line / duplicate-n-gram fractions
+  and top-n-gram concentration. A document repeating one paragraph fifty
+  times is useless for training but is NOT a near-duplicate of anything
+  else, so MinHash/SimHash never touch it — this is an intra-document
+  signal. Every metric here is computed with row-local array expressions
+  (sorted-array neighbor tests + an ``aggregate`` run-length scan), so the
+  whole operator is one narrow projection: zero shuffle, zero UDF, full
+  whole-stage codegen, trivially scale-safe at any corpus size.
+
+* ``strip_boilerplate_lines`` — corpus-frequency line removal (the CCNet /
+  RefinedWeb "dedup at line level" step): a line occurring in ≥ ``min_df``
+  documents (navigation chrome, cookie banners, licence headers) is
+  stripped from every document. Scale shape: the heavy-hitter line set is
+  SMALL by definition (≤ total_lines / min_df distinct hashes — at 100 TB
+  and min_df=1000, thousands of times smaller than the corpus), so it
+  broadcasts; the probe side is a broadcast ANTI join — the hot keys that
+  would wreck a shuffled join (a cookie banner shared by 10⁹ pages is the
+  definition of a skewed key) never leave their map task. The single
+  shuffle in the plan is the per-document reassembly, keyed by doc id —
+  uniform by construction.
+
+Reference scope note: prclz has no text pipeline; these extend the engine's
+LLM-curation tier (SURVEY §2.8 extensions) alongside the dedup family in
+operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _word_ngrams(words: Column, n: int) -> Column:
+    """Array of space-joined word n-grams (empty below n words). Guarded:
+    ``sequence(1, 0)`` is DESCENDING [1, 0] in Spark, not empty, so the
+    short-document case must branch to an explicit empty array."""
+    if n == 1:
+        return words
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _dup_flags(sorted_arr: Column) -> Column:
+    """flags[i] = 1 iff sorted_arr[i] equals a neighbor — i.e. the element
+    belongs to a value class with count > 1 (works because the array is
+    sorted, so equal values are adjacent). 1-indexed element_at; the
+    neighbor accesses are short-circuit-guarded and the empty-array case
+    branches explicitly (sequence(1, 0) is [1, 0], not empty)."""
+    flags = F.transform(
+        F.sequence(F.lit(1), F.size(sorted_arr)),
+        lambda i: (
+            ((i > 1) & (F.element_at(sorted_arr, i) == F.element_at(sorted_arr, i - 1)))
+            | (
+                (i < F.size(sorted_arr))
+                & (F.element_at(sorted_arr, i) == F.element_at(sorted_arr, i + 1))
+            )
+        ).cast("int"),
+    )
+    return F.when(F.size(sorted_arr) > 0, flags).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
+def _sum_long(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x)
+
+
+def _top_run_chars(sorted_arr: Column) -> Column:
+    """count × length(value) for the most frequent value of a SORTED array
+    (the Gopher "characters contained in the top n-gram" accounting) via
+    one run-length aggregate scan with (prev, run, best) state."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc, x):
+        run = (
+            F.when(acc["prev"].isNotNull() & (x == acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1))
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], (run * F.length(x)).cast("long")).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def _frac(num: Column, den: Column) -> Column:
+    return F.round(F.try_divide(num.cast("double"), den.cast("double")), 6)
+
+
+def repetition_metrics(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_ngram_sizes: tuple = (2, 3, 4),
+    dup_ngram_sizes: tuple = (5, 6, 7),
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Per-document repetition metrics (the Gopher A1 family):
+
+    * ``dup_line_frac`` / ``dup_line_char_frac`` — fraction of non-blank
+      lines (and of their characters) that are duplicates within the doc;
+    * ``top_{n}gram_char_frac`` — characters covered by the single most
+      frequent word n-gram (count × gram length, over total text length),
+      n ∈ ``top_ngram_sizes``;
+    * ``dup_{n}gram_frac`` — fraction of word n-grams occurring more than
+      once, n ∈ ``dup_ngram_sizes``.
+
+    All fractions are NULL for empty/degenerate documents (try_divide).
+    Typical thresholds (Gopher): dup_line_frac > 0.30,
+    top_2gram_char_frac > 0.20, dup_5gram_frac > 0.15 ⇒ drop. Output keeps
+    (id, n_words, n_lines) for downstream filters. One narrow row-local
+    projection — no shuffle, no UDF.
+    """
+    words = F.filter(F.split(F.col(text_col), " +"), lambda x: x != "")
+    lines = F.filter(
+        F.split(F.col(text_col), line_sep), lambda x: F.length(F.trim(x)) > 0
+    )
+    cur = (
+        df.select(F.col(id_col), F.length(text_col).alias("_tlen"),
+                  words.alias("_w"), lines.alias("_l"))
+        .withColumn("n_words", F.size("_w"))
+        .withColumn("n_lines", F.size("_l"))
+        .withColumn("_ls", F.array_sort("_l"))
+        .withColumn("_lf", _dup_flags(F.col("_ls")))
+        .withColumn("dup_line_frac", _frac(_sum_long(F.col("_lf")), F.size("_ls")))
+        .withColumn(
+            "dup_line_char_frac",
+            _frac(
+                _sum_long(
+                    F.zip_with(
+                        F.col("_ls"), F.col("_lf"), lambda x, f: F.length(x) * f
+                    )
+                ),
+                _sum_long(F.transform(F.col("_ls"), F.length)),
+            ),
+        )
+        .drop("_l", "_ls", "_lf")
+    )
+    out_cols = [id_col, "n_words", "n_lines", "dup_line_frac", "dup_line_char_frac"]
+    for n in top_ngram_sizes:
+        cur = cur.withColumn(
+            f"top_{n}gram_char_frac",
+            _frac(
+                _top_run_chars(F.array_sort(_word_ngrams(F.col("_w"), n))),
+                F.col("_tlen"),
+            ),
+        )
+        out_cols.append(f"top_{n}gram_char_frac")
+    for n in dup_ngram_sizes:
+        g = _word_ngrams(F.col("_w"), n)
+        cur = cur.withColumn(
+            f"dup_{n}gram_frac",
+            _frac(F.size(g) - F.size(F.array_distinct(g)), F.size(g)),
+        )
+        out_cols.append(f"dup_{n}gram_frac")
+    return cur.select(*out_cols)
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int,
+    line_sep: str = "\n",
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """The heavy-hitter line table: (line_hash, df) for every distinct
+    trimmed line of ≥ ``min_line_chars`` chars occurring in ≥ ``min_df``
+    DISTINCT documents. One exploded scan → per-doc dedup → count — both
+    exchanges are on the line-hash key with map-side partial aggregation.
+    The result is bounded by total_lines / min_df rows: small enough to
+    broadcast for any realistic (corpus, min_df), and persistable for the
+    against-corpus form of :func:`strip_boilerplate_lines`."""
+    lines = df.select(
+        F.col(id_col).alias("_bid"),
+        F.explode(F.split(F.col(text_col), line_sep)).alias("_line"),
+    ).filter(F.length(F.trim("_line")) >= min_line_chars)
+    per_doc = lines.select(
+        "_bid", F.xxhash64(F.trim("_line")).alias("line_hash")
+    ).dropDuplicates(["_bid", "line_hash"])
+    return (
+        per_doc.groupBy("line_hash")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= F.lit(min_df))
+    )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 10,
+    line_sep: str = "\n",
+    min_line_chars: int = 1,
+    boilerplate: DataFrame | None = None,
+) -> DataFrame:
+    """Remove every line occurring in ≥ ``min_df`` documents from every
+    document (CCNet/RefinedWeb line-level dedup). Returns
+    (id, text_clean, n_lines, n_lines_removed, removed_char_frac); callers
+    join back on the id for the remaining columns and typically drop
+    documents whose ``removed_char_frac`` exceeds a budget.
+
+    ``boilerplate``: pass a precomputed :func:`boilerplate_lines` table
+    (e.g. persisted from a prior corpus pass) to skip the counting pass —
+    the against-corpus shape: new batches are cleaned against last month's
+    heavy-hitter set with ONE scan of the batch and zero counting work.
+
+    Plan shape (pinned in tests/test_plans.py): the heavy-hitter set is
+    broadcast and consumed by a broadcast LEFT ANTI join on the exploded
+    lines — viral keys (a banner in 10⁹ docs) never shuffle; the only
+    exchange is the uniform per-document reassembly. Lines shorter than
+    ``min_line_chars`` after trimming never count toward document
+    frequency and are never stripped (their join key is NULL, which a
+    left-anti join retains), preserving document structure.
+    """
+    if boilerplate is None:
+        boilerplate = boilerplate_lines(
+            df, id_col, text_col, min_df, line_sep, min_line_chars
+        )
+    hot = F.broadcast(boilerplate.select("line_hash"))
+
+    lines = df.select(
+        F.col(id_col).alias("_bid"),
+        F.length(text_col).alias("_tlen"),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias("_pos", "_line"),
+    ).withColumn(
+        "_lh",
+        F.when(
+            F.length(F.trim("_line")) >= min_line_chars,
+            F.xxhash64(F.trim("_line")),
+        ),
+    )
+    kept = lines.join(hot, lines["_lh"] == hot["line_hash"], "left_anti")
+    out = kept.groupBy("_bid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            line_sep,
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("_bid"),
+        F.size(F.split(F.col(text_col), line_sep)).alias("n_lines"),
+        F.length(text_col).alias("_tlen"),
+    )
+    return totals.join(out, "_bid", "left").select(
+        F.col("_bid").alias(id_col),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        "n_lines",
+        (F.col("n_lines") - F.coalesce("_n_kept", F.lit(0))).alias("n_lines_removed"),
+        _frac(
+            F.col("_tlen") - F.length(F.coalesce("text_clean", F.lit(""))),
+            F.col("_tlen"),
+        ).alias("removed_char_frac"),
+    )

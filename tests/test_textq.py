@@ -1,0 +1,199 @@
+"""Repetition metrics + boilerplate line removal (operators/textq.py).
+
+Ground truth is computed in plain Python (collections.Counter) for every
+metric, on both hand-built adversarial documents and the sf0.001 corpus —
+the operator is pure row-local column algebra, so the Python model IS the
+spec."""
+
+from collections import Counter
+
+import pytest
+
+from prclz_spark.operators.textq import (
+    boilerplate_lines,
+    repetition_metrics,
+    strip_boilerplate_lines,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- model
+
+def py_word_ngrams(text, n):
+    ws = [w for w in text.split(" ") if w]
+    ws = [w for w in " ".join(ws).split(" ") if w]  # collapse runs like ' +'
+    return [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+
+
+def py_metrics(text, n_top, n_dup):
+    ws = [w for w in text.split(" ") if w]
+    lines = [l for l in text.split("\n") if l.strip()]
+    out = {"n_words": len(ws), "n_lines": len(lines)}
+
+    lc = Counter(lines)
+    dup_lines = [l for l in lines if lc[l] > 1]
+    out["dup_line_frac"] = len(dup_lines) / len(lines) if lines else None
+    tot = sum(len(l) for l in lines)
+    out["dup_line_char_frac"] = (
+        sum(len(l) for l in dup_lines) / tot if tot else None
+    )
+
+    for n in n_top:
+        grams = py_word_ngrams(text, n)
+        if grams and len(text):
+            # engine accounting: max over gram classes of count × gram length
+            best = max(c2 * len(g2) for g2, c2 in Counter(grams).items())
+            out[f"top_{n}gram_char_frac"] = best / len(text)
+        else:
+            out[f"top_{n}gram_char_frac"] = 0.0 if len(text) else None
+    for n in n_dup:
+        grams = py_word_ngrams(text, n)
+        out[f"dup_{n}gram_frac"] = (
+            (len(grams) - len(set(grams))) / len(grams) if grams else None
+        )
+    return out
+
+
+def _check(spark, texts, n_top=(2, 3), n_dup=(5,)):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_metrics(
+            df, "doc_id", "text", top_ngram_sizes=n_top, dup_ngram_sizes=n_dup
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        want = py_metrics(t, n_top, n_dup)
+        for k, v in want.items():
+            g = got[i][k]
+            if v is None:
+                assert g is None, (i, k, g, repr(t))
+            else:
+                assert g == pytest.approx(v, abs=2e-6), (i, k, g, v, repr(t))
+
+
+# ---------------------------------------------------------------- tests
+
+def test_repetition_adversarial(spark):
+    texts = [
+        "the cat sat on the mat\nthe cat sat on the mat\nunique line here",
+        "spam spam spam spam spam spam spam spam",          # one repeated word
+        "a b c d e f g h i j k l m n o p",                  # all unique
+        "x\n\n\nx\n  \ny z",                                 # blank lines ignored
+        "one two three one two three one two three",        # repeated trigram
+        "",                                                  # empty doc
+        "word",                                              # single word
+        "a  b   c a  b",                                     # multi-space runs
+        "LINE\nline\nLINE",                                  # case-sensitive
+    ]
+    _check(spark, texts)
+
+
+def test_repetition_corpus(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+    rows = df.select("doc_id", "text").collect()
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_metrics(df, "doc_id", "text").collect()
+    }
+    for r in rows:
+        want = py_metrics(r["text"], (2, 3, 4), (5, 6, 7))
+        for k, v in want.items():
+            g = got[r["doc_id"]][k]
+            if v is None:
+                assert g is None
+            else:
+                assert g == pytest.approx(v, abs=2e-6), (r["doc_id"], k)
+
+
+def test_repetition_no_shuffle(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = repetition_metrics(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "python" not in plan.lower()  # no UDF — pure codegen expressions
+
+
+def _bp_frame(spark):
+    # 6 docs; banner in 5 docs (>= min_df 3), footer in 2 (< 3), and one
+    # doc repeats the banner twice internally (df counts DOCS, not lines)
+    banner, footer = "COOKIE BANNER", "contact us"
+    docs = [
+        (0, f"{banner}\nalpha one\n{footer}"),
+        (1, f"{banner}\nbeta two"),
+        (2, f"{banner}\ngamma three\n{banner}"),
+        (3, f"{banner}\ndelta four\n{footer}"),
+        (4, f"{banner}\nepsilon five"),
+        (5, "zeta six\n\n  \nzeta seven"),
+    ]
+    return spark.createDataFrame(docs, "doc_id long, text string"), banner, footer
+
+
+def test_boilerplate_lines_df_counts(spark):
+    df, banner, footer = _bp_frame(spark)
+    hh = boilerplate_lines(df, "doc_id", "text", min_df=3)
+    assert hh.count() == 1  # banner only: footer df=2, blanks excluded
+    [r] = hh.collect()
+    assert r["df"] == 5  # distinct docs — doc 2's double counts once
+
+
+def test_strip_boilerplate(spark):
+    df, banner, footer = _bp_frame(spark)
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in strip_boilerplate_lines(df, "doc_id", "text", min_df=3).collect()
+    }
+    assert out[0]["text_clean"] == f"alpha one\n{footer}"
+    assert out[0]["n_lines_removed"] == 1
+    assert out[2]["text_clean"] == "gamma three"
+    assert out[2]["n_lines_removed"] == 2
+    # untouched doc keeps blank-line structure verbatim
+    assert out[5]["text_clean"] == "zeta six\n\n  \nzeta seven"
+    assert out[5]["n_lines_removed"] == 0
+    assert out[5]["removed_char_frac"] == 0.0
+    # char fraction consistent
+    t0 = f"{banner}\nalpha one\n{footer}"
+    want = (len(t0) - len(out[0]["text_clean"])) / len(t0)
+    assert out[0]["removed_char_frac"] == pytest.approx(want, abs=2e-6)
+
+
+def test_strip_fully_boilerplate_doc(spark):
+    docs = [(i, "SAME LINE") for i in range(4)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = strip_boilerplate_lines(df, "doc_id", "text", min_df=3).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["text_clean"] == ""
+        assert r["n_lines_removed"] == 1
+        assert r["removed_char_frac"] == 1.0
+
+
+def test_strip_against_precomputed_corpus(spark):
+    df, banner, footer = _bp_frame(spark)
+    hh = boilerplate_lines(df, "doc_id", "text", min_df=3)
+    batch = spark.createDataFrame(
+        [(100, f"{banner}\nfresh content")], "doc_id long, text string"
+    )
+    out = strip_boilerplate_lines(
+        batch, "doc_id", "text", boilerplate=hh
+    ).collect()
+    assert out[0]["text_clean"] == "fresh content"
+    # whitespace-variant of the banner matches via trim on both sides
+    batch2 = spark.createDataFrame(
+        [(101, f"  {banner}  \nother")], "doc_id long, text string"
+    )
+    out2 = strip_boilerplate_lines(batch2, "doc_id", "text", boilerplate=hh).collect()
+    assert out2[0]["text_clean"] == "other"
+
+
+def test_strip_plan_broadcast_anti(spark):
+    df, *_ = _bp_frame(spark)
+    plan = (
+        strip_boilerplate_lines(df, "doc_id", "text", min_df=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
