@@ -13,7 +13,18 @@ Three tiers (SURVEY "similarity search" requirement):
   assigned once to its nearest of `n_lists` centroids (trained on a
   driver-side sample — the centroid table is a tiny broadcast dim);
   queries probe their `n_probe` nearest lists. Recall degrades gracefully
-  with n_probe, candidates ≈ n_probe · |corpus| / n_lists.
+  with n_probe, candidates ≈ n_probe · |corpus| / n_lists;
+* **IVF-PQ top-k with exact re-rank** — the 10¹²-vector MEMORY path
+  (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+  TPAMI 2011): vectors are L2-normalized and product-quantized to ``m``
+  one-byte codes (m=8 over dim=64 ⇒ 32× smaller than float32, 64× than
+  float64 — the difference between a candidate set that fits executor
+  memory and one that spills). Candidate scoring ships ONLY the m-byte
+  codes through the probe join; cosine is approximated by asymmetric
+  distance (one 256-entry inner-product table per query × subspace,
+  then m table gathers per candidate — no decode), the top ``refine_k``
+  approximate hits re-join the raw vectors (a refine_k·|queries|-row
+  exchange, output-sized) and exact cosine re-ranks the final k.
 """
 
 from __future__ import annotations
@@ -23,7 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, BinaryType, DoubleType, LongType
 
 
 def _planes(n_planes: int, dim: int, seed: int = 7) -> np.ndarray:
@@ -189,6 +200,198 @@ def ivf_topk(
     scored = cand.dropDuplicates(["_qid", "_cid"]).withColumn(
         # zero-norm vectors have no cosine: try_divide -> NULL, dropped
         # below (a zero embedding matches nothing; ANSI mode would raise)
+        "cos_sim", F.round(F.try_divide(dot, nrm("_qv") * nrm("_cv")), 6)
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("cos_sim").desc(), F.col("_cid").asc())
+    return (
+        scored.filter(F.col("cos_sim").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id),
+            F.col("_cid").alias(corpus_id),
+            "cos_sim",
+            "rank",
+        )
+    )
+
+
+# --- IVF-PQ tier ------------------------------------------------------------
+
+
+def _norm_rows(X: np.ndarray) -> np.ndarray:
+    """L2-normalize rows; zero rows stay zero (flagged by callers)."""
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    return np.divide(X, n, out=np.zeros_like(X), where=n > 0)
+
+
+def train_pq(
+    corpus: DataFrame,
+    vec_col: str,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 256,
+    iters: int = 10,
+    seed: int = 11,
+) -> np.ndarray:
+    """Product-quantizer codebooks, shape (m, n_codes, dim//m): per-subspace
+    k-means over a bounded driver-side sample of L2-NORMALIZED vectors
+    (normalization first makes subspace inner products sum to cosine).
+    Same sampling contract as train_centroids: TakeOrderedAndProject over
+    rand() — every partition contributes, 100k rows max at any scale."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    rows = corpus.select(vec_col).orderBy(F.rand(seed)).limit(100_000).collect()
+    X = _norm_rows(np.stack([np.asarray(r[0], dtype=np.float64) for r in rows]))
+    X = X[np.abs(X).sum(axis=1) > 0]
+    rng = np.random.default_rng(seed)
+    books = np.zeros((m, n_codes, sub))
+    for s in range(m):
+        Xs = X[:, s * sub : (s + 1) * sub]
+        k = min(n_codes, len(Xs))
+        cents = Xs[rng.choice(len(Xs), size=k, replace=False)]
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            a = d2.argmin(axis=1)
+            for c in range(k):
+                mask = a == c
+                if mask.any():
+                    cents[c] = Xs[mask].mean(axis=0)
+        books[s, :k] = cents
+        if k < n_codes:
+            books[s, k:] = cents[0]  # degenerate tiny-sample fill
+    return books
+
+
+def _pq_encode_udf(books: np.ndarray):
+    """vec → m-byte PQ code of the NORMALIZED vector (binary), NULL for
+    zero-norm vectors (no cosine exists). Batched: one argmin matmul per
+    subspace over the whole Arrow batch."""
+    m, n_codes, sub = books.shape
+    b2 = (books ** 2).sum(axis=2)  # (m, n_codes)
+
+    @pandas_udf(BinaryType())
+    def _f(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        nz = np.linalg.norm(X, axis=1) > 0
+        Xn = _norm_rows(X)
+        codes = np.zeros((len(X), m), dtype=np.uint8)
+        for s in range(m):
+            Xs = Xn[:, s * sub : (s + 1) * sub]
+            d2 = b2[s][None, :] - 2.0 * (Xs @ books[s].T)  # + |x|², const/row
+            codes[:, s] = d2.argmin(axis=1).astype(np.uint8)
+        out = [codes[i].tobytes() if nz[i] else None for i in range(len(X))]
+        return pd.Series(out, dtype=object)
+
+    return _f
+
+
+def pq_encode(
+    corpus: DataFrame, id_col: str, vec_col: str, books: np.ndarray
+) -> DataFrame:
+    """(id, pq_code binary) — m bytes per vector; NULL for zero vectors."""
+    return corpus.select(
+        F.col(id_col), _pq_encode_udf(books)(F.col(vec_col)).alias("pq_code")
+    )
+
+
+def _adc_score_udf(books: np.ndarray):
+    """(query_vec, pq_code) → approximate cosine via asymmetric distance.
+    Factorized on the query side (the point-probe pattern from
+    functions/st.py): distinct query vectors in the batch each build ONE
+    (m, n_codes) inner-product table — a single matmul — and every
+    candidate row is then m table gathers, no per-row Python work beyond
+    the bytes→uint8 view."""
+    m, n_codes, sub = books.shape
+
+    @pandas_udf(DoubleType())
+    def _f(qvecs: pd.Series, codes: pd.Series) -> pd.Series:
+        if not len(qvecs):
+            return pd.Series([], dtype="float64")
+        key = qvecs.map(lambda v: np.asarray(v, dtype=np.float64).tobytes())
+        uniq, inv = np.unique(key.to_numpy(object), return_inverse=True)
+        tables = np.zeros((len(uniq), m, n_codes))
+        for i, kb in enumerate(uniq):
+            qn = _norm_rows(np.frombuffer(kb).reshape(1, -1))[0]
+            for s in range(m):
+                tables[i, s] = books[s] @ qn[s * sub : (s + 1) * sub]
+        code_mat = np.stack(
+            [np.frombuffer(c, dtype=np.uint8) for c in codes]
+        ).astype(np.int64)
+        rows = np.arange(m)[None, :]
+        scores = tables[inv[:, None], rows, code_mat].sum(axis=1)
+        return pd.Series(scores, dtype="float64")
+
+    return _f
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    dim: int,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    refine_k: int = 100,
+    seed: int = 11,
+) -> DataFrame:
+    """(query_id, corpus_id, cos_sim, rank) — IVF-PQ approximate top-k with
+    exact cosine re-rank. Identical output contract to ivf_topk; the
+    difference is WHAT ships through the probe join: an m-byte code per
+    candidate instead of dim floats. Plan shape: corpus → one scan →
+    (list_id, pq_code); probe join on list_id; ADC scores + per-query
+    approximate top-``refine_k``; only those rows re-join the raw vectors
+    (an output-sized exchange on corpus_id) for exact cosine and the
+    final Window top-k."""
+    cents = train_centroids(corpus, vec_col, dim, n_lists=n_lists, seed=seed)
+    books = train_pq(corpus, vec_col, dim, m=m, seed=seed)
+    assign1 = _nearest_lists_udf(cents, 1)
+    probe_n = _nearest_lists_udf(cents, min(n_probe, len(cents)))
+    adc = _adc_score_udf(books)
+
+    c = (
+        corpus.select(F.col(corpus_id).alias("_cid"), F.col(vec_col).alias("_cv"))
+        .withColumn("list_id", F.element_at(assign1(F.col("_cv")), 1))
+        .withColumn("pq_code", _pq_encode_udf(books)(F.col("_cv")))
+    )
+    c_codes = c.select("_cid", "list_id", "pq_code").filter(
+        F.col("pq_code").isNotNull()
+    )
+    q = queries.select(
+        F.col(query_id).alias("_qid"), F.col(vec_col).alias("_qv")
+    ).withColumn("list_id", F.explode(probe_n(F.col("_qv"))))
+
+    cand = (
+        q.join(c_codes, "list_id", "inner")
+        .filter(F.col("_qid") != F.col("_cid"))
+        .dropDuplicates(["_qid", "_cid"])
+        .withColumn("approx_sim", adc(F.col("_qv"), F.col("pq_code")))
+    )
+    wa = Window.partitionBy("_qid").orderBy(
+        F.col("approx_sim").desc(), F.col("_cid").asc()
+    )
+    shortlist = (
+        cand.withColumn("_ar", F.row_number().over(wa))
+        .filter(F.col("_ar") <= refine_k)
+        .select("_qid", "_qv", "_cid")
+    )
+
+    raw = corpus.select(F.col(corpus_id).alias("_cid"), F.col(vec_col).alias("_cv"))
+    dot = F.expr(
+        "aggregate(zip_with(_qv, _cv, (x, y) -> cast(x as double) * cast(y as double)),"
+        " cast(0.0 as double), (a, x) -> a + x)"
+    )
+    nrm = lambda col: F.sqrt(
+        F.expr(f"aggregate({col}, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double))")
+    )
+    scored = shortlist.join(raw, "_cid").withColumn(
         "cos_sim", F.round(F.try_divide(dot, nrm("_qv") * nrm("_cv")), 6)
     )
     w = Window.partitionBy("_qid").orderBy(F.col("cos_sim").desc(), F.col("_cid").asc())

@@ -230,3 +230,36 @@ def test_decontaminate_images_one_train_scan_eval_broadcast(spark, tmp_path):
         if n.split("\n")[0].startswith("(") and "Exchange" in n.split("\n")[0]:
             assert "hashpartitioning(band" not in n, \
                 f"train-wide band exchange found:\n{n}"
+
+
+def test_ivf_pq_probe_join_ships_codes_not_vectors(spark):
+    """Round-6+: the IVF-PQ candidate join must move only (id, list_id,
+    pq_code) on the corpus side — the raw vectors (dim floats vs m bytes,
+    a 32× payload difference that decides whether a 10¹²-vector probe fits
+    memory) enter the plan again only at the output-sized refine join."""
+    import re
+
+    from prclz_spark.operators.ann import ivf_pq_topk
+
+    e = spark.createDataFrame(
+        [(i, [float((i * j) % 11) - 5.0 for j in range(16)]) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    )
+    q = e.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "qid")
+    out = ivf_pq_topk(
+        q, e, "qid", "vec_id", "embedding", dim=16, k=3, n_lists=4, n_probe=2, m=4
+    )
+    ex = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    nodes = re.split(r"\n(?=\(\d+\) )", ex)
+    # every exchange whose output carries the corpus list_id+code payload
+    # must NOT also carry the corpus vector column (_cv); _cv may cross an
+    # exchange only on the refine side (joined by _cid after the shortlist)
+    code_exchanges = [
+        n for n in nodes
+        if "Exchange" in n.split("\n")[0] and "pq_code" in n
+    ]
+    assert code_exchanges, f"expected code-carrying exchanges:\n{ex}"
+    for n in code_exchanges:
+        assert "_cv" not in n, f"corpus vectors ride the probe exchange:\n{n}"
