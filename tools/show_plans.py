@@ -256,6 +256,43 @@ def main() -> None:
         )
     )
 
+    from prclz_spark.operators.textq import strip_boilerplate_lines
+
+    bp_docs = spark.createDataFrame(
+        [(i, ("BANNER\n" if i % 2 else "") + f"body {i}\nfooter {i % 3}")
+         for i in range(400)],
+        "doc_id long, text string",
+    )
+    sections.append(
+        (
+            "Boilerplate line removal (r6 session 2)",
+            "heavy-hitter line set (bounded by total_lines/min_df) broadcasts "
+            "into a LEFT ANTI join on the exploded lines — the viral keys "
+            "(a banner in 10⁹ docs) never shuffle; the only exchange is the "
+            "uniform per-document reassembly on the doc id.",
+            fmt(strip_boilerplate_lines(bp_docs, "doc_id", "text", min_df=50)),
+        )
+    )
+
+    from prclz_spark.operators.ann import ivf_pq_topk
+
+    vecs = spark.createDataFrame(
+        [(i, [float((i * j) % 11) - 5.0 for j in range(16)]) for i in range(300)],
+        "vec_id long, embedding array<float>",
+    )
+    qv = vecs.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "qid")
+    sections.append(
+        (
+            "IVF-PQ top-k with exact re-rank (r6 session 2)",
+            "corpus side of the probe join carries (id, list_id, m-byte "
+            "pq_code) — never the raw vectors (32× payload difference); ADC "
+            "scores the candidates, and only the refine_k shortlist re-joins "
+            "the vector column (output-sized exchange) for exact cosine.",
+            fmt(ivf_pq_topk(qv, vecs, "qid", "vec_id", "embedding", dim=16,
+                            k=3, n_lists=4, n_probe=2, m=4)),
+        )
+    )
+
     out = ["# Physical plans of the flagship operators\n",
            "Generated by `python tools/show_plans.py` (4×4 fixture world; the",
            "plan SHAPE is scale-independent — sizes only move AQE thresholds).\n"]
