@@ -205,6 +205,25 @@ def main(argv=None):
     sp_mix.add_argument("--seed", type=int, default=1)
     sp_mix.add_argument("--out", required=True)
 
+    sp_tq = sub.add_parser(
+        "textq",
+        help="per-doc repetition metrics (Gopher filters) and/or corpus-level "
+             "boilerplate line removal",
+    )
+    sp_tq.add_argument("--docs", required=True, help="parquet of documents")
+    sp_tq.add_argument("--id-col", default="doc_id")
+    sp_tq.add_argument("--text-col", default="text")
+    sp_tq.add_argument("--metrics-out", help="write repetition metrics parquet here")
+    sp_tq.add_argument("--strip-out", help="write boilerplate-stripped docs here")
+    sp_tq.add_argument("--min-df", type=int, default=10,
+                       help="line document-frequency threshold for stripping")
+    sp_tq.add_argument("--boilerplate", default=None,
+                       help="precomputed heavy-hitter line table (parquet) — "
+                            "the against-corpus form; skips the counting pass")
+    sp_tq.add_argument("--boilerplate-out", default=None,
+                       help="persist the heavy-hitter line table here for "
+                            "later --boilerplate runs")
+
     sp_pack = sub.add_parser(
         "pack",
         help="pack documents into fixed token-budget contexts "
@@ -417,6 +436,44 @@ def main(argv=None):
                 ).collect()
             }
             print(f"mixed {sum(got.values())} docs: {got} → {args.out}", file=sys.stderr)
+            return
+        elif args.cmd == "textq":
+            from .operators.textq import (
+                boilerplate_lines,
+                repetition_metrics,
+                strip_boilerplate_lines,
+            )
+
+            docs = spark.read.parquet(args.docs)
+            if not (args.metrics_out or args.strip_out or args.boilerplate_out):
+                p.error("textq: need --metrics-out, --strip-out or --boilerplate-out")
+            if args.metrics_out:
+                m = repetition_metrics(docs, args.id_col, args.text_col)
+                m.write.mode("overwrite").parquet(args.metrics_out)
+                print(f"repetition metrics for {m.count()} docs → "
+                      f"{args.metrics_out}", file=sys.stderr)
+            hh = None
+            if args.boilerplate:
+                hh = spark.read.parquet(args.boilerplate)
+            elif args.strip_out or args.boilerplate_out:
+                hh = boilerplate_lines(
+                    docs, args.id_col, args.text_col, args.min_df
+                )
+                if args.boilerplate_out:
+                    hh.write.mode("overwrite").parquet(args.boilerplate_out)
+                    hh = spark.read.parquet(args.boilerplate_out)
+                    print(f"{hh.count()} heavy-hitter lines → "
+                          f"{args.boilerplate_out}", file=sys.stderr)
+            if args.strip_out:
+                out_df = strip_boilerplate_lines(
+                    docs, args.id_col, args.text_col, args.min_df,
+                    boilerplate=hh,
+                )
+                out_df.write.mode("overwrite").parquet(args.strip_out)
+                n = out_df.count()
+                removed = out_df.agg(F.sum("n_lines_removed")).collect()[0][0]
+                print(f"stripped {removed} boilerplate lines across {n} docs → "
+                      f"{args.strip_out}", file=sys.stderr)
             return
         elif args.cmd == "pack":
             from .operators.pack import pack_sequences

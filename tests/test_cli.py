@@ -109,3 +109,41 @@ def test_cli_mix_and_pack(spark, tmp_path):
     p = spark.read.parquet(str(tmp_path / "packs.pq"))
     assert p.agg(F.sum("n_docs")).first()[0] == d.count()
     assert p.filter((F.col("total_tokens") > 1024) & ~F.col("overflow")).count() == 0
+
+
+def test_cli_textq(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from prclz_spark import cli
+
+    banner = "NAVIGATION MENU"
+    docs = [(i, f"{banner}\ncontent {i} " + "w " * (i % 5)) for i in range(30)]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "docs.pq")
+    )
+    cli.main([
+        "textq", "--docs", str(tmp_path / "docs.pq"),
+        "--metrics-out", str(tmp_path / "metrics.pq"),
+        "--strip-out", str(tmp_path / "clean.pq"),
+        "--boilerplate-out", str(tmp_path / "hh.pq"),
+        "--min-df", "20",
+    ])
+    m = spark.read.parquet(str(tmp_path / "metrics.pq"))
+    assert m.count() == 30 and "dup_line_frac" in m.columns
+    hh = spark.read.parquet(str(tmp_path / "hh.pq"))
+    assert hh.count() == 1  # the banner
+    clean = spark.read.parquet(str(tmp_path / "clean.pq"))
+    assert clean.filter(F.col("text_clean").contains(banner)).count() == 0
+    assert clean.agg(F.sum("n_lines_removed")).first()[0] == 30
+
+    # against-corpus form: a fresh batch stripped with the persisted table
+    spark.createDataFrame(
+        [(100, f"{banner}\nfresh")], "doc_id long, text string"
+    ).write.parquet(str(tmp_path / "batch.pq"))
+    cli.main([
+        "textq", "--docs", str(tmp_path / "batch.pq"),
+        "--boilerplate", str(tmp_path / "hh.pq"),
+        "--strip-out", str(tmp_path / "clean2.pq"),
+    ])
+    c2 = spark.read.parquet(str(tmp_path / "clean2.pq"))
+    assert c2.first()["text_clean"] == "fresh"
