@@ -190,7 +190,7 @@ def _self_pairs_capped(
     ordered by id — every edge links exact fingerprint clones, so the
     caller's verify always passes (the viral case, lossless); (2) a
     chain across group representatives in fingerprint order (the old
-    boundary edges); (3) ALL-PAIRS across the first ⌈√(2·cap)⌉
+    boundary edges); (3) ALL-PAIRS across the first ``rep_pair_cap``
     representatives per group ranking — this is what recovers
     intra-family pairs when a bucket interleaves several NEAR-dup
     families with pairwise-distinct fingerprints (measured in
