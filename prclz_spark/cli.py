@@ -205,6 +205,24 @@ def main(argv=None):
     sp_mix.add_argument("--seed", type=int, default=1)
     sp_mix.add_argument("--out", required=True)
 
+    sp_ab = sub.add_parser(
+        "aspect-batches",
+        help="aspect-ratio bucketing + deterministic fixed-size training "
+             "batches over an image table",
+    )
+    sp_ab.add_argument("--images", required=True,
+                       help="parquet with (image_id, w, h, ...) columns")
+    sp_ab.add_argument("--id-col", default="image_id")
+    sp_ab.add_argument("--batch-size", type=int, required=True)
+    sp_ab.add_argument("--max-pixels", type=int, default=1024 * 1024)
+    sp_ab.add_argument("--min-dim", type=int, default=256)
+    sp_ab.add_argument("--max-dim", type=int, default=2048)
+    sp_ab.add_argument("--buckets", default=None,
+                       help="explicit ladder 'WxH,WxH,...' (overrides the "
+                            "generated NovelAI ladder)")
+    sp_ab.add_argument("--seed", type=int, default=1)
+    sp_ab.add_argument("--out", required=True)
+
     sp_tq = sub.add_parser(
         "textq",
         help="per-doc repetition metrics (Gopher filters) and/or corpus-level "
@@ -436,6 +454,33 @@ def main(argv=None):
                 ).collect()
             }
             print(f"mixed {sum(got.values())} docs: {got} → {args.out}", file=sys.stderr)
+            return
+        elif args.cmd == "aspect-batches":
+            from .operators.aspect import form_batches, make_aspect_buckets
+
+            if args.buckets:
+                ladder = [
+                    (int(w), int(h))
+                    for w, h in (b.split("x") for b in args.buckets.split(","))
+                ]
+            else:
+                ladder = make_aspect_buckets(
+                    args.max_pixels, args.min_dim, args.max_dim
+                )
+            out_df = form_batches(
+                spark.read.parquet(args.images), ladder, args.batch_size,
+                id_col=args.id_col, seed=args.seed,
+            )
+            out_df.write.mode("overwrite").parquet(args.out)
+            hist = {
+                f"{ladder[r['aspect_idx']][0]}x{ladder[r['aspect_idx']][1]}":
+                    r["n_batches"]
+                for r in out_df.groupBy("aspect_idx").agg(
+                    F.countDistinct("batch_id").alias("n_batches")
+                ).collect()
+            }
+            print(f"{len(ladder)}-bucket ladder, batches per bucket: {hist} "
+                  f"→ {args.out}", file=sys.stderr)
             return
         elif args.cmd == "textq":
             from .operators.textq import (

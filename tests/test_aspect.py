@@ -87,3 +87,20 @@ def test_form_batches_on_images_table(spark):
     assert len(pdf) == 96
     assert (pdf.aspect_idx == 0).all()  # 64x64 -> exact-match bucket (64,64)
     assert pdf[~pdf.partial].groupby("batch_id").size().eq(16).all()
+
+
+def test_cli_aspect_batches(spark, tmp_path):
+    from prclz_spark import cli
+    from prclz_spark.images import images_table
+
+    images_table(spark, 64, w=64, h=64).write.parquet(str(tmp_path / "imgs.pq"))
+    cli.main([
+        "aspect-batches", "--images", str(tmp_path / "imgs.pq"),
+        "--batch-size", "8", "--buckets", "64x64,96x48,48x96",
+        "--out", str(tmp_path / "batches.pq"),
+    ])
+    out = spark.read.parquet(str(tmp_path / "batches.pq"))
+    pdf = out.toPandas()
+    assert len(pdf) == 64
+    assert (pdf.aspect_idx == 0).all()
+    assert pdf[~pdf.partial].groupby("batch_id").size().eq(8).all()
