@@ -241,6 +241,11 @@ def main(argv=None):
     sp_tq.add_argument("--boilerplate-out", default=None,
                        help="persist the heavy-hitter line table here for "
                             "later --boilerplate runs")
+    sp_tq.add_argument("--corpus-table", default=None,
+                       help="iceberg-lite line-count table: append this "
+                            "batch's per-line df counts as a snapshot and "
+                            "strip against the SUMMED history (the daily "
+                            "incremental loop; overrides --boilerplate)")
 
     sp_pack = sub.add_parser(
         "pack",
@@ -498,7 +503,22 @@ def main(argv=None):
                 print(f"repetition metrics for {m.count()} docs → "
                       f"{args.metrics_out}", file=sys.stderr)
             hh = None
-            if args.boilerplate:
+            if args.corpus_table:
+                from .operators.textq import (
+                    read_boilerplate_corpus,
+                    update_boilerplate_corpus,
+                )
+
+                snap = update_boilerplate_corpus(
+                    docs, args.corpus_table, args.id_col, args.text_col
+                )
+                hh = read_boilerplate_corpus(
+                    spark, args.corpus_table, args.min_df
+                )
+                print(f"line counts appended as snapshot {snap}; "
+                      f"{hh.count()} heavy hitters at min_df={args.min_df}",
+                      file=sys.stderr)
+            elif args.boilerplate:
                 hh = spark.read.parquet(args.boilerplate)
             elif args.strip_out or args.boilerplate_out:
                 hh = boilerplate_lines(

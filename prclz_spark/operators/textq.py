@@ -272,3 +272,61 @@ def strip_boilerplate_lines(
             F.col("_tlen"),
         ).alias("removed_char_frac"),
     )
+
+
+def update_boilerplate_corpus(
+    batch_df: DataFrame,
+    table_path: str,
+    id_col: str,
+    text_col: str,
+    line_sep: str = "\n",
+    min_line_chars: int = 1,
+    compact_every: int = 16,
+    commit_properties: dict | None = None,
+) -> int:
+    """The incremental form of the heavy-hitter pass: append the batch's
+    per-line document-frequency counts ``(line_hash, df)`` to an
+    iceberg-lite table (created on first use). Document frequency is
+    ADDITIVE across disjoint batches, so the corpus-wide count is a
+    sum-merge at read time (:func:`read_boilerplate_corpus`) — the same
+    daily-crawl loop as operators.dedup.incremental_dedup: each batch is
+    one snapshot, one scan of the batch, zero rewrites of history, the
+    manifest chain auto-compacts every ``compact_every`` appends.
+    Returns the new snapshot id."""
+    from ..sources import iceberg_lite as IL
+    import os
+
+    counts = boilerplate_lines(
+        batch_df, id_col, text_col, min_df=1,
+        line_sep=line_sep, min_line_chars=min_line_chars,
+    )
+    if not os.path.exists(os.path.join(table_path, "metadata")):
+        IL.create_table(table_path, "line_hash bigint, df bigint")
+    snap = IL.append(
+        counts.select(
+            F.col("line_hash").cast("long"), F.col("df").cast("long")
+        ),
+        table_path,
+        properties=commit_properties,
+    )
+    if compact_every and len(IL._manifests(table_path, snap)) > compact_every:
+        snap = IL.compact_manifests(table_path)
+    return snap
+
+
+def read_boilerplate_corpus(
+    spark, table_path: str, min_df: int
+) -> DataFrame:
+    """Corpus-wide heavy-hitter line table from the incremental counts:
+    sum-merge per line_hash (map-side combinable — the per-batch rows are
+    already one per distinct line) and threshold. Feed the result to
+    :func:`strip_boilerplate_lines` via ``boilerplate=`` to clean new
+    batches against the whole crawl history with one batch scan."""
+    from ..sources import iceberg_lite as IL
+
+    return (
+        IL.read(spark, table_path)
+        .groupBy("line_hash")
+        .agg(F.sum("df").alias("df"))
+        .filter(F.col("df") >= F.lit(min_df))
+    )

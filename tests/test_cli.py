@@ -147,3 +147,27 @@ def test_cli_textq(spark, tmp_path):
     ])
     c2 = spark.read.parquet(str(tmp_path / "clean2.pq"))
     assert c2.first()["text_clean"] == "fresh"
+
+
+def test_cli_textq_corpus_table(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from prclz_spark import cli
+
+    banner = "SITE FOOTER"
+    t = str(tmp_path / "bp_tbl")
+    for day in range(2):
+        spark.createDataFrame(
+            [(day * 10 + i, f"{banner}\nday{day} {i}") for i in range(3)],
+            "doc_id long, text string",
+        ).write.mode("overwrite").parquet(str(tmp_path / f"day{day}.pq"))
+        cli.main([
+            "textq", "--docs", str(tmp_path / f"day{day}.pq"),
+            "--corpus-table", t, "--min-df", "5",
+            "--strip-out", str(tmp_path / f"clean{day}.pq"),
+        ])
+    # day 0: banner df=3 < 5 -> untouched; day 1: summed df=6 -> stripped
+    c0 = spark.read.parquet(str(tmp_path / "clean0.pq"))
+    assert c0.filter(F.col("text_clean").contains(banner)).count() == 3
+    c1 = spark.read.parquet(str(tmp_path / "clean1.pq"))
+    assert c1.filter(F.col("text_clean").contains(banner)).count() == 0

@@ -197,3 +197,59 @@ def test_strip_plan_broadcast_anti(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_incremental_boilerplate_corpus(spark, tmp_path):
+    """Daily-crawl loop for the heavy-hitter line table: per-batch df
+    counts append as snapshots; the corpus-wide set is the sum-merge.
+    A line crossing min_df only ACROSS batches must become a heavy
+    hitter, and fresh batches strip against the whole history."""
+    from prclz_spark.operators.textq import (
+        read_boilerplate_corpus,
+        strip_boilerplate_lines,
+        update_boilerplate_corpus,
+    )
+
+    t = str(tmp_path / "bp_corpus")
+    banner = "SHARED BANNER"
+    day0 = spark.createDataFrame(
+        [(i, f"{banner}\nday0 doc {i}") for i in range(3)],
+        "doc_id long, text string",
+    )
+    day1 = spark.createDataFrame(
+        [(10 + i, f"{banner}\nday1 doc {i}") for i in range(3)],
+        "doc_id long, text string",
+    )
+    update_boilerplate_corpus(day0, t, "doc_id", "text")
+    # after day 0 alone the banner has df=3 — not hot at min_df=5
+    assert read_boilerplate_corpus(spark, t, min_df=5).count() == 0
+    update_boilerplate_corpus(day1, t, "doc_id", "text")
+    hh = read_boilerplate_corpus(spark, t, min_df=5)
+    assert hh.count() == 1  # banner df=6 summed ACROSS batches
+    assert hh.first()["df"] == 6
+
+    batch = spark.createDataFrame(
+        [(99, f"{banner}\nfresh")], "doc_id long, text string"
+    )
+    out = strip_boilerplate_lines(batch, "doc_id", "text", boilerplate=hh)
+    assert out.first()["text_clean"] == "fresh"
+
+
+def test_incremental_boilerplate_compaction(spark, tmp_path):
+    from prclz_spark.operators.textq import (
+        read_boilerplate_corpus,
+        update_boilerplate_corpus,
+    )
+    from prclz_spark.sources import iceberg_lite as IL
+
+    t = str(tmp_path / "bp_compact")
+    for day in range(5):
+        df = spark.createDataFrame(
+            [(day * 10 + i, f"LINE A\nuniq {day} {i}") for i in range(2)],
+            "doc_id long, text string",
+        )
+        update_boilerplate_corpus(df, t, "doc_id", "text", compact_every=3)
+    # chain stays compacted and counts survive compaction
+    assert len(IL._manifests(t, IL.current_snapshot(t))) <= 4
+    hh = read_boilerplate_corpus(spark, t, min_df=10)
+    assert hh.first()["df"] == 10  # 5 days x 2 docs
