@@ -119,3 +119,52 @@ def dedup_cluster_verdict(
     the ingest → dedup → delete loop with a closure-correct verdict."""
     comp = connected_components(pairs, a, b)
     return comp.withColumn("keep", F.col("id") == F.col("rep"))
+
+
+def dedup_cluster_verdict_by(
+    pairs: DataFrame,
+    scores: DataFrame,
+    id_col: str,
+    score_col: str,
+    a: str = "id_a",
+    b: str = "id_b",
+    ascending: bool = False,
+) -> DataFrame:
+    """Keep-BEST verdict over a near-dup pair table: like
+    dedup_cluster_verdict, but each component keeps the member with the
+    best ``score_col`` from ``scores`` (highest by default — e.g. keep
+    the highest-resolution copy of an image cluster via w*h, or the
+    longest caption; ``ascending=True`` keeps the lowest, e.g. earliest
+    timestamp). Ties break to the smaller id, so the verdict stays
+    deterministic. Output: (id, rep, keep_id, keep) — ``rep`` is still
+    the component-min id (the stable cluster KEY across runs; the winner
+    can change as better copies arrive, the key cannot).
+
+    Scale shape: one closure (O(log n) rounds), one join of the
+    member table to the scores on id (shuffle on id — uniform), one
+    per-component min_by/max_by aggregation. The scores frame only
+    needs rows for ids appearing in ``pairs``."""
+    comp = connected_components(pairs, a, b)
+    sc = scores.select(
+        F.col(id_col).alias("id"), F.col(score_col).alias("_score")
+    )
+    joined = comp.join(sc, "id", "left")
+    # NULL scores lose to any scored member: min_by/max_by skip NULL
+    # ordering keys only if the struct itself is NULL, so coalesce the
+    # score into the worst rank instead
+    worst = F.lit(float("inf"))
+    order = F.struct(
+        F.coalesce(
+            (F.col("_score") if ascending else -F.col("_score")).cast("double"),
+            worst,
+        ).alias("s"),
+        F.col("id").alias("id"),
+    )
+    winners = joined.groupBy("rep").agg(
+        F.min_by(F.col("id"), order).alias("keep_id")
+    )
+    return (
+        joined.join(winners, "rep")
+        .withColumn("keep", F.col("id") == F.col("keep_id"))
+        .select("id", "rep", "keep_id", "keep")
+    )

@@ -89,3 +89,38 @@ def test_components_long_chain_logarithmic_rounds(spark):
     edges = [(i, i + 1) for i in range(200)]
     got = _run(spark, edges)
     assert set(got.values()) == {0} and len(got) == 201
+
+
+def test_dedup_cluster_verdict_by(spark):
+    """Keep-best verdict: highest-resolution image survives each phash
+    cluster, ties to the smaller id, unscored members never win, and the
+    cluster KEY (rep) stays the component minimum."""
+    from prclz_spark.operators.components import dedup_cluster_verdict_by
+
+    # components: {1,2,3} (chain), {10,11}, {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    scores = spark.createDataFrame(
+        [(1, 100), (2, 900), (3, 900), (10, 50), (21, 7)],
+        "img_id long, pixels long",
+    )  # 11 and 20 unscored
+    out = {
+        r["id"]: r.asDict()
+        for r in dedup_cluster_verdict_by(
+            pairs, scores, "img_id", "pixels"
+        ).collect()
+    }
+    assert out[2]["keep"] and out[2]["keep_id"] == 2    # 900 tie -> smaller id
+    assert not out[3]["keep"] and out[3]["keep_id"] == 2
+    assert out[1]["rep"] == 1 and not out[1]["keep"]    # rep stays min id
+    assert out[10]["keep"] and not out[11]["keep"]      # unscored loses
+    assert out[21]["keep"] and not out[20]["keep"]      # only-scored wins
+    # ascending: keep the LOWEST score (earliest-timestamp semantics)
+    out2 = {
+        r["id"]: r["keep"]
+        for r in dedup_cluster_verdict_by(
+            pairs, scores, "img_id", "pixels", ascending=True
+        ).collect()
+    }
+    assert out2[1] and not out2[2] and not out2[3]
