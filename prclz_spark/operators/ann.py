@@ -341,6 +341,9 @@ def ivf_pq_topk(
     m: int = 8,
     refine_k: int = 100,
     seed: int = 11,
+    cents: np.ndarray | None = None,
+    books: np.ndarray | None = None,
+    corpus_codes: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, corpus_id, cos_sim, rank) — IVF-PQ approximate top-k with
     exact cosine re-rank. Identical output contract to ivf_topk; the
@@ -349,21 +352,34 @@ def ivf_pq_topk(
     (list_id, pq_code); probe join on list_id; ADC scores + per-query
     approximate top-``refine_k``; only those rows re-join the raw vectors
     (an output-sized exchange on corpus_id) for exact cosine and the
-    final Window top-k."""
-    cents = train_centroids(corpus, vec_col, dim, n_lists=n_lists, seed=seed)
-    books = train_pq(corpus, vec_col, dim, m=m, seed=seed)
-    assign1 = _nearest_lists_udf(cents, 1)
+    final Window top-k.
+
+    Production decomposition (the 10¹²-vector shape is train WEEKLY,
+    encode ONCE, query DAILY — never retrain per query batch): pass
+    ``cents``/``books`` from a prior train_centroids/train_pq, and
+    ``corpus_codes`` as a persisted (corpus_id, list_id, pq_code)
+    DataFrame from :func:`ivf_pq_encode_corpus` — then a query batch
+    costs one codes-table scan + the output-sized refine join against
+    the raw vectors, with zero training and zero corpus re-encoding.
+    The three default to being computed inline (self-contained form,
+    what the bench key times end to end)."""
+    if cents is None:
+        cents = train_centroids(corpus, vec_col, dim, n_lists=n_lists, seed=seed)
+    if books is None:
+        books = train_pq(corpus, vec_col, dim, m=m, seed=seed)
     probe_n = _nearest_lists_udf(cents, min(n_probe, len(cents)))
     adc = _adc_score_udf(books)
 
-    c = (
-        corpus.select(F.col(corpus_id).alias("_cid"), F.col(vec_col).alias("_cv"))
-        .withColumn("list_id", F.element_at(assign1(F.col("_cv")), 1))
-        .withColumn("pq_code", _pq_encode_udf(books)(F.col("_cv")))
-    )
-    c_codes = c.select("_cid", "list_id", "pq_code").filter(
-        F.col("pq_code").isNotNull()
-    )
+    if corpus_codes is None:
+        c_codes = ivf_pq_encode_corpus(
+            corpus, corpus_id, vec_col, cents, books
+        ).select(
+            F.col(corpus_id).alias("_cid"), "list_id", "pq_code"
+        )
+    else:
+        c_codes = corpus_codes.select(
+            F.col(corpus_id).alias("_cid"), "list_id", "pq_code"
+        ).filter(F.col("pq_code").isNotNull())
     q = queries.select(
         F.col(query_id).alias("_qid"), F.col(vec_col).alias("_qv")
     ).withColumn("list_id", F.explode(probe_n(F.col("_qv"))))
@@ -405,4 +421,29 @@ def ivf_pq_topk(
             "cos_sim",
             "rank",
         )
+    )
+
+
+def ivf_pq_encode_corpus(
+    corpus: DataFrame,
+    corpus_id: str,
+    vec_col: str,
+    cents: np.ndarray,
+    books: np.ndarray,
+) -> DataFrame:
+    """(corpus_id, list_id, pq_code) — the persistable IVF-PQ index rows:
+    one corpus scan, two batched UDFs (coarse assignment + PQ encode),
+    zero-norm vectors dropped (no cosine exists). Persist this (parquet /
+    iceberg-lite) and hand it to ivf_pq_topk(corpus_codes=...) so daily
+    query batches never re-encode the corpus; new crawl batches append
+    their own rows — the codebooks are frozen at train time, so codes
+    from any batch collide correctly (same contract as the persisted
+    dedup fingerprints)."""
+    assign1 = _nearest_lists_udf(cents, 1)
+    return (
+        corpus.select(F.col(corpus_id), F.col(vec_col).alias("_cv"))
+        .withColumn("list_id", F.element_at(assign1(F.col("_cv")), 1))
+        .withColumn("pq_code", _pq_encode_udf(books)(F.col("_cv")))
+        .filter(F.col("pq_code").isNotNull())
+        .drop("_cv")
     )

@@ -262,3 +262,35 @@ def test_adc_score_approximates_cosine(spark):
     rc = pdf["cos"].rank()
     corr = np.corrcoef(ra, rc)[0, 1]
     assert corr > 0.7, corr
+
+
+def test_ivf_pq_precomputed_index_matches_inline(spark, tmp_path):
+    """Production decomposition: train once, encode once, persist the
+    codes, query with (cents, books, corpus_codes) — results must be
+    IDENTICAL to the self-contained inline form (same seeds ⇒ same
+    quantizers ⇒ same candidates)."""
+    from prclz_spark.operators.ann import (
+        ivf_pq_encode_corpus, ivf_pq_topk, train_centroids, train_pq,
+    )
+
+    e = spark.read.parquet(SF + "/embeddings.parquet").select("vec_id", "embedding")
+    dim = len(e.first().embedding)
+    q = e.filter(F.col("vec_id") < 20).withColumnRenamed("vec_id", "qid")
+
+    inline = ivf_pq_topk(
+        q, e, "qid", "vec_id", "embedding", dim=dim, k=5, n_lists=8, n_probe=3
+    ).toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+
+    cents = train_centroids(e, "embedding", dim, n_lists=8)
+    books = train_pq(e, "embedding", dim, m=8)
+    codes_path = str(tmp_path / "pq_index.pq")
+    ivf_pq_encode_corpus(e, "vec_id", "embedding", cents, books).write.parquet(
+        codes_path
+    )
+    pre = ivf_pq_topk(
+        q, e, "qid", "vec_id", "embedding", dim=dim, k=5, n_lists=8, n_probe=3,
+        cents=cents, books=books,
+        corpus_codes=spark.read.parquet(codes_path),
+    ).toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+
+    assert inline.equals(pre)
