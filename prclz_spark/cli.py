@@ -477,10 +477,13 @@ def main(argv=None):
                 id_col=args.id_col, seed=args.seed,
             )
             out_df.write.mode("overwrite").parquet(args.out)
+            # histogram from the WRITTEN output — re-running out_df's
+            # lineage would repeat the whole batch-formation job
+            written = spark.read.parquet(args.out)
             hist = {
                 f"{ladder[r['aspect_idx']][0]}x{ladder[r['aspect_idx']][1]}":
                     r["n_batches"]
-                for r in out_df.groupBy("aspect_idx").agg(
+                for r in written.groupBy("aspect_idx").agg(
                     F.countDistinct("batch_id").alias("n_batches")
                 ).collect()
             }
@@ -495,12 +498,15 @@ def main(argv=None):
             )
 
             docs = spark.read.parquet(args.docs)
-            if not (args.metrics_out or args.strip_out or args.boilerplate_out):
-                p.error("textq: need --metrics-out, --strip-out or --boilerplate-out")
+            if not (args.metrics_out or args.strip_out or args.boilerplate_out
+                    or args.corpus_table):
+                p.error("textq: need --metrics-out, --strip-out, "
+                        "--boilerplate-out or --corpus-table")
             if args.metrics_out:
                 m = repetition_metrics(docs, args.id_col, args.text_col)
                 m.write.mode("overwrite").parquet(args.metrics_out)
-                print(f"repetition metrics for {m.count()} docs → "
+                n_m = spark.read.parquet(args.metrics_out).count()
+                print(f"repetition metrics for {n_m} docs → "
                       f"{args.metrics_out}", file=sys.stderr)
             hh = None
             if args.corpus_table:
@@ -524,19 +530,24 @@ def main(argv=None):
                 hh = boilerplate_lines(
                     docs, args.id_col, args.text_col, args.min_df
                 )
-                if args.boilerplate_out:
-                    hh.write.mode("overwrite").parquet(args.boilerplate_out)
-                    hh = spark.read.parquet(args.boilerplate_out)
-                    print(f"{hh.count()} heavy-hitter lines → "
-                          f"{args.boilerplate_out}", file=sys.stderr)
+            if args.boilerplate_out and hh is not None:
+                # works in every branch: persists the current heavy-hitter
+                # view (batch counts, a loaded table, or the corpus merge)
+                hh.write.mode("overwrite").parquet(args.boilerplate_out)
+                hh = spark.read.parquet(args.boilerplate_out)
+                print(f"{hh.count()} heavy-hitter lines → "
+                      f"{args.boilerplate_out}", file=sys.stderr)
             if args.strip_out:
                 out_df = strip_boilerplate_lines(
                     docs, args.id_col, args.text_col, args.min_df,
                     boilerplate=hh,
                 )
                 out_df.write.mode("overwrite").parquet(args.strip_out)
-                n = out_df.count()
-                removed = out_df.agg(F.sum("n_lines_removed")).collect()[0][0]
+                stats = spark.read.parquet(args.strip_out).agg(
+                    F.count("*").alias("n"),
+                    F.sum("n_lines_removed").alias("removed"),
+                ).collect()[0]
+                n, removed = stats["n"], stats["removed"]
                 print(f"stripped {removed} boilerplate lines across {n} docs → "
                       f"{args.strip_out}", file=sys.stderr)
             return

@@ -243,8 +243,15 @@ def train_pq(
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
     rows = corpus.select(vec_col).orderBy(F.rand(seed)).limit(100_000).collect()
+    if not rows:
+        raise ValueError("train_pq: empty corpus — nothing to train on")
     X = _norm_rows(np.stack([np.asarray(r[0], dtype=np.float64) for r in rows]))
     X = X[np.abs(X).sum(axis=1) > 0]
+    if not len(X):
+        raise ValueError(
+            "train_pq: no nonzero-norm vectors in the training sample "
+            "(upstream featurizer produced all-zero embeddings?)"
+        )
     rng = np.random.default_rng(seed)
     books = np.zeros((m, n_codes, sub))
     for s in range(m):
@@ -312,7 +319,9 @@ def _adc_score_udf(books: np.ndarray):
         if not len(qvecs):
             return pd.Series([], dtype="float64")
         key = qvecs.map(lambda v: np.asarray(v, dtype=np.float64).tobytes())
-        uniq, inv = np.unique(key.to_numpy(object), return_inverse=True)
+        # hash-based factorize beats the sort-based object np.unique on
+        # this hot scoring path (measured project-wide, see memory notes)
+        inv, uniq = pd.factorize(key)
         tables = np.zeros((len(uniq), m, n_codes))
         for i, kb in enumerate(uniq):
             qn = _norm_rows(np.frombuffer(kb).reshape(1, -1))[0]
@@ -362,7 +371,22 @@ def ivf_pq_topk(
     costs one codes-table scan + the output-sized refine join against
     the raw vectors, with zero training and zero corpus re-encoding.
     The three default to being computed inline (self-contained form,
-    what the bench key times end to end)."""
+    what the bench key times end to end). Passing ``corpus_codes``
+    REQUIRES cents+books: retraining here would silently probe the
+    persisted list_ids with mismatched centroids and decode old codes
+    with new codebooks — collapsed recall with no error.
+
+    Exchange hygiene: the query vector is projected away before any
+    candidate-sized exchange (the window shuffle moves only
+    (_qid, _cid, approx_sim) — at dim=64 a riding _qv would be 64× the
+    code payload); the refine join broadcasts the shortlist ids into the
+    corpus scan (the corpus raw vectors are never shuffled), then the
+    query vectors re-join on the output-sized shortlist."""
+    if corpus_codes is not None and (cents is None or books is None):
+        raise ValueError(
+            "corpus_codes requires the cents+books the codes were built "
+            "with (retraining would mismatch the persisted index)"
+        )
     if cents is None:
         cents = train_centroids(corpus, vec_col, dim, n_lists=n_lists, seed=seed)
     if books is None:
@@ -380,15 +404,20 @@ def ivf_pq_topk(
         c_codes = corpus_codes.select(
             F.col(corpus_id).alias("_cid"), "list_id", "pq_code"
         ).filter(F.col("pq_code").isNotNull())
-    q = queries.select(
+    qv_frame = queries.select(
         F.col(query_id).alias("_qid"), F.col(vec_col).alias("_qv")
-    ).withColumn("list_id", F.explode(probe_n(F.col("_qv"))))
+    )
+    q = qv_frame.withColumn("list_id", F.explode(probe_n(F.col("_qv"))))
 
+    # (qid, cid) pairs are already distinct — each corpus vector has ONE
+    # list_id and a query's probe lists are distinct — so no dedup pass;
+    # ADC runs map-side after the probe join and the query vector is
+    # dropped before the window exchange
     cand = (
         q.join(c_codes, "list_id", "inner")
         .filter(F.col("_qid") != F.col("_cid"))
-        .dropDuplicates(["_qid", "_cid"])
         .withColumn("approx_sim", adc(F.col("_qv"), F.col("pq_code")))
+        .select("_qid", "_cid", "approx_sim")
     )
     wa = Window.partitionBy("_qid").orderBy(
         F.col("approx_sim").desc(), F.col("_cid").asc()
@@ -396,7 +425,7 @@ def ivf_pq_topk(
     shortlist = (
         cand.withColumn("_ar", F.row_number().over(wa))
         .filter(F.col("_ar") <= refine_k)
-        .select("_qid", "_qv", "_cid")
+        .select("_qid", "_cid")
     )
 
     raw = corpus.select(F.col(corpus_id).alias("_cid"), F.col(vec_col).alias("_cv"))
@@ -407,8 +436,15 @@ def ivf_pq_topk(
     nrm = lambda col: F.sqrt(
         F.expr(f"aggregate({col}, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double))")
     )
-    scored = shortlist.join(raw, "_cid").withColumn(
-        "cos_sim", F.round(F.try_divide(dot, nrm("_qv") * nrm("_cv")), 6)
+    # broadcast the (refine_k × |queries|)-row id shortlist into the
+    # corpus scan — the corpus never shuffles; then the query vectors
+    # join on the output-sized result
+    scored = (
+        raw.join(F.broadcast(shortlist), "_cid")
+        .join(qv_frame, "_qid")
+        .withColumn(
+            "cos_sim", F.round(F.try_divide(dot, nrm("_qv") * nrm("_cv")), 6)
+        )
     )
     w = Window.partitionBy("_qid").orderBy(F.col("cos_sim").desc(), F.col("_cid").asc())
     return (

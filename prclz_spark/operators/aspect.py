@@ -70,7 +70,15 @@ def assign_aspect_buckets(
     codegen — the ladder rides along as an array-of-structs literal and
     ``array_min`` over (distance, index) structs is the argmin (struct
     ordering is lexicographic, so equal distances resolve to the lower
-    index deterministically)."""
+    index deterministically).
+
+    NULL-on-bad-row: rows with NULL or non-positive w/h get NULL
+    aspect_idx/bucket_w/bucket_h instead of crashing the job (Spark 4
+    ANSI raises DIVIDE_BY_ZERO on a bare w/h) or — worse — silently
+    landing in the most extreme portrait bucket (NULL distances sort
+    FIRST in struct ordering, so an unguarded argmin returns ladder[0]
+    for every corrupt row). One height-0 record in a 10¹²-image crawl
+    must be filterable, not fatal, and never trainable-on."""
     entries = [
         F.struct(
             F.lit(float(math.log(bw / bh))).alias("lar"),
@@ -81,17 +89,26 @@ def assign_aspect_buckets(
         for i, (bw, bh) in enumerate(buckets)
     ]
     ladder = F.array(*entries)
-    lar = F.log(F.col(w_col).cast("double") / F.col(h_col).cast("double"))
-    best = F.array_min(
-        F.transform(
-            ladder,
-            lambda b: F.struct(
-                F.abs(b["lar"] - lar).alias("d"),
-                b["idx"].alias("idx"),
-                b["bw"].alias("bw"),
-                b["bh"].alias("bh"),
-            ),
-        )
+    valid = (
+        F.col(w_col).isNotNull() & F.col(h_col).isNotNull()
+        & (F.col(w_col) > 0) & (F.col(h_col) > 0)
+    )
+    lar = F.log(
+        F.try_divide(F.col(w_col).cast("double"), F.col(h_col).cast("double"))
+    )
+    best = F.when(
+        valid,
+        F.array_min(
+            F.transform(
+                ladder,
+                lambda b: F.struct(
+                    F.abs(b["lar"] - lar).alias("d"),
+                    b["idx"].alias("idx"),
+                    b["bw"].alias("bw"),
+                    b["bh"].alias("bh"),
+                ),
+            )
+        ),
     )
     return images.withColumn("_best", best).select(
         "*",
@@ -142,8 +159,13 @@ def form_batches(
 
     Ids may be numeric OR string (the input-hint table uses string
     image_ids): strings take an xxhash64 surrogate into the MINSTD
-    scramble; the output ``image_id`` keeps the input type."""
-    assigned = assign_aspect_buckets(images, buckets, w_col, h_col)
+    scramble; the output ``image_id`` keeps the input type. Rows with
+    invalid w/h (NULL aspect_idx from assignment) are EXCLUDED from the
+    output — corrupt metadata must never reach a training batch; diff
+    the output ids against the input to audit them."""
+    assigned = assign_aspect_buckets(images, buckets, w_col, h_col).filter(
+        F.col("aspect_idx").isNotNull()
+    )
     if n_chunks is None:
         n_chunks = _auto_buckets(images.count(), target_docs, 1 << 24)
     id_type = images.schema[id_col].dataType.simpleString()

@@ -127,7 +127,10 @@ def repetition_metrics(
     (id, n_words, n_lines) for downstream filters. One narrow row-local
     projection — no shuffle, no UDF.
     """
-    words = F.filter(F.split(F.col(text_col), " +"), lambda x: x != "")
+    # whitespace split (\s+), not spaces-only: word-per-line repetition
+    # ("spam\nspam\nspam…") must count as repeated words, not one giant
+    # token — the Gopher tokenization is whitespace-delimited
+    words = F.filter(F.split(F.col(text_col), "\\s+"), lambda x: x != "")
     lines = F.filter(
         F.split(F.col(text_col), line_sep), lambda x: F.length(F.trim(x)) > 0
     )

@@ -104,3 +104,17 @@ def test_cli_aspect_batches(spark, tmp_path):
     assert len(pdf) == 64
     assert (pdf.aspect_idx == 0).all()
     assert pdf[~pdf.partial].groupby("batch_id").size().eq(8).all()
+
+
+def test_corrupt_dimensions_null_and_excluded(spark):
+    """NULL-on-bad-row: h=0 / w=0 / NULL dims must neither kill the job
+    (ANSI DIVIDE_BY_ZERO) nor silently land in ladder bucket 0 — they get
+    NULL assignment and are excluded from batches."""
+    buckets = make_aspect_buckets(max_pixels=512 * 512, min_dim=256, max_dim=1024)
+    rows = [(1, 640, 480), (2, 0, 480), (3, 480, 0), (4, None, 480), (5, 640, None)]
+    df = spark.createDataFrame(rows, "image_id long, w int, h int")
+    got = {r["image_id"]: r["aspect_idx"] for r in assign_aspect_buckets(df, buckets).collect()}
+    assert got[1] is not None
+    assert got[2] is None and got[3] is None and got[4] is None and got[5] is None
+    out = form_batches(df, buckets, batch_size=2, n_chunks=1).toPandas()
+    assert set(out.image_id) == {1}

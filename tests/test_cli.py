@@ -171,3 +171,22 @@ def test_cli_textq_corpus_table(spark, tmp_path):
     assert c0.filter(F.col("text_clean").contains(banner)).count() == 3
     c1 = spark.read.parquet(str(tmp_path / "clean1.pq"))
     assert c1.filter(F.col("text_clean").contains(banner)).count() == 0
+
+
+def test_cli_textq_corpus_table_with_boilerplate_out(spark, tmp_path):
+    """--corpus-table alone is a valid run (the append-only daily loop),
+    and --boilerplate-out persists the merged heavy-hitter view in every
+    branch instead of being silently ignored."""
+    from prclz_spark import cli
+
+    spark.createDataFrame(
+        [(i, "COMMON\nu %d" % i) for i in range(6)], "doc_id long, text string"
+    ).write.parquet(str(tmp_path / "d.pq"))
+    t = str(tmp_path / "tbl")
+    cli.main(["textq", "--docs", str(tmp_path / "d.pq"),
+              "--corpus-table", t, "--min-df", "5"])  # append-only: no p.error
+    cli.main(["textq", "--docs", str(tmp_path / "d.pq"),
+              "--corpus-table", t, "--min-df", "5",
+              "--boilerplate-out", str(tmp_path / "hh.pq")])
+    hh = spark.read.parquet(str(tmp_path / "hh.pq"))
+    assert hh.count() == 1 and hh.first()["df"] == 12  # merged over 2 appends

@@ -21,13 +21,12 @@ SF = "/root/testdata/sf0.001"
 # ---------------------------------------------------------------- model
 
 def py_word_ngrams(text, n):
-    ws = [w for w in text.split(" ") if w]
-    ws = [w for w in " ".join(ws).split(" ") if w]  # collapse runs like ' +'
+    ws = text.split()  # any whitespace, matching the engine's \s+ split
     return [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
 
 
 def py_metrics(text, n_top, n_dup):
-    ws = [w for w in text.split(" ") if w]
+    ws = text.split()
     lines = [l for l in text.split("\n") if l.strip()]
     out = {"n_words": len(ws), "n_lines": len(lines)}
 
@@ -88,6 +87,8 @@ def test_repetition_adversarial(spark):
         "word",                                              # single word
         "a  b   c a  b",                                     # multi-space runs
         "LINE\nline\nLINE",                                  # case-sensitive
+        "spam\nspam\nspam\nspam\nspam\nspam\nspam\nspam",    # word-per-line rep
+        "tab\tsep\ttab\tsep\ttab\tsep",                      # tab-separated
     ]
     _check(spark, texts)
 
