@@ -1,0 +1,75 @@
+"""End-to-end image-corpus curation: the north-star composition.
+
+ingest (exactly-once foreachBatch into iceberg-lite) → phash near-dup
+clustering → keep-BEST verdict (highest resolution survives, not
+earliest id) → iceberg row-level delete of the losers → aspect-bucketed
+training batches over the surviving table. Every stage is an existing
+operator; this test pins that they compose over the input-hint image
+schema (string ids, bytes+phash columns) without glue code."""
+
+import pyspark.sql.functions as F
+
+from prclz_spark.images import images_table
+from prclz_spark.operators.aspect import form_batches
+from prclz_spark.operators.components import dedup_cluster_verdict_by
+from prclz_spark.operators.dedup import (
+    _sign_phash_frame,
+    phash_near_pairs_from_sigs,
+)
+from prclz_spark.sources import iceberg_lite as IL
+from prclz_spark.streaming.ingest import iceberg_batch_sink
+
+
+def test_image_curation_pipeline(spark, tmp_path):
+    t = str(tmp_path / "images_tbl")
+
+    # --- day 0 + day 1 ingest: 60 originals, plus low-res re-crawls of
+    # the first 10 (SAME bytes+phash, smaller advertised w/h, new ids —
+    # a thumbnail mirror) arriving in the second micro-batch
+    base = images_table(spark, 60, w=64, h=64)
+    dupes = base.filter(F.col("image_id") < "img_00000010").select(
+        F.concat(F.lit("thumb_"), "image_id").alias("image_id"),
+        "bytes",
+        (F.col("w") / 2).cast("int").alias("w"),
+        (F.col("h") / 2).cast("int").alias("h"),
+        "fmt", "caption", "phash",
+    )
+    sink = iceberg_batch_sink(t, "crawl", stats_cols=None)
+    sink(base, 0)
+    sink(dupes, 1)
+    sink(dupes, 1)  # crash-replay of batch 1 must be a no-op
+    tbl = IL.read(spark, t)
+    assert tbl.count() == 70
+
+    # --- phash clustering + keep-best (highest w*h wins, NOT min id:
+    # "thumb_*" sorts after "img_*", min-id would keep the original
+    # anyway — so flip it: make the thumbnail the min id to prove the
+    # score decides, not the id)
+    sigs = _sign_phash_frame(tbl, "image_id")
+    pairs = phash_near_pairs_from_sigs(sigs, "image_id", max_hamming=0)
+    assert pairs.count() == 10  # each thumb pairs its original
+    scores = tbl.select("image_id", (F.col("w") * F.col("h")).alias("pixels"))
+    verdict = dedup_cluster_verdict_by(
+        pairs, scores, "image_id", "pixels", a="id_a", b="id_b"
+    )
+    losers = verdict.filter(~F.col("keep")).select(F.col("id").alias("image_id"))
+    lose_ids = {r["image_id"] for r in losers.collect()}
+    assert lose_ids == {f"thumb_img_{i:08d}" for i in range(10)}
+
+    # --- iceberg row-level delete of the losers, then maintenance
+    IL.delete_rows(losers, t, "image_id")
+    survivors = IL.read(spark, t)
+    assert survivors.count() == 60
+    assert survivors.filter(F.col("image_id").startswith("thumb_")).count() == 0
+    IL.rewrite_data_files(spark, t)
+    assert IL.read(spark, t).count() == 60
+
+    # --- aspect-bucketed training batches over the curated table
+    batches = form_batches(
+        IL.read(spark, t), [(64, 64), (96, 48), (48, 96)],
+        batch_size=16, n_chunks=2,
+    )
+    pdf = batches.toPandas()
+    assert len(pdf) == 60 and pdf.image_id.nunique() == 60
+    assert (pdf.aspect_idx == 0).all()
+    assert pdf[~pdf.partial].groupby("batch_id").size().eq(16).all()
