@@ -333,3 +333,74 @@ def read_boilerplate_corpus(
         .agg(F.sum("df").alias("df"))
         .filter(F.col("df") >= F.lit(min_df))
     )
+
+
+# Gopher A1 default thresholds: metric column -> (operator, cutoff).
+# A doc failing ANY rule is dropped. Names match repetition_metrics
+# output; word/line bounds follow the same paper's length rules.
+GOPHER_RULES = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_frac": 0.15,
+    "dup_6gram_frac": 0.14,
+    "dup_7gram_frac": 0.13,
+}
+
+
+def quality_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    rules: dict | None = None,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Gopher repetition/length filter verdicts: (id, keep, reasons) —
+    ``reasons`` is the sorted array of rule names the document failed
+    (empty ⇒ keep). Rules: ``min_words``/``max_words`` bound the word
+    count; every other key names a repetition_metrics fraction column
+    with a MAXIMUM (doc fails when metric > cutoff; NULL metrics —
+    degenerate docs — fail the rule that inspected them only via the
+    word bounds, which catch empty docs anyway). Join survivors back on
+    the id, or feed the failed ids to a delete pass. Row-local like the
+    metrics themselves — one narrow projection, no shuffle."""
+    rules = dict(GOPHER_RULES if rules is None else rules)
+    min_w = rules.pop("min_words", None)
+    max_w = rules.pop("max_words", None)
+    import re as _re
+
+    need_top = tuple(sorted(
+        int(_re.match(r"top_(\d+)gram", k).group(1))
+        for k in rules if _re.match(r"top_(\d+)gram", k)
+    ))
+    need_dup = tuple(sorted(
+        int(_re.match(r"dup_(\d+)gram", k).group(1))
+        for k in rules if _re.match(r"dup_(\d+)gram", k)
+    ))
+    m = repetition_metrics(
+        df, id_col, text_col,
+        top_ngram_sizes=need_top, dup_ngram_sizes=need_dup,
+        line_sep=line_sep,
+    )
+    checks = []
+    if min_w is not None:
+        checks.append(F.when(F.col("n_words") < min_w, F.lit("min_words")))
+    if max_w is not None:
+        checks.append(F.when(F.col("n_words") > max_w, F.lit("max_words")))
+    for col, cutoff in rules.items():
+        checks.append(F.when(F.col(col) > cutoff, F.lit(col)))
+    if checks:
+        reasons = F.array_sort(
+            F.filter(F.array(*checks), lambda x: x.isNotNull())
+        )
+    else:
+        reasons = F.array().cast("array<string>")
+    return m.select(
+        id_col,
+        "n_words",
+        reasons.alias("reasons"),
+    ).withColumn("keep", F.size("reasons") == 0)

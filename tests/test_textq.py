@@ -254,3 +254,39 @@ def test_incremental_boilerplate_compaction(spark, tmp_path):
     assert len(IL._manifests(t, IL.current_snapshot(t))) <= 4
     hh = read_boilerplate_corpus(spark, t, min_df=10)
     assert hh.first()["df"] == 10  # 5 days x 2 docs
+
+
+def test_quality_filter_verdicts(spark):
+    from prclz_spark.operators.textq import quality_filter
+
+    good = " ".join(f"w{i}" for i in range(80))                 # 80 unique words
+    spammy = "the same five gram block " * 40                   # dup 5-grams
+    topheavy = " ".join(["buy now"] * 60)                       # top-2gram heavy
+    short = "too short"
+    dup_lines = "\n".join(["line one is here"] * 20) + "\n" + good
+    docs = [(0, good), (1, spammy), (2, topheavy), (3, short), (4, dup_lines), (5, "")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in
+           quality_filter(df, "doc_id", "text").collect()}
+    assert out[0]["keep"] and out[0]["reasons"] == []
+    assert not out[1]["keep"] and "dup_5gram_frac" in out[1]["reasons"]
+    assert not out[2]["keep"] and "top_2gram_char_frac" in out[2]["reasons"]
+    # a 2-word doc also trips the top-2gram concentration (its only
+    # bigram covers every character) — min_words must be among reasons
+    assert not out[3]["keep"] and "min_words" in out[3]["reasons"]
+    assert not out[4]["keep"] and "dup_line_frac" in out[4]["reasons"]
+    assert not out[5]["keep"] and out[5]["reasons"] == ["min_words"]  # empty doc
+
+    # custom rules: only a max_words bound
+    out2 = {r["doc_id"]: r["keep"] for r in
+            quality_filter(df, "doc_id", "text", rules={"max_words": 100}).collect()}
+    assert out2[3] and out2[0] and not out2[2]  # 120-word topheavy fails
+
+
+def test_quality_filter_no_shuffle(spark):
+    from prclz_spark.operators.textq import quality_filter
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = quality_filter(df, "doc_id", "text")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan and "python" not in plan.lower()
