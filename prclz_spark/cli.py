@@ -205,6 +205,24 @@ def main(argv=None):
     sp_mix.add_argument("--seed", type=int, default=1)
     sp_mix.add_argument("--out", required=True)
 
+    sp_ci = sub.add_parser(
+        "curate-images",
+        help="image-corpus curation over an iceberg-lite table: phash "
+             "near-dup clustering -> keep the best-scored copy -> delete "
+             "losers -> optional eval decontamination -> aspect batches",
+    )
+    sp_ci.add_argument("--table", required=True, help="iceberg-lite image table")
+    sp_ci.add_argument("--id-col", default="image_id")
+    sp_ci.add_argument("--max-hamming", type=int, default=6)
+    sp_ci.add_argument("--eval", default=None,
+                       help="parquet of eval images (id + phash/bytes) — "
+                            "train rows within --max-hamming of any eval "
+                            "image are deleted too")
+    sp_ci.add_argument("--batch-size", type=int, default=None,
+                       help="also write aspect batches of this size")
+    sp_ci.add_argument("--max-pixels", type=int, default=1024 * 1024)
+    sp_ci.add_argument("--batches-out", default=None)
+
     sp_ab = sub.add_parser(
         "aspect-batches",
         help="aspect-ratio bucketing + deterministic fixed-size training "
@@ -459,6 +477,59 @@ def main(argv=None):
                 ).collect()
             }
             print(f"mixed {sum(got.values())} docs: {got} → {args.out}", file=sys.stderr)
+            return
+        elif args.cmd == "curate-images":
+            from .operators.components import dedup_cluster_verdict_by
+            from .operators.dedup import (
+                _sign_phash_frame,
+                decontaminate_images,
+                phash_near_pairs_from_sigs,
+            )
+            from .sources import iceberg_lite as IL
+
+            tbl = IL.read(spark, args.table)
+            sigs = _sign_phash_frame(tbl, args.id_col)
+            pairs = phash_near_pairs_from_sigs(
+                sigs, args.id_col, max_hamming=args.max_hamming
+            )
+            scores = tbl.select(
+                args.id_col, (F.col("w") * F.col("h")).alias("_pixels")
+            )
+            verdict = dedup_cluster_verdict_by(
+                pairs, scores, args.id_col, "_pixels"
+            )
+            losers = verdict.filter(~F.col("keep")).select(
+                F.col("id").alias(args.id_col)
+            )
+            n_dup = losers.count()
+            if n_dup:
+                IL.delete_rows(losers, args.table, args.id_col)
+            n_contam = 0
+            if args.eval:
+                eval_df = spark.read.parquet(args.eval)
+                _, contaminated = decontaminate_images(
+                    IL.read(spark, args.table), eval_df, args.id_col,
+                    max_hamming=args.max_hamming,
+                )
+                bad = contaminated.select(args.id_col)
+                n_contam = bad.count()
+                if n_contam:
+                    IL.delete_rows(bad, args.table, args.id_col)
+            IL.rewrite_data_files(spark, args.table)
+            survivors = IL.read(spark, args.table)
+            n_live = survivors.count()
+            print(f"curated {args.table}: {n_dup} near-dup losers + "
+                  f"{n_contam} eval-contaminated deleted, {n_live} survive",
+                  file=sys.stderr)
+            if args.batch_size:
+                from .operators.aspect import form_batches, make_aspect_buckets
+
+                out = args.batches_out or (args.table + "_batches")
+                ladder = make_aspect_buckets(args.max_pixels)
+                form_batches(
+                    survivors, ladder, args.batch_size, id_col=args.id_col
+                ).write.mode("overwrite").parquet(out)
+                print(f"aspect batches → {out}", file=sys.stderr)
             return
         elif args.cmd == "aspect-batches":
             from .operators.aspect import form_batches, make_aspect_buckets

@@ -73,3 +73,35 @@ def test_image_curation_pipeline(spark, tmp_path):
     assert len(pdf) == 60 and pdf.image_id.nunique() == 60
     assert (pdf.aspect_idx == 0).all()
     assert pdf[~pdf.partial].groupby("batch_id").size().eq(16).all()
+
+
+def test_cli_curate_images(spark, tmp_path):
+    from prclz_spark import cli
+
+    t = str(tmp_path / "tbl")
+    base = images_table(spark, 48, w=64, h=64)
+    dupes = base.filter(F.col("image_id") < "img_00000008").select(
+        F.concat(F.lit("thumb_"), "image_id").alias("image_id"),
+        "bytes", (F.col("w") / 2).cast("int").alias("w"),
+        (F.col("h") / 2).cast("int").alias("h"), "fmt", "caption", "phash",
+    )
+    sink = iceberg_batch_sink(t, "crawl")
+    sink(base.unionByName(dupes), 0)
+
+    # eval set: the phashes of 4 other originals -> decontamination
+    base.filter(
+        (F.col("image_id") >= "img_00000020") & (F.col("image_id") < "img_00000024")
+    ).select("image_id", "phash").write.parquet(str(tmp_path / "eval.pq"))
+
+    cli.main([
+        "curate-images", "--table", t, "--eval", str(tmp_path / "eval.pq"),
+        "--max-hamming", "0", "--batch-size", "8",
+        "--batches-out", str(tmp_path / "batches.pq"),
+    ])
+    live = IL.read(spark, t)
+    ids = {r["image_id"] for r in live.select("image_id").collect()}
+    assert not any(i.startswith("thumb_") for i in ids)       # dups gone
+    assert not any("img_0000002" + c in ids for c in "0123")  # contam gone
+    assert len(ids) == 48 + 8 - 8 - 4  # originals + thumbs - dups - contam
+    b = spark.read.parquet(str(tmp_path / "batches.pq"))
+    assert b.count() == 44
