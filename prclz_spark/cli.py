@@ -259,6 +259,9 @@ def main(argv=None):
     sp_tq.add_argument("--boilerplate-out", default=None,
                        help="persist the heavy-hitter line table here for "
                             "later --boilerplate runs")
+    sp_tq.add_argument("--verdicts-out", default=None,
+                       help="write Gopher quality_filter keep/drop verdicts "
+                            "(id, n_words, reasons, keep) here")
     sp_tq.add_argument("--corpus-table", default=None,
                        help="iceberg-lite line-count table: append this "
                             "batch's per-line df counts as a snapshot and "
@@ -570,9 +573,18 @@ def main(argv=None):
 
             docs = spark.read.parquet(args.docs)
             if not (args.metrics_out or args.strip_out or args.boilerplate_out
-                    or args.corpus_table):
+                    or args.corpus_table or args.verdicts_out):
                 p.error("textq: need --metrics-out, --strip-out, "
-                        "--boilerplate-out or --corpus-table")
+                        "--boilerplate-out, --verdicts-out or --corpus-table")
+            if args.verdicts_out:
+                from .operators.textq import quality_filter
+
+                v = quality_filter(docs, args.id_col, args.text_col)
+                v.write.mode("overwrite").parquet(args.verdicts_out)
+                kept = spark.read.parquet(args.verdicts_out).filter(
+                    "keep").count()
+                print(f"quality verdicts → {args.verdicts_out} "
+                      f"({kept} keep)", file=sys.stderr)
             if args.metrics_out:
                 m = repetition_metrics(docs, args.id_col, args.text_col)
                 m.write.mode("overwrite").parquet(args.metrics_out)

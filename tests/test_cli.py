@@ -190,3 +190,21 @@ def test_cli_textq_corpus_table_with_boilerplate_out(spark, tmp_path):
               "--boilerplate-out", str(tmp_path / "hh.pq")])
     hh = spark.read.parquet(str(tmp_path / "hh.pq"))
     assert hh.count() == 1 and hh.first()["df"] == 12  # merged over 2 appends
+
+
+def test_cli_textq_verdicts(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from prclz_spark import cli
+
+    good = " ".join(f"w{i}" for i in range(80))
+    docs = [(0, good), (1, "spam " * 200), (2, "tiny")]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "d.pq")
+    )
+    cli.main(["textq", "--docs", str(tmp_path / "d.pq"),
+              "--verdicts-out", str(tmp_path / "v.pq")])
+    v = {r["doc_id"]: r.asDict()
+         for r in spark.read.parquet(str(tmp_path / "v.pq")).collect()}
+    assert v[0]["keep"] and not v[1]["keep"] and not v[2]["keep"]
+    assert "min_words" in v[2]["reasons"]
