@@ -290,3 +290,29 @@ def test_quality_filter_no_shuffle(spark):
     plan = quality_filter(df, "doc_id", "text")._jdf.queryExecution(
     ).executedPlan().toString()
     assert "Exchange" not in plan and "python" not in plan.lower()
+
+
+def test_quality_filter_streams(spark, tmp_path):
+    """Row-local operators compose with Structured Streaming unchanged:
+    quality_filter over a file-source stream emits the same verdicts as
+    the batch path (no state, no watermark needed)."""
+    from prclz_spark.operators.textq import quality_filter
+
+    good = " ".join(f"w{i}" for i in range(80))
+    docs = [(0, good), (1, "spam " * 200), (2, "tiny")]
+    src = str(tmp_path / "stream_src")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = quality_filter(stream, "doc_id", "text")
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory").queryName("qf_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    q.stop()
+    got = {r["doc_id"]: r["keep"] for r in spark.sql("select * from qf_stream").collect()}
+    want = {r["doc_id"]: r["keep"] for r in
+            quality_filter(spark.read.parquet(src), "doc_id", "text").collect()}
+    assert got == want and got[0] and not got[1] and not got[2]
