@@ -14,6 +14,7 @@ becomes: delete the ledger/output dir to recompute).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -204,6 +205,29 @@ def main(argv=None):
                         metavar="STRATUM=N", help="repeatable, e.g. --quota en=1000")
     sp_mix.add_argument("--seed", type=int, default=1)
     sp_mix.add_argument("--out", required=True)
+
+    sp_ai = sub.add_parser(
+        "ann-index",
+        help="IVF-PQ similarity index: 'build' trains quantizers and "
+             "encodes the corpus once; 'query' answers top-k batches "
+             "against the persisted index (no retraining, no re-encoding)",
+    )
+    sp_ai.add_argument("mode", choices=["build", "query"])
+    sp_ai.add_argument("--corpus", required=True,
+                       help="parquet of (id, vector) rows — also needed at "
+                            "query time for the exact re-rank")
+    sp_ai.add_argument("--index", required=True, help="index directory")
+    sp_ai.add_argument("--id-col", default="vec_id")
+    sp_ai.add_argument("--vec-col", default="embedding")
+    sp_ai.add_argument("--dim", type=int, required=True)
+    sp_ai.add_argument("--n-lists", type=int, default=256)
+    sp_ai.add_argument("--m", type=int, default=8)
+    sp_ai.add_argument("--queries", help="parquet of query (id, vector) rows")
+    sp_ai.add_argument("--query-id-col", default="qid")
+    sp_ai.add_argument("--k", type=int, default=10)
+    sp_ai.add_argument("--n-probe", type=int, default=8)
+    sp_ai.add_argument("--refine-k", type=int, default=100)
+    sp_ai.add_argument("--out", help="result parquet (query mode)")
 
     sp_ci = sub.add_parser(
         "curate-images",
@@ -480,6 +504,52 @@ def main(argv=None):
                 ).collect()
             }
             print(f"mixed {sum(got.values())} docs: {got} → {args.out}", file=sys.stderr)
+            return
+        elif args.cmd == "ann-index":
+            import numpy as np
+
+            from .operators.ann import (
+                ivf_pq_encode_corpus,
+                ivf_pq_topk,
+                train_centroids,
+                train_pq,
+            )
+
+            corpus = spark.read.parquet(args.corpus)
+            if args.mode == "build":
+                os.makedirs(args.index, exist_ok=True)
+                cents = train_centroids(
+                    corpus, args.vec_col, args.dim, n_lists=args.n_lists
+                )
+                books = train_pq(corpus, args.vec_col, args.dim, m=args.m)
+                np.save(os.path.join(args.index, "cents.npy"), cents)
+                np.save(os.path.join(args.index, "books.npy"), books)
+                codes = ivf_pq_encode_corpus(
+                    corpus, args.id_col, args.vec_col, cents, books
+                )
+                codes.write.mode("overwrite").parquet(
+                    os.path.join(args.index, "codes.parquet")
+                )
+                n = spark.read.parquet(
+                    os.path.join(args.index, "codes.parquet")
+                ).count()
+                print(f"indexed {n} vectors ({len(cents)} lists, "
+                      f"{args.m}-byte codes) → {args.index}", file=sys.stderr)
+                return
+            if not (args.queries and args.out):
+                p.error("ann-index query: need --queries and --out")
+            cents = np.load(os.path.join(args.index, "cents.npy"))
+            books = np.load(os.path.join(args.index, "books.npy"))
+            codes = spark.read.parquet(os.path.join(args.index, "codes.parquet"))
+            res = ivf_pq_topk(
+                spark.read.parquet(args.queries), corpus,
+                args.query_id_col, args.id_col, args.vec_col, args.dim,
+                k=args.k, n_probe=args.n_probe, refine_k=args.refine_k,
+                cents=cents, books=books, corpus_codes=codes,
+            )
+            res.write.mode("overwrite").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+            print(f"{n} result rows → {args.out}", file=sys.stderr)
             return
         elif args.cmd == "curate-images":
             from .operators.components import dedup_cluster_verdict_by

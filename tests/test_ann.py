@@ -294,3 +294,24 @@ def test_ivf_pq_precomputed_index_matches_inline(spark, tmp_path):
     ).toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
 
     assert inline.equals(pre)
+
+
+def test_cli_ann_index_build_and_query(spark, tmp_path):
+    from prclz_spark import cli
+
+    idx = str(tmp_path / "idx")
+    corpus = SF + "/embeddings.parquet"
+    cli.main(["ann-index", "build", "--corpus", corpus, "--index", idx,
+              "--dim", "64", "--n-lists", "8"])
+    e = spark.read.parquet(corpus)
+    e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    ).write.parquet(str(tmp_path / "q.pq"))
+    cli.main(["ann-index", "query", "--corpus", corpus, "--index", idx,
+              "--dim", "64", "--queries", str(tmp_path / "q.pq"),
+              "--k", "3", "--n-probe", "4", "--out", str(tmp_path / "r.pq")])
+    r = spark.read.parquet(str(tmp_path / "r.pq"))
+    pdf = r.toPandas()
+    assert set(pdf.qid) == set(range(5))
+    assert pdf.groupby("qid")["rank"].max().eq(3).all()
+    assert (pdf.cos_sim <= 1.000001).all()
