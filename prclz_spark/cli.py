@@ -220,7 +220,10 @@ def main(argv=None):
     sp_ai.add_argument("--id-col", default="vec_id")
     sp_ai.add_argument("--vec-col", default="embedding")
     sp_ai.add_argument("--dim", type=int, required=True)
-    sp_ai.add_argument("--n-lists", type=int, default=256)
+    sp_ai.add_argument(
+        "--n-lists", type=int, default=None,
+        help="IVF coarse lists (default: auto ≈ sqrt(N) from a corpus count)",
+    )
     sp_ai.add_argument("--m", type=int, default=8)
     sp_ai.add_argument("--queries", help="parquet of query (id, vector) rows")
     sp_ai.add_argument("--query-id-col", default="qid")

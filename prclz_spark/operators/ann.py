@@ -42,6 +42,25 @@ def _planes(n_planes: int, dim: int, seed: int = 7) -> np.ndarray:
     return rng.normal(size=(n_planes, dim))
 
 
+def _auto_lists(
+    n_vectors: int, floor: int = 16, cap: int = 1 << 20
+) -> int:
+    """The standard IVF sizing rule: n_lists ≈ √N. Per-query candidate
+    volume through the probe join is ≈ n_probe·N/n_lists, so √N lists
+    balance it against the coarse-quantizer cost (n_lists distance
+    evaluations per query) at n_probe·√N candidates — the fixed default
+    of 16 would funnel corpus/4 rows per query into ONE window task at
+    n_probe=4 on a 10⁹-vector corpus. Pure function (unit-tested at
+    simulated 10¹² counts); ``floor`` keeps toy corpora probing sanely,
+    ``cap`` bounds the broadcast centroid table (2²⁰ lists × dim=64
+    float64 ≈ 0.5 GiB — at larger N raise m/sharding, not n_lists)."""
+    import math
+
+    if n_vectors <= 0:
+        return floor
+    return max(floor, min(cap, math.isqrt(n_vectors)))
+
+
 def ann_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -116,7 +135,7 @@ def ann_lsh_topk(
 
 
 def train_centroids(
-    corpus: DataFrame, vec_col: str, dim: int, n_lists: int = 16,
+    corpus: DataFrame, vec_col: str, dim: int, n_lists: int | None = None,
     sample_frac: float = 1.0, iters: int = 10, seed: int = 11,
 ) -> np.ndarray:
     """K-means coarse quantizer trained on a driver-side SAMPLE (Lloyd's
@@ -124,10 +143,15 @@ def train_centroids(
     vectors the centroid table is still O(n_lists·dim), a broadcastable
     dim; assignment of the full corpus stays distributed (ivf_assign).
 
+    ``n_lists=None`` (the default) auto-sizes to ≈ √N from one corpus
+    count (:func:`_auto_lists`) — pass an explicit value to pin it.
+
     The bound is enforced with orderBy(rand)+limit, which Spark compiles
     to TakeOrderedAndProject (per-partition 100k-heap, merged at the
     driver) — every partition contributes, unlike a bare ``limit`` that
     would take the first partitions only (first-partitions bias)."""
+    if n_lists is None:
+        n_lists = _auto_lists(corpus.count())
     s = corpus.select(vec_col)
     if sample_frac < 1.0:
         s = s.sample(fraction=sample_frac, seed=seed)
@@ -175,11 +199,14 @@ def ivf_topk(
     vec_col: str,
     dim: int,
     k: int = 10,
-    n_lists: int = 16,
+    n_lists: int | None = None,
     n_probe: int = 4,
     seed: int = 11,
 ) -> DataFrame:
-    """(query_id, corpus_id, cos_sim, rank) — IVF approximate top-k."""
+    """(query_id, corpus_id, cos_sim, rank) — IVF approximate top-k.
+    ``n_lists=None`` auto-sizes to ≈ √N (one corpus count); the per-query
+    candidate volume through the probe join is ≈ n_probe·N/n_lists, so
+    the auto size bounds it at ≈ n_probe·√N rows per query."""
     cents = train_centroids(corpus, vec_col, dim, n_lists=n_lists, seed=seed)
     assign1 = _nearest_lists_udf(cents, 1)
     probe_n = _nearest_lists_udf(cents, min(n_probe, len(cents)))
@@ -345,7 +372,7 @@ def ivf_pq_topk(
     vec_col: str,
     dim: int,
     k: int = 10,
-    n_lists: int = 16,
+    n_lists: int | None = None,
     n_probe: int = 4,
     m: int = 8,
     refine_k: int = 100,
@@ -357,7 +384,9 @@ def ivf_pq_topk(
     """(query_id, corpus_id, cos_sim, rank) — IVF-PQ approximate top-k with
     exact cosine re-rank. Identical output contract to ivf_topk; the
     difference is WHAT ships through the probe join: an m-byte code per
-    candidate instead of dim floats. Plan shape: corpus → one scan →
+    candidate instead of dim floats. ``n_lists=None`` auto-sizes to ≈ √N
+    (one corpus count) bounding per-query probe candidates at
+    ≈ n_probe·√N code rows; an explicit value pins the index layout. Plan shape: corpus → one scan →
     (list_id, pq_code); probe join on list_id; ADC scores + per-query
     approximate top-``refine_k``; only those rows re-join the raw vectors
     (an output-sized exchange on corpus_id) for exact cosine and the

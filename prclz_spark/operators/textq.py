@@ -212,6 +212,7 @@ def strip_boilerplate_lines(
     line_sep: str = "\n",
     min_line_chars: int = 1,
     boilerplate: DataFrame | None = None,
+    max_broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """Remove every line occurring in ≥ ``min_df`` documents from every
     document (CCNet/RefinedWeb line-level dedup). Returns
@@ -224,19 +225,43 @@ def strip_boilerplate_lines(
     the against-corpus shape: new batches are cleaned against last month's
     heavy-hitter set with ONE scan of the batch and zero counting work.
 
-    Plan shape (pinned in tests/test_plans.py): the heavy-hitter set is
-    broadcast and consumed by a broadcast LEFT ANTI join on the exploded
-    lines — viral keys (a banner in 10⁹ docs) never shuffle; the only
-    exchange is the uniform per-document reassembly. Lines shorter than
-    ``min_line_chars`` after trimming never count toward document
-    frequency and are never stripped (their join key is NULL, which a
-    left-anti join retains), preserving document structure.
+    Plan shape (pinned in tests/test_plans.py), sized not assumed: the
+    heavy-hitter table's bound — ≤ total_lines/min_df distinct hashes —
+    is NOT small at a low ``min_df`` over a big corpus (10¹² lines at
+    min_df=10 bounds it at 10¹¹ rows), so the table is counted first
+    (one cheap agg over an already-bounded table):
+
+    * ≤ ``max_broadcast_rows`` — broadcast LEFT ANTI on the exploded
+      lines: viral keys (a banner in 10⁹ docs) never shuffle; the only
+      exchange is the uniform per-document reassembly.
+    * larger — two-level anti-join: the top ``max_broadcast_rows`` hitters
+      BY df (the actually-viral head, the keys that would skew a shuffle)
+      still go through the broadcast anti; the long tail goes through a
+      shuffled anti-join, which is safe precisely because tail keys are
+      non-viral by construction (df below the head's cutoff), so the
+      shuffle is uniform. Same output, no driver OOM at any ``min_df``.
+
+    Lines shorter than ``min_line_chars`` after trimming never count
+    toward document frequency and are never stripped (their join key is
+    NULL, which a left-anti join retains), preserving document structure.
+
+    When the hitter table is computed inline it is ``persist()``-ed (the
+    size probe and the head/tail split must not re-run the corpus
+    counting pass per scan); it is LRU-evictable and bounded, but callers
+    running many strips in one session can pass a precomputed
+    ``boilerplate`` to manage its lifetime themselves.
     """
-    if boilerplate is None:
+    inline = boilerplate is None
+    if inline:
+        # the size probe (and, in the two-level regime, the head/tail
+        # split) scans the hitter table more than once — an inline
+        # (recomputed-from-the-corpus) table must not re-run the corpus
+        # counting pass per scan, so materialize it first
         boilerplate = boilerplate_lines(
             df, id_col, text_col, min_df, line_sep, min_line_chars
-        )
-    hot = F.broadcast(boilerplate.select("line_hash"))
+        ).persist()
+    n_hot = boilerplate.count()
+    two_level = n_hot > max_broadcast_rows
 
     lines = df.select(
         F.col(id_col).alias("_bid"),
@@ -249,7 +274,22 @@ def strip_boilerplate_lines(
             F.xxhash64(F.trim("_line")),
         ),
     )
-    kept = lines.join(hot, lines["_lh"] == hot["line_hash"], "left_anti")
+    if not two_level:
+        hot = F.broadcast(boilerplate.select("line_hash"))
+        kept = lines.join(hot, lines["_lh"] == hot["line_hash"], "left_anti")
+    else:
+        head = F.broadcast(
+            boilerplate.orderBy(F.col("df").desc(), F.col("line_hash"))
+            .limit(max_broadcast_rows)
+            .select("line_hash")
+        )
+        tail = (
+            boilerplate.join(head, "line_hash", "left_anti")
+            .select("line_hash")
+            .hint("shuffle_hash")
+        )
+        kept = lines.join(head, lines["_lh"] == head["line_hash"], "left_anti")
+        kept = kept.join(tail, kept["_lh"] == tail["line_hash"], "left_anti")
     out = kept.groupBy("_bid").agg(
         F.array_join(
             F.transform(

@@ -315,3 +315,53 @@ def test_cli_ann_index_build_and_query(spark, tmp_path):
     assert set(pdf.qid) == set(range(5))
     assert pdf.groupby("qid")["rank"].max().eq(3).all()
     assert (pdf.cos_sim <= 1.000001).all()
+
+
+def test_auto_lists_sizing():
+    """√N auto-sizing (VERDICT r6 #3): pure function, simulated up to
+    10¹² vectors — the per-query probe-candidate bound n_probe·N/n_lists
+    stays ≈ n_probe·√N instead of the fixed-16 default's corpus/4."""
+    from prclz_spark.operators.ann import _auto_lists
+
+    assert _auto_lists(0) == 16
+    assert _auto_lists(100) == 16          # floor: toy corpora
+    assert _auto_lists(1_000_000) == 1_000
+    assert _auto_lists(10**9) == 31_622
+    assert _auto_lists(10**12) == 1_000_000
+    assert _auto_lists(10**13) == 1 << 20  # centroid-broadcast cap
+    # candidate bound at 10⁹ vectors, n_probe=4: ~126k rows per query —
+    # a window task, not a corpus/4=250M-row funnel
+    n = 10**9
+    assert 4 * n / _auto_lists(n) < 5 * 4 * (n ** 0.5)
+
+
+def test_auto_lists_balances_candidates(spark):
+    """End-to-end auto-sizing: 4096 synthetic vectors → 64 lists; the
+    probed candidate volume per query stays within a small constant of
+    n_probe·√N (k-means imbalance bounded)."""
+    import pandas as pd
+
+    from prclz_spark.operators.ann import _auto_lists, _nearest_lists_udf, train_centroids
+
+    n, dim = 4096, 16
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {"vec_id": range(n), "embedding": list(rng.normal(size=(n, dim)))}
+    )
+    corpus = spark.createDataFrame(pdf)
+    assert _auto_lists(n) == 64
+    cents = train_centroids(corpus, "embedding", dim)  # n_lists=None → 64
+    assert len(cents) == 64
+    assign1 = _nearest_lists_udf(cents, 1)
+    sizes = (
+        corpus.withColumn("list_id", F.element_at(assign1(F.col("embedding")), 1))
+        .groupBy("list_id")
+        .count()
+        .toPandas()
+    )
+    n_probe = 4
+    # mean probed-candidate volume ≤ c·n_probe·√N with c=4 (imbalance)
+    avg_list = sizes["count"].mean()
+    assert n_probe * avg_list <= 4 * n_probe * (n ** 0.5)
+    # and even the most imbalanced probe set is far from a corpus funnel
+    assert n_probe * sizes["count"].max() < n / 4

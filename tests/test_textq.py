@@ -200,6 +200,51 @@ def test_strip_plan_broadcast_anti(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
+def test_strip_two_level_plan(spark):
+    """Above ``max_broadcast_rows`` the strip splits: the viral head still
+    goes through a broadcast anti-join (those keys must never shuffle);
+    the non-viral tail through a shuffled anti-join. Both flavors must be
+    present in the plan — an all-broadcast plan means the guard didn't
+    fire, an all-shuffle plan re-creates the skew the head exists for."""
+    df, *_ = _bp_frame(spark)
+    plan = (
+        strip_boilerplate_lines(
+            df, "doc_id", "text", min_df=2, max_broadcast_rows=1
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_strip_two_level_output_identical(spark):
+    """min_df=10 with a forced multi-row hitter set: the two-level regime
+    (head capped at 2 broadcast rows, the rest anti-joined through the
+    shuffle) returns byte-identical results to the single-broadcast form."""
+    footer = "(c) corp"
+    docs = [
+        (i, f"banner {i % 3}\nbody text {i}\nshared middle\n{footer}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    base = {
+        r["doc_id"]: r.asDict()
+        for r in strip_boilerplate_lines(df, "doc_id", "text", min_df=10).collect()
+    }
+    # 5 hitters (3 banners df≥13, shared middle df=40, footer df=40) > 2
+    two = {
+        r["doc_id"]: r.asDict()
+        for r in strip_boilerplate_lines(
+            df, "doc_id", "text", min_df=10, max_broadcast_rows=2
+        ).collect()
+    }
+    assert base == two
+    assert two[0]["text_clean"] == "body text 0"
+    assert two[0]["n_lines_removed"] == 3
+
+
 def test_incremental_boilerplate_corpus(spark, tmp_path):
     """Daily-crawl loop for the heavy-hitter line table: per-batch df
     counts append as snapshots; the corpus-wide set is the sum-merge.
