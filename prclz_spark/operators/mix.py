@@ -72,6 +72,7 @@ def mix_strata(
     id_col: str,
     seed: int = 1,
     hist_buckets: int = 8192,
+    boundary_cap: int = 262_144,
 ) -> DataFrame:
     """Exact deterministic per-stratum sample: up to ``quotas[stratum]``
     rows for each listed stratum (unlisted strata are dropped — a mixture
@@ -79,7 +80,15 @@ def mix_strata(
     the total tie-break. Equivalent to ranking each whole stratum by
     (scramble, id) and keeping rank ≤ quota, but only the boundary
     scramble-bucket (~|stratum|/``hist_buckets`` rows) is ever sorted —
-    see the module docstring for the two-pass shape."""
+    see the module docstring for the two-pass shape.
+
+    ``boundary_cap`` adapts the resolution to the pass-1 counts: a
+    stratum whose boundary bucket still holds more rows than the cap
+    (~|stratum|/hist_buckets — 10⁸ rows for a 10¹²-row stratum at the
+    default 8192) gets ONE extra histogram pass over that single bucket,
+    subdividing it ``hist_buckets``-fold (effective resolution
+    hist_buckets², ~15k boundary rows at 10¹² — per-task sort stays
+    bounded at any stratum size for the cost of one more small scan)."""
     bw = _P // hist_buckets + 1  # bucket width; _b = scramble // bw < hist_buckets
     keyed = (
         df.withColumn("_quota", _quota_map(quotas, strata_col))
@@ -114,6 +123,34 @@ def mix_strata(
     if not bstar:  # no listed stratum present
         return keyed.filter(F.lit(False)).drop("_quota", "_h", "_b")
 
+    # Pass 1b (optional): refine any stratum whose boundary bucket is
+    # still bigger than boundary_cap — one more bounded histogram, over
+    # that one bucket only, subdivided hist_buckets-fold.
+    bw2 = bw // hist_buckets + 1  # sub-bucket width within a bucket
+    over = sorted(
+        s for s, b in bstar.items()
+        if b < hist_buckets and hist[s].get(b, 0) > boundary_cap
+    )
+    b2star, rem2 = {}, {}
+    if over:
+        bstar_lit = F.create_map(
+            *[F.lit(x) for s in over for x in (s, bstar[s])]
+        )[F.col(strata_col)]
+        sub_src = keyed.filter(
+            F.col(strata_col).isin(over) & (F.col("_b") == bstar_lit)
+        ).withColumn("_b2", F.expr(f"(_h % {bw}) div {bw2}"))
+        hist2 = {}
+        for r in sub_src.groupBy(strata_col, "_b2").count().collect():
+            hist2.setdefault(r[strata_col], {})[r["_b2"]] = r["count"]
+        for s in over:
+            need, below = remaining[s], 0
+            for b2 in sorted(hist2.get(s, {})):
+                if below + hist2[s][b2] >= need:
+                    b2star[s] = b2
+                    rem2[s] = need - below
+                    break
+                below += hist2[s][b2]
+
     bstar_col = F.create_map(
         *[F.lit(x) for kv in bstar.items() for x in kv]
     )[F.col(strata_col)]
@@ -121,18 +158,37 @@ def mix_strata(
         *[F.lit(x) for kv in remaining.items() for x in kv]
     )[F.col(strata_col)]
 
-    # Pass 2a: everything strictly below the boundary bucket — a pure
-    # map-side filter, no shuffle, no sort.
-    below_df = keyed.filter(F.col("_b") < bstar_col)
-    # Pass 2b: the boundary bucket only (≤ |stratum|/hist_buckets rows per
-    # stratum) takes the remaining slice by exact (scramble, id) rank.
+    # Pass 2a: everything strictly below the boundary — a pure map-side
+    # filter, no shuffle, no sort (refined strata also keep the boundary
+    # bucket's sub-buckets below their sub-boundary filter-only).
+    b2_expr = F.expr(f"(_h % {bw}) div {bw2}")
+    below_cond = F.col("_b") < bstar_col
+    edge_cond = F.col("_b") == bstar_col
+    rank_cap = rem_col
+    if b2star:
+        b2star_col = F.create_map(
+            *[F.lit(x) for kv in b2star.items() for x in kv]
+        )[F.col(strata_col)]
+        rem2_col = F.create_map(
+            *[F.lit(x) for kv in rem2.items() for x in kv]
+        )[F.col(strata_col)]
+        below_cond = below_cond | (
+            edge_cond & b2star_col.isNotNull() & (b2_expr < b2star_col)
+        )
+        edge_cond = edge_cond & (
+            b2star_col.isNull() | (b2_expr == b2star_col)
+        )
+        rank_cap = F.coalesce(rem2_col, rem_col)
+    below_df = keyed.filter(below_cond)
+    # Pass 2b: the (possibly refined) boundary bucket only takes the
+    # remaining slice by exact (scramble, id) rank.
     wb = Window.partitionBy(strata_col).orderBy(
         F.col("_h").asc(), F.col(id_col).asc()
     )
     edge_df = (
-        keyed.filter(F.col("_b") == bstar_col)
+        keyed.filter(edge_cond)
         .withColumn("_rn", F.row_number().over(wb))
-        .filter(F.col("_rn") <= rem_col)
+        .filter(F.col("_rn") <= rank_cap)
         .drop("_rn")
     )
     return below_df.unionByName(edge_df).drop("_quota", "_h", "_b")

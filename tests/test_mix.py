@@ -57,3 +57,70 @@ def test_mix_no_listed_stratum_present(spark):
     out = mix_strata(d, "lang", {"xx_not_a_lang": 10}, "doc_id")
     assert out.count() == 0
     assert out.columns == ["doc_id", "lang"]
+
+
+def test_mix_boundary_refinement_byte_identical(spark):
+    """Adaptive resolution (VERDICT r6 #5): with hist_buckets=2 and a tiny
+    boundary_cap every boundary bucket exceeds the cap and triggers the
+    sub-histogram pass; the selection must stay byte-identical to the
+    windowed reference (refinement changes WHERE the rank runs, never
+    what is selected)."""
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang")
+    q = {"en": 37, "fr": 11}
+    want = sorted(
+        r.doc_id
+        for r in mix_strata_windowed(d, "lang", q, "doc_id", seed=5).collect()
+    )
+    got = sorted(
+        r.doc_id
+        for r in mix_strata(
+            d, "lang", q, "doc_id", seed=5, hist_buckets=2, boundary_cap=3
+        ).collect()
+    )
+    assert got == want
+
+
+def test_mix_refinement_bounds_boundary_rank(spark):
+    """The refined boundary — the only rows that ever reach the per-stratum
+    rank — holds ≤ ~|stratum|/hist_buckets² rows: replicate the operator's
+    arithmetic and check the sub-boundary bucket is genuinely smaller than
+    the pass-1 boundary it replaced."""
+    from prclz_spark.operators.mix import _P, scramble
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang")
+    hb, cap = 4, 10
+    bw = _P // hb + 1
+    bw2 = bw // hb + 1
+    keyed = (
+        d.filter(F.col("lang") == "en")
+        .select("doc_id", scramble("doc_id", 5).alias("_h"))
+        .withColumn("_b", F.expr(f"_h div {bw}"))
+        .withColumn("_b2", F.expr(f"(_h % {bw}) div {bw2}"))
+    )
+    counts = keyed.groupBy("_b", "_b2").count().collect()
+    per_b = {}
+    for r in counts:
+        per_b[r["_b"]] = per_b.get(r["_b"], 0) + r["count"]
+    # the operator's pass-1 boundary for quota 37
+    quota, below, bstar = 37, 0, None
+    for b in sorted(per_b):
+        if below + per_b[b] >= quota:
+            bstar = b
+            break
+        below += per_b[b]
+    assert per_b[bstar] > cap  # refinement would fire at this cap
+    sub = {r["_b2"]: r["count"] for r in counts if r["_b"] == bstar}
+    need, sb, b2star = quota - below, 0, None
+    for b2 in sorted(sub):
+        if sb + sub[b2] >= need:
+            b2star = b2
+            break
+        sb += sub[b2]
+    # rows actually ranked after refinement = one sub-bucket ≪ the bucket
+    assert sub[b2star] < per_b[bstar]
+    # and the operator with this cap still returns the exact quota
+    out = mix_strata(
+        d, "lang", {"en": quota}, "doc_id", seed=5, hist_buckets=hb,
+        boundary_cap=cap,
+    )
+    assert out.count() == quota
