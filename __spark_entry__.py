@@ -1621,19 +1621,230 @@ def _q_winnow_checks(spark, sf_dir):
 # registry
 # --------------------------------------------------------------------------
 
+def _q_rowops_checks(spark, sf_dir):
+    """Composite of four stable row-op suites (anti/semi/dedup/union —
+    SURVEY F6/F8 + ledger-resume + semi join), consolidated to one
+    registry row (VERDICT r6 #1) to make room for the session-2
+    operators. Each part keeps its full original oracle, reshaped to a
+    shared (part, key, n, extra) schema."""
+
+    def shape(df, part, key, n, extra=None):
+        return df.select(
+            F.lit(part).alias("part"),
+            F.col(key).cast("string").alias("key"),
+            F.col(n).cast("long").alias("n"),
+            (F.col(extra) if extra else F.lit(None)).cast("long").alias("extra"),
+        )
+
+    return (
+        shape(_q_anti_join(spark, sf_dir), "anti", "o_orderstatus", "n")
+        .unionByName(shape(_q_semi_join(spark, sf_dir), "semi", "o_orderpriority", "n"))
+        .unionByName(
+            shape(_q_dedup_rows(spark, sf_dir), "dedup", "o_orderstatus", "n_distinct_cust")
+        )
+        .unionByName(shape(_q_union_all(spark, sf_dir), "union", "src", "n", "keysum"))
+    )
+
+
+def _q_geo_parcels_cases(spark, sf_dir):
+    """Composite of the two closed-form tessellation cases (K4 offset
+    seeding + K5 orphan reunion) under one constant-row oracle."""
+    orph = _q_geo_parcels_orphans(spark, sf_dir).select(
+        F.lit("orphan_u").alias("case_id"),
+        "n_parcels",
+        F.col("total_area").cast("double"),
+        F.col("a_has_topright").alias("a_flag"),
+        F.col("b_has_topright").alias("b_flag"),
+    )
+    off = _q_geo_parcels_offset(spark, sf_dir).select(
+        F.concat(F.lit("offset_"), F.col("mode")).alias("case_id"),
+        "n_parcels",
+        F.col("total_area").cast("double"),
+        F.col("a_has_probe").alias("a_flag"),
+        F.col("b_has_probe").alias("b_flag"),
+    )
+    return orph.unionByName(off)
+
+
+def _q_text_quality_lang(spark, sf_dir):
+    """quality_score + lang_id_heuristic merged: per-doc quality metrics
+    AND the n-gram language prediction in one row set (row-level, which
+    is strictly stronger than the old grouped lang_id form)."""
+    d = _load(spark, sf_dir, "documents")
+    n_spaces = F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+    n_digits = F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))
+    words = n_spaces + F.lit(1)
+    hits = (
+        (F.length("text") - F.length(F.regexp_replace("text", " the ", ""))) / 5
+        + (F.length("text") - F.length(F.regexp_replace("text", " and ", ""))) / 5
+        + (F.length("text") - F.length(F.regexp_replace("text", " of ", ""))) / 4
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(hits >= 1, F.lit("en")).otherwise(F.lit("other")).alias("pred_lang"),
+        F.length("text").alias("n_chars_m"),
+        words.cast("long").alias("n_words"),
+        F.round(F.length("text").cast("double") / words.cast("double"), 4).alias(
+            "avg_word_len"
+        ),
+        F.round(n_digits.cast("double") / F.length("text").cast("double"), 4).alias(
+            "digit_ratio"
+        ),
+    ).filter(F.col("doc_id") < 500)
+
+
+def _q_token_ngram_stats(spark, sf_dir):
+    """token_stats + ngram_distinct merged: per-language token counting
+    AND 5-gram shingle cardinality aggregated in one pass."""
+    d = _load(spark, sf_dir, "documents")
+    toks = F.length("text") - F.length(F.regexp_replace("text", " ", "")) + F.lit(1)
+    shingles = F.expr(
+        "transform(sequence(1, greatest(length(text) - 4, 0)), i -> substring(text, i, 5))"
+    )
+    return (
+        d.select(
+            "lang",
+            toks.cast("long").alias("_t"),
+            F.size(F.array_distinct(shingles)).cast("long").alias("_d5"),
+            F.size(shingles).cast("long").alias("_n5"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_t").alias("total_tokens"),
+            F.round(F.avg("_t"), 4).alias("avg_tokens"),
+            F.sum("_d5").alias("distinct_5grams"),
+            F.sum("_n5").alias("total_5grams"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# session-2 operator rows (VERDICT r6 #1: rotated into the oracle registry)
+# --------------------------------------------------------------------------
+
+# Gopher-rule cutoffs for the quality_filter row, tuned to split the sf
+# corpus nontrivially (word-soup fixture: dup-word median 0.83, top-2gram
+# median 0.07, dup-2gram median 0.03, words q10/q90 = 21/92)
+_QF_RULES = {
+    "min_words": 30,
+    "max_words": 90,
+    "dup_line_frac": 0.80,
+    "top_2gram_char_frac": 0.09,
+    "dup_2gram_frac": 0.04,
+}
+
+
+def _q_repetition_metrics(spark, sf_dir):
+    """Gopher repetition metrics (operators/textq.py) with words-as-lines
+    (the fixture docs have no newlines; line_sep=' ' makes the dup-line
+    machinery nontrivial and splits identically in DuckDB)."""
+    from prclz_spark.operators.textq import repetition_metrics
+
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return repetition_metrics(
+        d, "doc_id", "text", top_ngram_sizes=(2, 3), dup_ngram_sizes=(5,),
+        line_sep=" ",
+    )
+
+
+def _q_quality_filter(spark, sf_dir):
+    """Gopher verdicts over the repetition metrics; the reasons array is
+    scalar-encoded (sorted, comma-joined) for the driver canonicalizer."""
+    from prclz_spark.operators.textq import quality_filter
+
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    qf = quality_filter(d, "doc_id", "text", rules=dict(_QF_RULES), line_sep=" ")
+    return qf.select(
+        "doc_id",
+        "n_words",
+        F.array_join("reasons", ",").alias("reasons"),
+        "keep",
+    )
+
+
+def _q_strip_boilerplate(spark, sf_dir):
+    """CCNet line-level boilerplate strip with words-as-lines: words in
+    ≥ min_df of the 400 docs are stripped from every doc; text_clean is
+    compared byte-for-byte against the DuckDB reassembly."""
+    from prclz_spark.operators.textq import strip_boilerplate_lines
+
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return strip_boilerplate_lines(d, "doc_id", "text", min_df=310, line_sep=" ")
+
+
+def _aspect_images(spark, sf_dir):
+    """Deterministic synthetic image-metadata table in the input-hint
+    shape (w/h int columns), derived from doc_id with planted corrupt
+    rows (NULL width every 101st, zero height every 97th)."""
+    d = _load(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id"),
+        F.when(F.col("doc_id") % 101 == 0, F.lit(None))
+        .otherwise(F.lit(256) + F.pmod(F.col("doc_id") * 37, F.lit(1545)))
+        .cast("int")
+        .alias("w"),
+        F.when(F.col("doc_id") % 97 == 0, F.lit(0))
+        .otherwise(F.lit(256) + F.pmod(F.col("doc_id") * 91, F.lit(1545)))
+        .cast("int")
+        .alias("h"),
+    )
+
+
+def _q_aspect_buckets(spark, sf_dir):
+    """NovelAI aspect-ratio bucket assignment (operators/aspect.py):
+    ladder argmin on |log(w/h) − log(bw/bh)|, NULL for corrupt rows. The
+    ladder log values are Python literals shared verbatim with the
+    DuckDB oracle; only log(w/h) is computed per-engine."""
+    from prclz_spark.operators.aspect import assign_aspect_buckets, make_aspect_buckets
+
+    out = assign_aspect_buckets(
+        _aspect_images(spark, sf_dir), make_aspect_buckets(), "w", "h"
+    )
+    return out.select("doc_id", "w", "h", "aspect_idx", "bucket_w", "bucket_h")
+
+
+def _q_form_batches(spark, sf_dir):
+    """Deterministic training batches (operators/aspect.py): numeric ids
+    feed the MINSTD scramble directly, so chunking, ordering, batch_id
+    layout, slots and partial flags are ALL replayed closed-form in the
+    DuckDB oracle — a full value oracle, not rows-only."""
+    from prclz_spark.operators.aspect import form_batches, make_aspect_buckets
+
+    imgs = _aspect_images(spark, sf_dir).withColumnRenamed("doc_id", "image_id")
+    return form_batches(
+        imgs, make_aspect_buckets(), batch_size=16, id_col="image_id",
+        seed=3, n_chunks=4,
+    )
+
+
+def _q_ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ ANN with exact re-rank (operators/ann.py). Rows-only: the
+    k-means/PQ training floats aren't SQL-replicable; value-level checks
+    live in tests/test_ann.py (recall gates, planted twins, ADC error)."""
+    from prclz_spark.operators.ann import ivf_pq_topk
+
+    e = _load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return ivf_pq_topk(
+        q, e, "qid", "vec_id", "embedding", dim=64, k=5,
+        n_lists=8, n_probe=3, m=8, refine_k=50,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q_pricing_summary,
+        "rowops_checks": _q_rowops_checks,
         "join_left_notnull": _q_join_left_notnull,
         "multiway_join_revenue": _q_multiway_join,
         "topk_global": _q_topk_global,
         "window_topk_per_cust": _q_window_topk,
         "collect_sorted_list": _q_collect_sorted,
-        "anti_join_resume": _q_anti_join,
-        "semi_join": _q_semi_join,
-        "dedup_rows": _q_dedup_rows,
         "argmax_per_nation": _q_argmax_window,
-        "union_all": _q_union_all,
         "explode_embeddings": _q_explode_embeddings,
         "events_hourly_rollup": _q_events_hourly,
         "pip_join_counts": _q_pip_join,
@@ -1642,14 +1853,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ring_expansion": _q_knn,
         "radius_join": _q_radius_join,
         "dedup_exact_hash": _q_dedup_exact,
-        "token_stats": _q_token_stats,
-        "quality_score": _q_quality_score,
-        "lang_id_heuristic": _q_lang_id,
-        "ngram_distinct": _q_ngram_distinct,
+        "token_ngram_stats": _q_token_ngram_stats,
+        "text_quality_lang": _q_text_quality_lang,
+        "repetition_metrics": _q_repetition_metrics,
+        "quality_filter": _q_quality_filter,
+        "strip_boilerplate": _q_strip_boilerplate,
         "ann_cosine_topk": _q_ann_cosine,
         "embedding_norms": _q_embedding_norms,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ivf_pq_topk": _q_ivf_pq_topk,
         "minhash_lsh_neardup": _q_minhash_lsh,
         "dedup_against_corpus": _q_dedup_against_corpus,
         "dedup_cluster_components": _q_dedup_cluster_components,
@@ -1665,14 +1878,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_union_area": _q_geo_union_area,
         "geo_k_complexity": _q_geo_complexity,
         "geo_parcels": _q_geo_parcels,
-        "geo_parcels_orphans": _q_geo_parcels_orphans,
-        "geo_parcels_offset": _q_geo_parcels_offset,
+        "geo_parcels_cases": _q_geo_parcels_cases,
         "geo_reblock_steiner": _q_geo_reblock_golden,
         "geo_reblock_world": _q_geo_reblock,
         "geo_reblock_full": _q_geo_reblock_full,
+        "aspect_buckets": _q_aspect_buckets,
+        "form_batches": _q_form_batches,
         "images_roundtrip_psnr": _q_images_roundtrip,
         "phash_checks": _q_phash_checks,
         "tile_raster_checks": _q_tile_raster_checks,
+    }
+
+
+def _extra_oracles() -> dict[str, str]:
+    """Oracles whose SQL embeds computed literals: the aspect ladder's
+    log-ratio values (the SAME Python floats the Spark query broadcasts,
+    so only log(w/h) is computed per-engine) and the MINSTD multipliers
+    for the form_batches scramble replay (seed 3 -> chunk, seed 4 ->
+    order; the arithmetic stays below 2^62, replicable verbatim)."""
+    import math
+
+    from prclz_spark.operators.aspect import make_aspect_buckets
+
+    lad = make_aspect_buckets()
+    lad_vals = ", ".join(
+        f"({i}, {math.log(bw / bh)!r}, {bw}, {bh})"
+        for i, (bw, bh) in enumerate(lad)
+    )
+    P = 2_147_483_647
+    a3 = (48_271 + 3 * 2_654_435_761) % P
+    a4 = (48_271 + 4 * 2_654_435_761) % P
+    imgs = """
+          SELECT doc_id,
+                 CASE WHEN doc_id % 101 = 0 THEN NULL
+                      ELSE CAST(256 + (doc_id * 37) % 1545 AS INT) END AS w,
+                 CASE WHEN doc_id % 97 = 0 THEN 0
+                      ELSE CAST(256 + (doc_id * 91) % 1545 AS INT) END AS h
+          FROM documents
+    """
+    return {
+        "aspect_buckets": f"""
+            WITH imgs AS ({imgs}),
+            lad(idx, lar, bw, bh) AS (VALUES {lad_vals}),
+            asg AS (
+              SELECT image_id, idx, bw, bh FROM (
+                SELECT i.doc_id AS image_id, l.idx, l.bw, l.bh,
+                       ROW_NUMBER() OVER (PARTITION BY i.doc_id
+                         ORDER BY ABS(l.lar - LN(i.w::DOUBLE / i.h::DOUBLE)) ASC,
+                                  l.idx ASC) AS rn
+                FROM imgs i CROSS JOIN lad l
+                WHERE i.w IS NOT NULL AND i.h IS NOT NULL AND i.w > 0 AND i.h > 0
+              ) WHERE rn = 1)
+            SELECT i.doc_id, i.w, i.h,
+                   CAST(a.idx AS INT) AS aspect_idx,
+                   CAST(a.bw AS INT) AS bucket_w,
+                   CAST(a.bh AS INT) AS bucket_h
+            FROM imgs i LEFT JOIN asg a ON a.image_id = i.doc_id
+        """,
+        "form_batches": f"""
+            WITH imgs AS ({imgs}),
+            lad(idx, lar, bw, bh) AS (VALUES {lad_vals}),
+            asg AS (
+              SELECT image_id, idx AS aspect_idx FROM (
+                SELECT i.doc_id AS image_id, l.idx,
+                       ROW_NUMBER() OVER (PARTITION BY i.doc_id
+                         ORDER BY ABS(l.lar - LN(i.w::DOUBLE / i.h::DOUBLE)) ASC,
+                                  l.idx ASC) AS rn
+                FROM imgs i CROSS JOIN lad l
+                WHERE i.w IS NOT NULL AND i.h IS NOT NULL AND i.w > 0 AND i.h > 0
+              ) WHERE rn = 1),
+            keyed AS (
+              SELECT image_id, aspect_idx,
+                     (((image_id % {P}) * {a3}) % {P}) % 4 AS chunk,
+                     ((image_id % {P}) * {a4}) % {P} AS h2
+              FROM asg),
+            ranked AS (
+              SELECT image_id, aspect_idx, chunk,
+                     ROW_NUMBER() OVER (PARTITION BY aspect_idx, chunk
+                                        ORDER BY h2, image_id) - 1 AS pos,
+                     COUNT(*) OVER (PARTITION BY aspect_idx, chunk) AS nn
+              FROM ranked_src_placeholder)
+            SELECT image_id,
+                   CAST(aspect_idx AS INT) AS aspect_idx,
+                   CAST(aspect_idx AS BIGINT) * 17592186044416
+                     + chunk * 1048576 + pos // 16 AS batch_id,
+                   CAST(pos % 16 AS INT) AS slot,
+                   pos // 16 >= nn // 16 AS partial
+            FROM ranked
+        """.replace("ranked_src_placeholder", "keyed"),
     }
 
 
@@ -1686,6 +1979,7 @@ def oracle_sql() -> dict[str, str]:
         f"{_PTS_X % 's_suppkey'} AS x, {_PTS_Y % 's_suppkey'} AS y FROM supplier"
     )
     return {
+        **_extra_oracles(),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -1693,6 +1987,168 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(l_discount), 6) AS avg_disc,
                    COUNT(*) AS n
             FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "rowops_checks": """
+            SELECT 'anti' AS part, o_orderstatus AS key, COUNT(*) AS n,
+                   CAST(NULL AS BIGINT) AS extra
+            FROM orders
+            WHERE NOT EXISTS (SELECT 1 FROM customer
+                              WHERE c_acctbal > 0 AND c_custkey = o_custkey)
+            GROUP BY 2
+            UNION ALL
+            SELECT 'semi', o_orderpriority, COUNT(*), NULL FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_quantity > 45 AND l_orderkey = o_orderkey)
+            GROUP BY 2
+            UNION ALL
+            SELECT 'dedup', o_orderstatus, COUNT(*), NULL FROM (
+              SELECT DISTINCT o_custkey, o_orderstatus FROM orders) GROUP BY 2
+            UNION ALL
+            SELECT 'union', src, COUNT(*), CAST(SUM(key) AS BIGINT) FROM (
+              SELECT c_custkey AS key, 'c' AS src FROM customer
+              UNION ALL
+              SELECT s_suppkey AS key, 's' AS src FROM supplier) GROUP BY 2
+        """,
+        "token_ngram_stats": """
+            WITH s AS (
+              SELECT lang,
+                     LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS toks,
+                     [text[i:i+4] FOR i IN RANGE(1, GREATEST(LENGTH(text) - 4, 0) + 1)] AS sh
+              FROM documents)
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(toks) AS BIGINT) AS total_tokens,
+                   ROUND(AVG(toks), 4) AS avg_tokens,
+                   CAST(SUM(len(list_distinct(sh))) AS BIGINT) AS distinct_5grams,
+                   CAST(SUM(len(sh)) AS BIGINT) AS total_5grams
+            FROM s GROUP BY 1
+        """,
+        "text_quality_lang": """
+            SELECT doc_id, lang,
+                   CASE WHEN
+                     (LENGTH(text) - LENGTH(REPLACE(text, ' the ', ''))) / 5
+                   + (LENGTH(text) - LENGTH(REPLACE(text, ' and ', ''))) / 5
+                   + (LENGTH(text) - LENGTH(REPLACE(text, ' of ', ''))) / 4 >= 1
+                   THEN 'en' ELSE 'other' END AS pred_lang,
+                   LENGTH(text) AS n_chars_m,
+                   CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+                   ROUND(CAST(LENGTH(text) AS DOUBLE) /
+                         (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1), 4) AS avg_word_len,
+                   ROUND(CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS DOUBLE)
+                         / LENGTH(text), 4) AS digit_ratio
+            FROM documents WHERE doc_id < 500
+        """,
+        "repetition_metrics": """
+            WITH d AS (SELECT doc_id, text, LENGTH(text) AS tlen
+                       FROM documents WHERE doc_id < 300),
+            w AS (SELECT doc_id, tlen,
+                    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws,
+                    list_filter(string_split(text, ' '), x -> LENGTH(TRIM(x)) > 0) AS ls
+                  FROM d),
+            lc AS (SELECT doc_id, v, COUNT(*) AS cnt
+                   FROM (SELECT doc_id, unnest(ls) AS v FROM w) GROUP BY 1, 2),
+            dl AS (SELECT doc_id,
+                     ROUND(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::DOUBLE
+                           / SUM(cnt), 6) AS dup_line_frac,
+                     ROUND(SUM(CASE WHEN cnt > 1 THEN cnt * LENGTH(v) ELSE 0 END)::DOUBLE
+                           / SUM(cnt * LENGTH(v)), 6) AS dup_line_char_frac
+                   FROM lc GROUP BY 1),
+            g2 AS (SELECT doc_id, unnest([array_to_string(ws[i:i+1], ' ')
+                                          FOR i IN RANGE(1, len(ws))]) AS g FROM w),
+            t2 AS (SELECT doc_id, MAX(cnt * LENGTH(g)) AS topc
+                   FROM (SELECT doc_id, g, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2)
+                   GROUP BY 1),
+            g3 AS (SELECT doc_id, unnest([array_to_string(ws[i:i+2], ' ')
+                                          FOR i IN RANGE(1, len(ws) - 1)]) AS g FROM w),
+            t3 AS (SELECT doc_id, MAX(cnt * LENGTH(g)) AS topc
+                   FROM (SELECT doc_id, g, COUNT(*) AS cnt FROM g3 GROUP BY 1, 2)
+                   GROUP BY 1),
+            d5 AS (SELECT doc_id,
+                     ROUND((len(gs) - len(list_distinct(gs)))::DOUBLE
+                           / NULLIF(len(gs), 0), 6) AS dup_5gram_frac
+                   FROM (SELECT doc_id, [array_to_string(ws[i:i+4], ' ')
+                                         FOR i IN RANGE(1, len(ws) - 3)] AS gs FROM w))
+            SELECT w.doc_id,
+                   CAST(len(w.ws) AS INT) AS n_words,
+                   CAST(len(w.ls) AS INT) AS n_lines,
+                   dl.dup_line_frac, dl.dup_line_char_frac,
+                   ROUND(COALESCE(t2.topc, 0)::DOUBLE / w.tlen, 6) AS top_2gram_char_frac,
+                   ROUND(COALESCE(t3.topc, 0)::DOUBLE / w.tlen, 6) AS top_3gram_char_frac,
+                   d5.dup_5gram_frac
+            FROM w LEFT JOIN dl USING (doc_id) LEFT JOIN t2 USING (doc_id)
+                   LEFT JOIN t3 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+        """,
+        "quality_filter": """
+            WITH d AS (SELECT doc_id, text, LENGTH(text) AS tlen
+                       FROM documents WHERE doc_id < 300),
+            w AS (SELECT doc_id, tlen,
+                    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws,
+                    list_filter(string_split(text, ' '), x -> LENGTH(TRIM(x)) > 0) AS ls
+                  FROM d),
+            lc AS (SELECT doc_id, v, COUNT(*) AS cnt
+                   FROM (SELECT doc_id, unnest(ls) AS v FROM w) GROUP BY 1, 2),
+            dl AS (SELECT doc_id,
+                     ROUND(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::DOUBLE
+                           / SUM(cnt), 6) AS dup_line_frac
+                   FROM lc GROUP BY 1),
+            g2 AS (SELECT doc_id, unnest([array_to_string(ws[i:i+1], ' ')
+                                          FOR i IN RANGE(1, len(ws))]) AS g FROM w),
+            t2 AS (SELECT doc_id, MAX(cnt * LENGTH(g)) AS topc
+                   FROM (SELECT doc_id, g, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2)
+                   GROUP BY 1),
+            d2 AS (SELECT doc_id,
+                     ROUND((len(gs) - len(list_distinct(gs)))::DOUBLE
+                           / NULLIF(len(gs), 0), 6) AS dup2
+                   FROM (SELECT doc_id, [array_to_string(ws[i:i+1], ' ')
+                                         FOR i IN RANGE(1, len(ws))] AS gs FROM w)),
+            m AS (SELECT w.doc_id, CAST(len(w.ws) AS INT) AS n_words,
+                    dl.dup_line_frac,
+                    ROUND(COALESCE(t2.topc, 0)::DOUBLE / w.tlen, 6) AS top2,
+                    d2.dup2
+                  FROM w LEFT JOIN dl USING (doc_id) LEFT JOIN t2 USING (doc_id)
+                         LEFT JOIN d2 USING (doc_id)),
+            r AS (SELECT doc_id, n_words,
+                    list_sort(list_filter([
+                      CASE WHEN n_words < 30 THEN 'min_words' END,
+                      CASE WHEN n_words > 90 THEN 'max_words' END,
+                      CASE WHEN dup_line_frac > CAST(0.80 AS DOUBLE) THEN 'dup_line_frac' END,
+                      CASE WHEN top2 > CAST(0.09 AS DOUBLE) THEN 'top_2gram_char_frac' END,
+                      CASE WHEN dup2 > CAST(0.04 AS DOUBLE) THEN 'dup_2gram_frac' END
+                    ], x -> x IS NOT NULL)) AS rs
+                  FROM m)
+            SELECT doc_id, n_words,
+                   COALESCE(array_to_string(rs, ','), '') AS reasons,
+                   COALESCE(len(rs), 0) = 0 AS keep
+            FROM r
+        """,
+        "strip_boilerplate": """
+            WITH base AS (
+              SELECT doc_id, LENGTH(text) AS tlen,
+                     string_split(text, ' ') AS l,
+                     len(string_split(text, ' ')) AS n_lines
+              FROM documents WHERE doc_id < 400),
+            pr AS (
+              SELECT doc_id, tlen, n_lines, t['p'] AS p, t['w'] AS w
+              FROM (SELECT doc_id, tlen, n_lines,
+                           unnest([{'p': i, 'w': l[i]} FOR i IN RANGE(1, len(l) + 1)]) AS t
+                    FROM base)),
+            hot AS (
+              SELECT TRIM(w) AS k FROM pr WHERE LENGTH(TRIM(w)) >= 1
+              GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 310),
+            kept AS (
+              SELECT doc_id, p, w FROM pr
+              WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.k = TRIM(pr.w))),
+            re AS (
+              SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS text_clean,
+                     COUNT(*) AS n_kept
+              FROM kept GROUP BY 1)
+            SELECT b.doc_id,
+                   COALESCE(re.text_clean, '') AS text_clean,
+                   CAST(b.n_lines AS INT) AS n_lines,
+                   CAST(b.n_lines - COALESCE(re.n_kept, 0) AS BIGINT) AS n_lines_removed,
+                   ROUND((b.tlen - LENGTH(COALESCE(re.text_clean, '')))::DOUBLE
+                         / b.tlen, 6) AS removed_char_frac
+            FROM (SELECT DISTINCT doc_id, tlen, n_lines FROM base) b
+            LEFT JOIN re USING (doc_id)
         """,
         "join_left_notnull": """
             SELECT c_mktsegment, COUNT(*) AS n,
@@ -1725,34 +2181,12 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY o_orderkey) AS orderkeys
             FROM orders WHERE o_custkey < 50 GROUP BY 1
         """,
-        "anti_join_resume": """
-            SELECT o_orderstatus, COUNT(*) AS n FROM orders
-            WHERE NOT EXISTS (SELECT 1 FROM customer
-                              WHERE c_acctbal > 0 AND c_custkey = o_custkey)
-            GROUP BY 1
-        """,
-        "semi_join": """
-            SELECT o_orderpriority, COUNT(*) AS n FROM orders
-            WHERE EXISTS (SELECT 1 FROM lineitem
-                          WHERE l_quantity > 45 AND l_orderkey = o_orderkey)
-            GROUP BY 1
-        """,
-        "dedup_rows": """
-            SELECT o_orderstatus, COUNT(*) AS n_distinct_cust FROM (
-              SELECT DISTINCT o_custkey, o_orderstatus FROM orders) GROUP BY 1
-        """,
         "argmax_per_nation": """
             SELECT c_nationkey, c_custkey, c_acctbal FROM (
               SELECT c_nationkey, c_custkey, c_acctbal,
                      ROW_NUMBER() OVER (PARTITION BY c_nationkey
                           ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
               FROM customer) WHERE rn = 1
-        """,
-        "union_all": """
-            SELECT src, COUNT(*) AS n, CAST(SUM(key) AS BIGINT) AS keysum FROM (
-              SELECT c_custkey AS key, 'c' AS src FROM customer
-              UNION ALL
-              SELECT s_suppkey AS key, 's' AS src FROM supplier) GROUP BY 1
         """,
         "explode_embeddings": """
             SELECT vec_id,
@@ -1811,36 +2245,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT dups, COUNT(*) AS n_groups FROM (
               SELECT MD5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS dups
               FROM documents GROUP BY 1) GROUP BY 1
-        """,
-        "token_stats": """
-            SELECT lang, COUNT(*) AS n_docs,
-                   CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS BIGINT) AS total_tokens,
-                   ROUND(AVG(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1), 4) AS avg_tokens
-            FROM documents GROUP BY 1
-        """,
-        "quality_score": """
-            SELECT doc_id, LENGTH(text) AS n_chars_m,
-                   CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_words,
-                   ROUND(CAST(LENGTH(text) AS DOUBLE) /
-                         (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1), 4) AS avg_word_len,
-                   ROUND(CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS DOUBLE)
-                         / LENGTH(text), 4) AS digit_ratio
-            FROM documents WHERE doc_id < 500
-        """,
-        "lang_id_heuristic": """
-            SELECT CASE WHEN
-                     (LENGTH(text) - LENGTH(REPLACE(text, ' the ', ''))) / 5
-                   + (LENGTH(text) - LENGTH(REPLACE(text, ' and ', ''))) / 5
-                   + (LENGTH(text) - LENGTH(REPLACE(text, ' of ', ''))) / 4 >= 1
-                   THEN 'en' ELSE 'other' END AS pred_lang,
-                   lang, COUNT(*) AS n
-            FROM documents GROUP BY 1, 2
-        """,
-        "ngram_distinct": """
-            SELECT doc_id,
-                   CAST(LEN(LIST_DISTINCT([text[i:i+4] FOR i IN RANGE(1, GREATEST(LENGTH(text) - 4, 0) + 1)])) AS INT) AS n_distinct_5grams,
-                   CAST(GREATEST(LENGTH(text) - 4, 0) AS INT) AS n_5grams
-            FROM documents WHERE doc_id < 300
         """,
         "ann_cosine_topk": """
             SELECT vec_id, ROUND(
@@ -1953,6 +2357,17 @@ def oracle_sql() -> dict[str, str]:
             FROM numbered, generate_series(0, 1) s(k)
             WHERE s.k < nb
         """,
+        # both tessellation cases are closed-form (see the _q_geo_parcels_*
+        # docstrings), so the composite oracle is a constant table
+        "geo_parcels_cases": """
+            SELECT case_id, CAST(n_parcels AS BIGINT) AS n_parcels,
+                   CAST(total_area AS DOUBLE) AS total_area, a_flag, b_flag
+            FROM (VALUES
+                ('orphan_u',      2,  7.0, false, true),
+                ('offset_raw',    2, 48.0, true,  false),
+                ('offset_offset', 2, 48.0, false, true)
+            ) AS t(case_id, n_parcels, total_area, a_flag, b_flag)
+        """,
         "iceberg_snapshots": """
             SELECT 0 AS snapshot, COUNT(*) AS n_docs,
                    CAST(SUM(length(text)) AS BIGINT) AS sum_len,
@@ -2024,22 +2439,6 @@ def oracle_sql() -> dict[str, str]:
         """,
         # U-block orphan reunion: every fact is closed-form (see
         # _q_geo_parcels_orphans docstring), so the oracle is a constant row
-        "geo_parcels_orphans": """
-            SELECT CAST(2 AS BIGINT) AS n_parcels,
-                   CAST(7.0 AS DOUBLE) AS total_area,
-                   true AS b_has_topright,
-                   false AS a_has_topright
-        """,
-        "geo_parcels_offset": """
-            SELECT mode, CAST(n_parcels AS BIGINT) AS n_parcels,
-                   CAST(total_area AS DOUBLE) AS total_area,
-                   a_has_probe, b_has_probe
-            FROM (VALUES
-                ('offset', 2, 48.0, false, true),
-                ('raw',    2, 48.0, true,  false)
-            ) AS t(mode, n_parcels, total_area, a_has_probe, b_has_probe)
-            ORDER BY mode
-        """,
         # the reference's own golden Steiner answers, verbatim
         # (/root/reference/tests/test_reblock.py:88-129), as canonical
         # lex-sorted segments

@@ -445,8 +445,6 @@ def main():
         "knn_ring_expansion",
         "radius_join",
         "dedup_exact_hash",
-        "token_stats",
-        "ngram_distinct",
         "ann_cosine_topk",
         # round-4 additions: the shuffle-hygiene band join (VERDICT r3 #7)
         # and the LSH ANN tier, timed so their scale paths are tracked
@@ -485,6 +483,32 @@ def main():
     # round-6 session-2 additions (new keys, prior keys frozen): the two
     # operators added after the registry was fitted to the driver's 50-row
     # check — timed here from bench-local callables instead of queries()
+    # token_stats / ngram_distinct left the registry in the round-7
+    # consolidation (merged into token_ngram_stats) but their bench keys
+    # stay FROZEN: identical query bodies, timed bench-locally, so
+    # BENCH_r07+ stays key-for-key comparable with every prior round.
+    def _x_token_stats(s, d):
+        from pyspark.sql import functions as F
+        docs = s.read.parquet(f"{d}/documents.parquet")
+        toks = F.length("text") - F.length(F.regexp_replace("text", " ", "")) + F.lit(1)
+        return docs.groupBy("lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(toks.cast("long")).alias("total_tokens"),
+            F.round(F.avg(toks), 4).alias("avg_tokens"),
+        )
+
+    def _x_ngram_distinct(s, d):
+        from pyspark.sql import functions as F
+        docs = s.read.parquet(f"{d}/documents.parquet").filter(F.col("doc_id") < 300)
+        shingles = F.expr(
+            "transform(sequence(1, greatest(length(text) - 4, 0)), i -> substring(text, i, 5))"
+        )
+        return docs.select(
+            "doc_id",
+            F.size(F.array_distinct(shingles)).alias("n_distinct_5grams"),
+            F.size(shingles).alias("n_5grams"),
+        )
+
     def _x_strip_boilerplate(s, d):
         from prclz_spark.operators.textq import strip_boilerplate_lines
         docs = s.read.parquet(f"{d}/documents.parquet")
@@ -498,7 +522,9 @@ def main():
         return ivf_pq_topk(q, e, "qid", "vec_id", "embedding", dim=64,
                            k=10, n_lists=16, n_probe=4, m=8, refine_k=100)
 
-    for name, fn in [("strip_boilerplate", _x_strip_boilerplate),
+    for name, fn in [("token_stats", _x_token_stats),
+                     ("ngram_distinct", _x_ngram_distinct),
+                     ("strip_boilerplate", _x_strip_boilerplate),
                      ("ivf_pq_topk", _x_ivf_pq)]:
         try:
             reps = []
@@ -511,6 +537,41 @@ def main():
         except Exception as ex:
             q_times[name] = -1.0
             print(f"# bench query {name} failed: {ex}", file=sys.stderr)
+
+    # round-7 addition (VERDICT r6 #4, new key, prior keys frozen):
+    # the PRODUCTION IVF-PQ path — train + corpus encode happen outside
+    # the timer (the `ann-index build` decomposition); the key times only
+    # what a daily query batch costs against the persisted index. The
+    # self-contained `ivf_pq_topk` key above keeps its historical meaning
+    # (end-to-end incl. training) — read them together.
+    try:
+        from pyspark.sql import functions as F  # noqa: F811
+        from prclz_spark.operators.ann import (
+            ivf_pq_encode_corpus, ivf_pq_topk, train_centroids, train_pq,
+        )
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        cents = train_centroids(e, "embedding", 64, n_lists=16)
+        books = train_pq(e, "embedding", 64, m=8)
+        codes = ivf_pq_encode_corpus(e, "vec_id", "embedding", cents, books)
+        codes.persist().count()  # the persisted index, built off-clock
+        qv = e.filter(F.col("vec_id") < 64).withColumnRenamed("vec_id", "qid")
+        reps = []
+        for _ in range(2):
+            t0 = time.time()
+            ivf_pq_topk(
+                qv, e, "qid", "vec_id", "embedding", dim=64, k=10,
+                n_probe=4, refine_k=100,
+                cents=cents, books=books, corpus_codes=codes,
+            ).count()
+            reps.append(round(time.time() - t0, 3))
+        q_times["ivf_pq_query"] = min(reps)
+        total += min(reps)
+        codes.unpersist()
+    except Exception as ex:
+        q_times["ivf_pq_query"] = -1.0
+        print(f"# bench query ivf_pq_query failed: {ex}", file=sys.stderr)
 
     q_times["pipeline_local2"] = n2["sec"]
     q_times["pipeline_local8"] = n8["sec"]
