@@ -657,6 +657,46 @@ def incremental_dedup(
     winnow, ``cos_threshold``/``n_planes``/``n_tables`` for embedding —
     which also needs ``dim``). Returns
     (survivors_sigs, cross_pairs, internal_pairs, snapshot_id)."""
+    from ..sources import iceberg_lite as IL
+
+    survivors, cross, internal, cols = dedup_batch_verdict(
+        batch_df, table_path, id_col, tier=tier, text_col=text_col,
+        vec_col=vec_col, dim=dim, **params,
+    )
+    snap = IL.append(
+        survivors.select(*cols), table_path, properties=commit_properties
+    )
+    if compact_every and len(IL._manifests(table_path, snap)) > compact_every:
+        snap = IL.compact_manifests(table_path)
+    return survivors, cross, internal, snap
+
+
+def dedup_batch_verdict(
+    batch_df: DataFrame,
+    table_path: str,
+    id_col: str,
+    tier: str = "minhash",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    corpus_snapshot: int | None = None,
+    **params,
+):
+    """The verdict-only half of :func:`incremental_dedup`: sign the batch,
+    cross-dedup against the persisted corpus fingerprints, close the
+    batch-internal pairs transitively — and append NOTHING. Returns
+    (survivors_sigs, cross_pairs, internal_pairs, sig_cols); the caller
+    commits ``survivors.select(*sig_cols)`` when its own protocol says so.
+
+    Exists for orchestrators that must defer the fingerprint commit: the
+    curate-text CLI's crash-replay protocol appends fingerprints LAST
+    (after the curated output and the docs snapshot) AND anchors each
+    verdict read at ``corpus_snapshot =
+    IL.snapshot_before_batch(table, query_id, batch_id)`` — so a replay
+    at any crash point (even between two tiers' fp appends) re-reads the
+    pre-batch fingerprint corpus and recomputes byte-identical verdicts
+    instead of matching the batch against its own first-run survivors
+    (which would silently empty it)."""
     import os
 
     from ..sources import iceberg_lite as IL
@@ -673,7 +713,7 @@ def incremental_dedup(
             table_path,
             batch_sigs.select(*spec["cols"]).schema.simpleString()[7:-1],
         )
-    corpus_sigs = IL.read(spark, table_path)
+    corpus_sigs = IL.read(spark, table_path, snapshot=corpus_snapshot)
     cross = spec["cross"](corpus_sigs, batch_sigs).cache()
     internal = spec["internal"](batch_sigs).cache()
     # batch-internal losers via the TRANSITIVE closure (components), not
@@ -692,13 +732,7 @@ def incremental_dedup(
         .dropDuplicates()
     )
     survivors = batch_sigs.join(F.broadcast(dup_ids), id_col, "left_anti")
-    snap = IL.append(
-        survivors.select(*spec["cols"]), table_path,
-        properties=commit_properties,
-    )
-    if compact_every and len(IL._manifests(table_path, snap)) > compact_every:
-        snap = IL.compact_manifests(table_path)
-    return survivors, cross, internal, snap
+    return survivors, cross, internal, spec["cols"]
 
 
 def incremental_minhash_dedup(

@@ -587,6 +587,26 @@ def last_committed_batch(path: str, query_id: str,
     return None if best < 0 else best
 
 
+def snapshot_before_batch(path: str, query_id: str, batch_id: int) -> int:
+    """Highest snapshot whose ``query_id`` watermark is still < ``batch_id``
+    — the time-travel anchor for crash replay: a re-run of batch N must
+    read corpus state as of *before* N's own first-attempt commits, or it
+    would match the batch against its own first-run survivors. Walks the
+    snapshot ``parent`` chain from the head; returns -1 when the table is
+    empty or every retained snapshot already includes ``batch_id`` (an
+    expired pre-batch snapshot raises the usual expiry ValueError —
+    loudly, never a silently-wrong corpus)."""
+    snap = current_snapshot(path)
+    while snap >= 0:
+        last = last_committed_batch(path, query_id, snap)
+        if last is None or last < batch_id:
+            return snap
+        with open(_manifest_file(path, snap)) as f:
+            parent = json.load(f).get("parent")
+        snap = parent if parent is not None else -1
+    return -1
+
+
 def read(spark: SparkSession, path: str, snapshot: int | None = None,
          prune: tuple[str, object, object] | None = None) -> DataFrame:
     """DataFrame over the table as of ``snapshot`` (time travel), reading
