@@ -938,3 +938,112 @@ def test_phash_state_func_vectorized_equals_scalar_reference():
     # interpreted loop ≈10 s, full-matrix kernel ≈5.7 s at 5000 rows;
     # the distinct-code kernel measures 0.02 s — gate with 25× headroom
     assert cpu < 0.5, f"viral-key kernel too slow: {cpu:.2f}s CPU"
+
+
+def test_strip_boilerplate_stream_refreshing(spark, tmp_path):
+    """Streaming boilerplate strip (r6 advice #8): per-micro-batch
+    stream-static anti-join against the incremental line-df corpus, with
+    the dedup-style mid-stream refresh — line counts appended by the
+    daily update_boilerplate_corpus loop BETWEEN micro-batches become
+    visible at the next refresh tick without a query restart. Pins
+    stream ≡ batch verdicts on planted banners."""
+    from prclz_spark.operators.textq import (
+        read_boilerplate_corpus,
+        strip_boilerplate_lines,
+        update_boilerplate_corpus,
+    )
+    from prclz_spark.streaming.textq import strip_boilerplate_stream
+
+    BANNER = "SUBSCRIBE to our newsletter"
+    PROMO = "LIMITED offer ends soon"
+    lines_t = str(tmp_path / "lines_tbl")
+
+    def docs(ids, with_promo=False):
+        mid = [BANNER, "body %d alpha", "body %d beta"]
+        if with_promo:
+            mid.append(PROMO)
+        return spark.range(0, 1).selectExpr("1").crossJoin(
+            spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        ).select(
+            "doc_id",
+            F.format_string(
+                "\n".join(mid), F.col("doc_id"), F.col("doc_id")
+            ).alias("text"),
+        )
+
+    # seed corpus: BANNER in 12 docs (>= min_df 10), PROMO in 4 (< 10)
+    update_boilerplate_corpus(
+        docs(range(8)).unionByName(docs(range(8, 12), with_promo=True)),
+        lines_t, "doc_id", "text",
+    )
+
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    docs([100, 101], with_promo=True).coalesce(1).write.parquet(str(d / "f0"))
+
+    got = {}
+
+    def sink_fn(stripped, bid):
+        got.update({
+            int(r["doc_id"]): (r["text_clean"], int(r["n_lines_removed"]))
+            for r in stripped.collect()
+        })
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*")
+    )
+    fn = strip_boilerplate_stream(
+        stream, lambda: read_boilerplate_corpus(spark, lines_t, 10),
+        "doc_id", "text", sink_fn, refresh_every=1,
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            stream.writeStream.foreachBatch(fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    # BANNER (df 12) stripped, PROMO (df 4) kept
+    assert got[100][1] == 1 and BANNER not in got[100][0]
+    assert PROMO in got[100][0] and "body 100 alpha" in got[100][0]
+
+    # daily loop appends 8 more PROMO docs -> corpus df 12; stream keeps
+    # its checkpoint, next file triggers a refresh that must see it
+    update_boilerplate_corpus(
+        docs(range(200, 208), with_promo=True), lines_t, "doc_id", "text"
+    )
+    docs([102, 103], with_promo=True).coalesce(1).write.parquet(str(d / "f1"))
+    got.clear()
+    run()
+    assert got[102][1] == 2
+    assert BANNER not in got[102][0] and PROMO not in got[102][0]
+    assert "body 102 alpha" in got[102][0] and "body 102 beta" in got[102][0]
+
+    # stream ≡ batch: the batch operator over the same corpus state and
+    # the batch entry of the streaming wrapper both match the stream
+    batch_in = docs([102, 103], with_promo=True)
+    hot = read_boilerplate_corpus(spark, lines_t, 10)
+    direct = {
+        int(r["doc_id"]): (r["text_clean"], int(r["n_lines_removed"]))
+        for r in strip_boilerplate_lines(
+            batch_in, "doc_id", "text", boilerplate=hot
+        ).collect()
+    }
+    assert direct == got
+    got2 = {}
+    strip_boilerplate_stream(
+        batch_in, lambda: read_boilerplate_corpus(spark, lines_t, 10),
+        "doc_id", "text",
+        lambda s, b: got2.update({
+            int(r["doc_id"]): (r["text_clean"], int(r["n_lines_removed"]))
+            for r in s.collect()
+        }),
+    )
+    assert got2 == got
