@@ -241,6 +241,14 @@ def main(argv=None):
     sp_ci.add_argument("--table", required=True, help="iceberg-lite image table")
     sp_ci.add_argument("--id-col", default="image_id")
     sp_ci.add_argument("--max-hamming", type=int, default=6)
+    sp_ci.add_argument("--caption-dedup", action="store_true",
+                       help="also treat caption MinHash near-dups as "
+                            "duplicate edges (cross-modal clustering: a "
+                            "re-hosted photo with a rewritten caption and "
+                            "a re-captioned identical photo land in one "
+                            "cluster)")
+    sp_ci.add_argument("--caption-col", default="caption")
+    sp_ci.add_argument("--jaccard-threshold", type=float, default=0.5)
     sp_ci.add_argument("--eval", default=None,
                        help="parquet of eval images (id + phash/bytes) — "
                             "train rows within --max-hamming of any eval "
@@ -598,15 +606,26 @@ def main(argv=None):
             from .operators.dedup import (
                 _sign_phash_frame,
                 decontaminate_images,
+                multimodal_near_pairs,
                 phash_near_pairs_from_sigs,
             )
             from .sources import iceberg_lite as IL
 
             tbl = IL.read(spark, args.table)
             sigs = _sign_phash_frame(tbl, args.id_col)
-            pairs = phash_near_pairs_from_sigs(
-                sigs, args.id_col, max_hamming=args.max_hamming
-            )
+            if args.caption_dedup:
+                pairs = multimodal_near_pairs(
+                    tbl.select(args.id_col, args.caption_col).join(
+                        sigs, args.id_col
+                    ),
+                    args.id_col, caption_col=args.caption_col,
+                    max_hamming=args.max_hamming,
+                    jaccard_threshold=args.jaccard_threshold,
+                )
+            else:
+                pairs = phash_near_pairs_from_sigs(
+                    sigs, args.id_col, max_hamming=args.max_hamming
+                )
             scores = tbl.select(
                 args.id_col, (F.col("w") * F.col("h")).alias("_pixels")
             )

@@ -969,6 +969,72 @@ def phash_pairs_against(
     )
 
 
+def multimodal_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    caption_col: str = "caption",
+    phash_col: str = "phash",
+    max_hamming: int = 6,
+    jaccard_threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    hot_bucket_cap: int = 10_000,
+) -> DataFrame:
+    """Cross-modal near-dup pairs over an image+caption table (the
+    input-hint row shape: ``image_id, bytes, w, h, fmt, caption, phash``):
+    a pair is a duplicate when EITHER modality says so — perceptual-hash
+    Hamming ≤ ``max_hamming`` on the images OR estimated Jaccard ≥
+    ``jaccard_threshold`` on the captions. The union edge set, closed
+    transitively by the usual components verdict, merges the two failure
+    modes web-scale image corpora actually exhibit: the same photo
+    re-hosted with a rewritten caption (image edge), and near-identical
+    boilerplate captions pasted onto distinct thumbnails of one product
+    (caption edges chaining the family).
+
+    Output: (id_a, id_b, modalities, hamming, jaccard_est) — ``id_a <
+    id_b`` canonical, ``modalities`` the sorted array of agreeing
+    modalities, the evidence columns NULL for the modality that did not
+    flag the pair. Feed to components.dedup_cluster_verdict_by with a
+    ``w*h`` score to keep the best-resolution copy per cluster.
+
+    Scale shape: both legs are the existing banded self-joins — phash
+    byte-pair bands and MinHash LSH bands, each with the shared
+    viral-bucket chain guard — so only ids + 8-byte band keys ride the
+    exchanges; the merge is one exchange on the canonical pair key, whose
+    cardinality is the (already verified) pair count, not the candidate
+    count. No new shuffle shape vs running the tiers separately."""
+    img = phash_near_pairs_from_sigs(
+        df.select(F.col(id_col), F.col(phash_col).alias("phash")),
+        id_col, max_hamming=max_hamming, hot_bucket_cap=hot_bucket_cap,
+    )
+    cap = minhash_lsh_pairs(
+        df.select(id_col, caption_col), id_col, caption_col,
+        num_perm=num_perm, bands=bands, k=k,
+        jaccard_threshold=jaccard_threshold, hot_bucket_cap=hot_bucket_cap,
+    )
+
+    def canon(pairs, modality, evidence):
+        # hot-bucket chain edges come fingerprint-ordered, not id-ordered
+        return pairs.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.lit(modality).alias("_mod"),
+            F.col(evidence).cast("double").alias("_ev"),
+        )
+
+    both = canon(img, "image", "hamming").unionByName(
+        canon(cap, "caption", "jaccard_est")
+    )
+    return both.groupBy("id_a", "id_b").agg(
+        F.array_sort(F.collect_set("_mod")).alias("modalities"),
+        F.min(F.when(F.col("_mod") == "image", F.col("_ev")))
+        .cast("long").alias("hamming"),
+        F.max(F.when(F.col("_mod") == "caption", F.col("_ev")))
+        .alias("jaccard_est"),
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame, id_col: str, text_col: str, k: int = 8, w: int = 4
 ) -> DataFrame:

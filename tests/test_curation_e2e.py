@@ -105,3 +105,67 @@ def test_cli_curate_images(spark, tmp_path):
     assert len(ids) == 48 + 8 - 8 - 4  # originals + thumbs - dups - contam
     b = spark.read.parquet(str(tmp_path / "batches.pq"))
     assert b.count() == 44
+
+
+def test_cli_curate_images_caption_dedup(spark, tmp_path):
+    """--caption-dedup: cross-modal clustering. A re-captioned identical
+    photo (image edge) AND a re-hosted different photo carrying a cloned
+    caption (caption edge) both lose to the best-resolution original;
+    phash-only curation would miss the second family."""
+    from prclz_spark import cli
+
+    t = str(tmp_path / "tbl")
+    pool = images_table(spark, 60, w=64, h=64).cache()
+
+    def recap(df, salt):
+        # unique pseudo-random captions — the fixture's templated captions
+        # are organically near-identical and would cluster EVERYTHING
+        return df.withColumn(
+            "caption",
+            F.concat_ws(" ", *[
+                F.sha2(F.concat(F.lit(f"{salt}{i}-"), "image_id"), 256)
+                for i in range(3)
+            ]),
+        )
+
+    base = recap(pool.filter(F.col("image_id") < "img_00000040"), "c")
+    # image-dup mirrors of the first 4, RE-CAPTIONED (caption edge absent)
+    thumbs = recap(
+        base.filter(F.col("image_id") < "img_00000004").select(
+            F.concat(F.lit("thumb_"), "image_id").alias("image_id"),
+            "bytes", (F.col("w") / 2).cast("int").alias("w"),
+            (F.col("h") / 2).cast("int").alias("h"), "fmt", "caption", "phash",
+        ),
+        "t",
+    )
+    # caption-dup re-hosts: DIFFERENT photos (donor rows 48-51, not in the
+    # table) carrying the captions of rows 20-23, at lower resolution
+    donor_rows = pool.filter(
+        (F.col("image_id") >= "img_00000048") & (F.col("image_id") < "img_00000052")
+    ).select("image_id", "bytes", "fmt", "phash").collect()
+    cap_rows = base.filter(
+        (F.col("image_id") >= "img_00000020") & (F.col("image_id") < "img_00000024")
+    ).select("image_id", "caption").collect()
+    capdups = spark.createDataFrame(
+        [
+            (f"zcapdup_{k}", d["bytes"], 32, 32, d["fmt"], c["caption"], d["phash"])
+            for k, (d, c) in enumerate(zip(donor_rows, cap_rows))
+        ],
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+
+    sink = iceberg_batch_sink(t, "crawl")
+    sink(base.unionByName(thumbs).unionByName(capdups), 0)
+    assert IL.read(spark, t).count() == 48
+
+    cli.main([
+        "curate-images", "--table", t, "--max-hamming", "0",
+        "--caption-dedup",
+    ])
+    ids = {r["image_id"] for r in IL.read(spark, t).select("image_id").collect()}
+    assert not any(i.startswith("thumb_") for i in ids)
+    assert not any(i.startswith("zcapdup_") for i in ids)
+    # every original survived — incl. the caption donors 20-23
+    assert len(ids) == 40
+    assert {f"img_{i:08d}" for i in range(20, 24)} <= ids

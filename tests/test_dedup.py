@@ -917,3 +917,68 @@ def test_incremental_dedup_string_ids_from_bytes(spark, tmp_path):
     }
     # table now holds both days' survivors, string ids intact
     assert IL.read(spark, t).count() == 120
+
+
+def test_multimodal_near_pairs(spark):
+    """Cross-modal dedup over an image+caption table: image-phash edges
+    OR caption-minhash edges, canonical pair key, per-modality evidence,
+    and transitive closure across modalities (photo re-hosted with a new
+    caption + the same caption on a third photo => ONE cluster)."""
+    import hashlib
+
+    from prclz_spark.operators.components import dedup_cluster_verdict_by
+    from prclz_spark.operators.dedup import multimodal_near_pairs
+
+    def cap(i):
+        h = hashlib.md5(f"cap{i}".encode()).digest()
+        return " ".join(
+            "".join(chr(97 + b % 26) for b in hashlib.md5(
+                f"{i}:{j}".encode()).digest()[:7])
+            for j in range(12)
+        )
+
+    def code(i):
+        return int.from_bytes(
+            hashlib.md5(f"ph{i}".encode()).digest()[:8], "big", signed=True
+        )
+
+    base = [i for i in range(30) if i not in (11, 12, 21, 26)]
+    rows = [(i, cap(i), code(i), 64, 64) for i in base]
+    # planted: 10~11 same phash / different captions (image edge);
+    # 11~12 same caption / far phash (caption edge) -> cluster {10,11,12}
+    rows.append((11, cap(1011), code(10), 64, 64))        # image-dup of 10
+    rows.append((12, cap(1011), code(12000), 128, 128))   # caption-dup of 11
+    # 20~21: 2-bit phash flip (near, not exact)
+    rows.append((21, cap(1021), code(20) ^ 0b101, 64, 64))
+    # 25~26: dup in BOTH modalities
+    rows.append((26, cap(25), code(25), 32, 32))
+    df = spark.createDataFrame(
+        rows, "image_id long, caption string, phash long, w int, h int"
+    )
+
+    pairs = multimodal_near_pairs(df, "image_id").cache()
+    got = {
+        (r["id_a"], r["id_b"]): (
+            list(r["modalities"]), r["hamming"], r["jaccard_est"]
+        )
+        for r in pairs.collect()
+    }
+    assert set(got) == {(10, 11), (11, 12), (20, 21), (25, 26)}
+    assert got[(10, 11)][0] == ["image"] and got[(10, 11)][1] == 0
+    assert got[(10, 11)][2] is None
+    assert got[(11, 12)][0] == ["caption"] and got[(11, 12)][2] == 1.0
+    assert got[(11, 12)][1] is None
+    assert got[(20, 21)][0] == ["image"] and got[(20, 21)][1] == 2
+    assert got[(25, 26)][0] == ["caption", "image"]
+    assert got[(25, 26)][1] == 0 and got[(25, 26)][2] == 1.0
+
+    # transitive keep-best: {10,11,12} keeps 12 (128x128); {20,21} and
+    # {25,26} keep their bigger/equal-size min-id member
+    verdict = dedup_cluster_verdict_by(
+        pairs, df.select("image_id", (F.col("w") * F.col("h")).alias("px")),
+        "image_id", "px",
+    )
+    keep = {r["id"] for r in verdict.filter(F.col("keep")).collect()}
+    assert keep == {12, 20, 25}
+    reps = {r["id"]: r["rep"] for r in verdict.collect()}
+    assert reps[10] == reps[11] == reps[12] == 10
