@@ -212,10 +212,20 @@ def main(argv=None):
              "encodes the corpus once; 'query' answers top-k batches "
              "against the persisted index (no retraining, no re-encoding)",
     )
-    sp_ai.add_argument("mode", choices=["build", "query"])
+    sp_ai.add_argument("mode", choices=["build", "encode-batch", "query"])
     sp_ai.add_argument("--corpus", required=True,
                        help="parquet of (id, vector) rows — also needed at "
-                            "query time for the exact re-rank")
+                            "query time for the exact re-rank (pass the "
+                            "accumulated corpus glob once encode-batch "
+                            "loops have grown it past the build snapshot)")
+    sp_ai.add_argument("--batch",
+                       help="encode-batch: parquet of NEW (id, vector) "
+                            "rows to encode with the frozen quantizers "
+                            "and append to the index's codes table")
+    sp_ai.add_argument("--batch-id", type=int,
+                       help="encode-batch: monotone batch number — the "
+                            "exactly-once watermark; re-running a "
+                            "committed id is a no-op")
     sp_ai.add_argument("--index", required=True, help="index directory")
     sp_ai.add_argument("--id-col", default="vec_id")
     sp_ai.add_argument("--vec-col", default="embedding")
@@ -586,11 +596,63 @@ def main(argv=None):
                 print(f"indexed {n} vectors ({len(cents)} lists, "
                       f"{args.m}-byte codes) → {args.index}", file=sys.stderr)
                 return
+            codes_tbl = os.path.join(args.index, "codes_tbl")
+            if args.mode == "encode-batch":
+                # The daily crawl loop for the similarity index: encode
+                # new vectors with the FROZEN build-time quantizers (codes
+                # from any batch collide correctly) and append them
+                # exactly-once to an iceberg-lite codes table, seeded from
+                # the build's static snapshot on first use. Same watermark
+                # machinery as the ingest sinks: a replayed --batch-id is
+                # a no-op, so a crashed orchestrator just re-runs.
+                from .sources import iceberg_lite as IL
+
+                if not (args.batch and args.batch_id is not None):
+                    p.error("ann-index encode-batch: need --batch and "
+                            "--batch-id")
+                cents = np.load(os.path.join(args.index, "cents.npy"))
+                books = np.load(os.path.join(args.index, "books.npy"))
+                if not os.path.exists(os.path.join(codes_tbl, "metadata")):
+                    codes0 = spark.read.parquet(
+                        os.path.join(args.index, "codes.parquet")
+                    )
+                    IL.create_table(
+                        codes_tbl, codes0.schema.simpleString()[7:-1]
+                    )
+                    IL.append(codes0, codes_tbl)
+                QID = "ann-index"
+                last = IL.last_committed_batch(codes_tbl, QID)
+                if last is not None and args.batch_id <= last:
+                    print(f"batch {args.batch_id} already encoded — "
+                          f"replay no-op", file=sys.stderr)
+                    return
+                new_codes = ivf_pq_encode_corpus(
+                    spark.read.parquet(args.batch), args.id_col,
+                    args.vec_col, cents, books,
+                )
+                snap = IL.append(
+                    new_codes, codes_tbl,
+                    properties={"query_id": QID,
+                                "batch_id": int(args.batch_id)},
+                )
+                if len(IL._manifests(codes_tbl, snap)) > 16:
+                    IL.compact_manifests(codes_tbl)
+                n = IL.read(spark, codes_tbl).count()
+                print(f"batch {args.batch_id} encoded → {codes_tbl} "
+                      f"({n} total codes)", file=sys.stderr)
+                return
             if not (args.queries and args.out):
                 p.error("ann-index query: need --queries and --out")
             cents = np.load(os.path.join(args.index, "cents.npy"))
             books = np.load(os.path.join(args.index, "books.npy"))
-            codes = spark.read.parquet(os.path.join(args.index, "codes.parquet"))
+            if os.path.exists(os.path.join(codes_tbl, "metadata")):
+                from .sources import iceberg_lite as IL
+
+                codes = IL.read(spark, codes_tbl)
+            else:
+                codes = spark.read.parquet(
+                    os.path.join(args.index, "codes.parquet")
+                )
             res = ivf_pq_topk(
                 spark.read.parquet(args.queries), corpus,
                 args.query_id_col, args.id_col, args.vec_col, args.dim,

@@ -365,3 +365,58 @@ def test_auto_lists_balances_candidates(spark):
     assert n_probe * avg_list <= 4 * n_probe * (n ** 0.5)
     # and even the most imbalanced probe set is far from a corpus funnel
     assert n_probe * sizes["count"].max() < n / 4
+
+
+def test_cli_ann_index_encode_batch_loop(spark, tmp_path):
+    """Daily similarity-index loop (r7): `build` freezes the quantizers on
+    the day-0 corpus; `encode-batch` appends new vectors' codes
+    exactly-once to an iceberg-lite codes table (seeded from the build
+    snapshot); `query` reads the grown table and finds day-1 vectors (a
+    planted scale-twin at rank 1); a replayed --batch-id is a no-op."""
+    from prclz_spark import cli
+    from prclz_spark.sources import iceberg_lite as IL
+
+    idx = str(tmp_path / "idx")
+    codes_tbl = idx + "/codes_tbl"
+    corpus_dir = str(tmp_path / "corpus")
+    e = spark.read.parquet(SF + "/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    e.filter(F.col("vec_id") < 400).write.parquet(corpus_dir)
+    cli.main(["ann-index", "build", "--corpus", corpus_dir, "--index", idx,
+              "--dim", "64", "--n-lists", "8"])
+    n_day0 = spark.read.parquet(idx + "/codes.parquet").count()
+
+    day1 = e.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450))
+    day1_p = str(tmp_path / "day1.pq")
+    day1.write.parquet(day1_p)
+    cli.main(["ann-index", "encode-batch", "--corpus", corpus_dir,
+              "--index", idx, "--dim", "64",
+              "--batch", day1_p, "--batch-id", "0"])
+    n_total = IL.read(spark, codes_tbl).count()
+    assert n_total > n_day0  # day-1 codes landed (zero-norm rows may drop)
+
+    # replay of a committed batch-id must not move the snapshot
+    snap = IL.current_snapshot(codes_tbl)
+    cli.main(["ann-index", "encode-batch", "--corpus", corpus_dir,
+              "--index", idx, "--dim", "64",
+              "--batch", day1_p, "--batch-id", "0"])
+    assert IL.current_snapshot(codes_tbl) == snap
+
+    # the re-rank corpus must cover day 1 too
+    day1.write.mode("append").parquet(corpus_dir)
+    # planted twin: 1.01x of day-1 vector 400 (same IVF list, cos 1.0)
+    spark.createDataFrame(
+        e.filter(F.col("vec_id") == 400).select(
+            F.lit(0).alias("qid"),
+            F.transform("embedding", lambda x: x * F.lit(1.01)).alias(
+                "embedding"
+            ),
+        ).collect()
+    ).write.parquet(str(tmp_path / "q.pq"))
+    cli.main(["ann-index", "query", "--corpus", corpus_dir, "--index", idx,
+              "--dim", "64", "--queries", str(tmp_path / "q.pq"),
+              "--k", "3", "--n-probe", "4", "--out", str(tmp_path / "r.pq")])
+    pdf = spark.read.parquet(str(tmp_path / "r.pq")).toPandas()
+    top = pdf[pdf["rank"] == 1].iloc[0]
+    assert top.vec_id == 400 and top.cos_sim > 0.9999
