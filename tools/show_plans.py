@@ -293,6 +293,26 @@ def main() -> None:
         )
     )
 
+    from prclz_spark.operators.dedup import multimodal_near_pairs
+
+    mm = spark.createDataFrame(
+        [(i, f"caption text {i} " * 4, (i * 2654435761) % (1 << 62), 64, 64)
+         for i in range(200)],
+        "image_id long, caption string, phash long, w int, h int",
+    )
+    sections.append(
+        (
+            "Cross-modal image+caption near-dup pairs (r7)",
+            "both legs are the banded self-joins (phash byte-pair bands, "
+            "MinHash LSH bands) with the shared viral-bucket chain guard — "
+            "only ids + 8-byte band keys ride the exchanges, payloads "
+            "(captions / signatures) re-join onto surviving candidates; the "
+            "modality merge is one exchange keyed on the VERIFIED pair set "
+            "(output-sized), never the candidate set.",
+            fmt(multimodal_near_pairs(mm, "image_id")),
+        )
+    )
+
     out = ["# Physical plans of the flagship operators\n",
            "Generated by `python tools/show_plans.py` (4×4 fixture world; the",
            "plan SHAPE is scale-independent — sizes only move AQE thresholds).\n"]
