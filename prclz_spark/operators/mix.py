@@ -89,6 +89,65 @@ def mix_strata(
     subdividing it ``hist_buckets``-fold (effective resolution
     hist_buckets², ~15k boundary rows at 10¹² — per-task sort stays
     bounded at any stratum size for the cost of one more small scan)."""
+    return _mix_weighted(
+        df, strata_col, quotas, id_col, None, seed, hist_buckets,
+        boundary_cap,
+    )
+
+
+def mix_strata_tokens(
+    df: DataFrame,
+    strata_col: str,
+    token_quotas: dict,
+    id_col: str,
+    tokens_col: str,
+    seed: int = 1,
+    hist_buckets: int = 8192,
+    boundary_cap: int = 262_144,
+) -> DataFrame:
+    """Token-BUDGET mixture: training mixes are usually specified as token
+    shares ("700 B tokens web, 300 B code"), not document counts — a
+    document-count quota over strata with different length distributions
+    silently skews the token mix. Selects, per stratum, the minimal prefix
+    of the (scramble, id) order whose token sum reaches
+    ``token_quotas[stratum]``: every document whose EXCLUSIVE running sum
+    is still below the quota is kept, so the selection overshoots by at
+    most one document and a re-run is byte-identical on any partitioning
+    (same determinism contract as :func:`mix_strata`). Strata with fewer
+    total tokens than their quota contribute everything; NULL token
+    counts weigh 0 (kept for free when they land before the boundary).
+
+    Scale shape: identical two-pass threshold as :func:`mix_strata` with
+    the histogram aggregating SUM(tokens) per scramble-bucket instead of
+    counts — the boundary bucket (the only exactly-scanned slice, ≤
+    ``boundary_cap`` rows after the adaptive refinement) takes its slice
+    by exclusive running token sum instead of row rank. Token sums stay
+    inside int64 (10¹² docs × 10⁵ tokens < 2⁶³)."""
+    return _mix_weighted(
+        df, strata_col, token_quotas, id_col, tokens_col, seed,
+        hist_buckets, boundary_cap,
+    )
+
+
+def _mix_weighted(
+    df: DataFrame,
+    strata_col: str,
+    quotas: dict,
+    id_col: str,
+    tokens_col: str | None,
+    seed: int,
+    hist_buckets: int,
+    boundary_cap: int,
+) -> DataFrame:
+    """Shared two-pass threshold selection. ``tokens_col=None`` is the
+    document-count form (quota-th smallest rank, via ``row_number`` so the
+    boundary window keeps Spark's rank-limit pushdown); a column name is
+    the token-budget form (minimal quota-reaching prefix, via exclusive
+    running sum). Weight-1 running sums and ranks select identical sets —
+    cum_excl < rem ⟺ row_number ≤ rem — so both forms share every other
+    line: histogram, boundary location, adaptive refinement, map-side
+    below-filter."""
+    weighted = tokens_col is not None
     bw = _P // hist_buckets + 1  # bucket width; _b = scramble // bw < hist_buckets
     keyed = (
         df.withColumn("_quota", _quota_map(quotas, strata_col))
@@ -96,13 +155,27 @@ def mix_strata(
         .withColumn("_h", scramble(id_col, seed))
         .withColumn("_b", F.expr(f"_h div {bw}"))  # exact integer division
     )
+    if weighted:
+        keyed = keyed.withColumn(
+            "_w", F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
+        )
+    # the selector metric (_n: rows, or token sums) locates the boundary;
+    # _c (rows) is what the refinement cap compares — a bucket's TOKEN sum
+    # exceeding the cap says nothing about its per-task sort size
+    aggs = (
+        [F.sum("_w").alias("_n"), F.count(F.lit(1)).alias("_c")]
+        if weighted else [F.count(F.lit(1)).alias("_n")]
+    )
 
     # Pass 1: bounded histogram (map-side combine; ≤ |quotas|·hist_buckets
     # rows reach the driver). This is an eager action by design — the two
     # maps it produces are pure literals, so the main plan stays lazy.
-    hist = {}
-    for r in keyed.groupBy(strata_col, "_b").count().collect():
-        hist.setdefault(r[strata_col], {})[r["_b"]] = r["count"]
+    hist, hrows = {}, {}
+    for r in keyed.groupBy(strata_col, "_b").agg(*aggs).collect():
+        hist.setdefault(r[strata_col], {})[r["_b"]] = r["_n"]
+        hrows.setdefault(r[strata_col], {})[r["_b"]] = (
+            r["_c"] if weighted else r["_n"]
+        )
 
     bstar, remaining = {}, {}
     for stratum, buckets in hist.items():
@@ -120,8 +193,9 @@ def mix_strata(
                 break
             below += buckets[b]
 
+    drop_cols = ["_quota", "_h", "_b"] + (["_w"] if weighted else [])
     if not bstar:  # no listed stratum present
-        return keyed.filter(F.lit(False)).drop("_quota", "_h", "_b")
+        return keyed.filter(F.lit(False)).drop(*drop_cols)
 
     # Pass 1b (optional): refine any stratum whose boundary bucket is
     # still bigger than boundary_cap — one more bounded histogram, over
@@ -129,7 +203,7 @@ def mix_strata(
     bw2 = bw // hist_buckets + 1  # sub-bucket width within a bucket
     over = sorted(
         s for s, b in bstar.items()
-        if b < hist_buckets and hist[s].get(b, 0) > boundary_cap
+        if b < hist_buckets and hrows[s].get(b, 0) > boundary_cap
     )
     b2star, rem2 = {}, {}
     if over:
@@ -140,8 +214,8 @@ def mix_strata(
             F.col(strata_col).isin(over) & (F.col("_b") == bstar_lit)
         ).withColumn("_b2", F.expr(f"(_h % {bw}) div {bw2}"))
         hist2 = {}
-        for r in sub_src.groupBy(strata_col, "_b2").count().collect():
-            hist2.setdefault(r[strata_col], {})[r["_b2"]] = r["count"]
+        for r in sub_src.groupBy(strata_col, "_b2").agg(*aggs).collect():
+            hist2.setdefault(r[strata_col], {})[r["_b2"]] = r["_n"]
         for s in over:
             need, below = remaining[s], 0
             for b2 in sorted(hist2.get(s, {})):
@@ -181,17 +255,32 @@ def mix_strata(
         rank_cap = F.coalesce(rem2_col, rem_col)
     below_df = keyed.filter(below_cond)
     # Pass 2b: the (possibly refined) boundary bucket only takes the
-    # remaining slice by exact (scramble, id) rank.
+    # remaining slice by exact (scramble, id) rank — row rank for the
+    # count form (keeps Spark's rank-limit pushdown), exclusive running
+    # token sum for the budget form (cum_excl < rem ⟺ rank ≤ rem at
+    # weight 1, so the two are the same selection rule).
     wb = Window.partitionBy(strata_col).orderBy(
         F.col("_h").asc(), F.col(id_col).asc()
     )
-    edge_df = (
-        keyed.filter(edge_cond)
-        .withColumn("_rn", F.row_number().over(wb))
-        .filter(F.col("_rn") <= rank_cap)
-        .drop("_rn")
-    )
-    return below_df.unionByName(edge_df).drop("_quota", "_h", "_b")
+    if weighted:
+        cum_excl = F.coalesce(
+            F.sum("_w").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        edge_df = (
+            keyed.filter(edge_cond)
+            .withColumn("_ce", cum_excl)
+            .filter(F.col("_ce") < rank_cap)
+            .drop("_ce")
+        )
+    else:
+        edge_df = (
+            keyed.filter(edge_cond)
+            .withColumn("_rn", F.row_number().over(wb))
+            .filter(F.col("_rn") <= rank_cap)
+            .drop("_rn")
+        )
+    return below_df.unionByName(edge_df).drop(*drop_cols)
 
 
 def mix_strata_windowed(
@@ -214,4 +303,33 @@ def mix_strata_windowed(
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= F.col("_quota"))
         .drop("_quota", "_rn")
+    )
+
+
+def mix_strata_tokens_windowed(
+    df: DataFrame,
+    strata_col: str,
+    token_quotas: dict,
+    id_col: str,
+    tokens_col: str,
+    seed: int = 1,
+) -> DataFrame:
+    """Single-window semantic reference for :func:`mix_strata_tokens`
+    (each stratum's running sum in one task — equivalence tests only,
+    same caveat as mix_strata_windowed)."""
+    w = Window.partitionBy(strata_col).orderBy(
+        scramble(id_col, seed).asc(), F.col(id_col).asc()
+    )
+    cum_excl = F.coalesce(
+        F.sum(F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    return (
+        df.withColumn("_quota", _quota_map(token_quotas, strata_col))
+        .filter(F.col("_quota").isNotNull())
+        .withColumn("_ce", cum_excl)
+        .filter(F.col("_ce") < F.col("_quota"))
+        .drop("_quota", "_ce")
     )

@@ -124,3 +124,76 @@ def test_mix_refinement_bounds_boundary_rank(spark):
         boundary_cap=cap,
     )
     assert out.count() == quota
+
+
+def test_mix_tokens_threshold_equals_windowed(spark):
+    """Token-budget form ≡ its single-window reference across seeds,
+    quotas, histogram resolutions (incl. tiny buckets that force the
+    adaptive refinement) — same guarantee the count form carries."""
+    from prclz_spark.operators.mix import (
+        mix_strata_tokens,
+        mix_strata_tokens_windowed,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "lang",
+        F.size(F.split("text", r"\s+")).alias("n_tok"),
+    ).cache()
+    for seed in (1, 7):
+        for q in ({"en": 2_000, "fr": 800}, {"en": 10**9, "zh": 1},
+                  {"en": 0, "fr": 350}):
+            want = sorted(
+                r.doc_id for r in mix_strata_tokens_windowed(
+                    d, "lang", q, "doc_id", "n_tok", seed=seed
+                ).collect()
+            )
+            for hb, cap in ((8192, 262_144), (4, 262_144), (4, 8)):
+                got = sorted(
+                    r.doc_id for r in mix_strata_tokens(
+                        d, "lang", q, "doc_id", "n_tok", seed=seed,
+                        hist_buckets=hb, boundary_cap=cap,
+                    ).collect()
+                )
+                assert got == want, (seed, q, hb, cap)
+
+
+def test_mix_tokens_minimal_prefix_semantics(spark):
+    """Per stratum: token sum of the selection reaches the quota, and
+    dropping the LAST selected doc (scramble order) falls below it — the
+    minimal quota-reaching prefix, overshoot ≤ one document. Oversized
+    quotas take the whole stratum; NULL token counts weigh 0; selection
+    is partitioning-invariant."""
+    from prclz_spark.operators.mix import mix_strata_tokens
+    from prclz_spark.operators.mix import scramble as _scr
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "lang",
+        F.when(F.col("doc_id") % 17 == 0, F.lit(None)).otherwise(
+            F.size(F.split("text", r"\s+"))
+        ).alias("n_tok"),
+    ).cache()
+    q = {"en": 1_500, "fr": 10**12}
+    out = mix_strata_tokens(d, "lang", q, "doc_id", "n_tok").cache()
+
+    tot = {r.lang: (r.s, r.n) for r in d.groupBy("lang").agg(
+        F.sum(F.coalesce("n_tok", F.lit(0))).alias("s"),
+        F.count("*").alias("n")).collect()}
+    got = {r.lang: r.s for r in out.groupBy("lang").agg(
+        F.sum(F.coalesce("n_tok", F.lit(0))).alias("s")).collect()}
+    assert got["en"] >= 1_500
+    assert out.filter(F.col("lang") == "fr").count() == tot["fr"][1]
+
+    # drop the last-selected en doc -> below quota (minimal prefix)
+    en = out.filter(F.col("lang") == "en").withColumn(
+        "_h", _scr("doc_id")
+    ).orderBy(F.desc("_h"), F.desc("doc_id"))
+    last = en.first()
+    assert got["en"] - (last.n_tok or 0) < 1_500
+
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(
+        r.doc_id for r in mix_strata_tokens(
+            d.repartition(13), "lang", q, "doc_id", "n_tok"
+        ).collect()
+    )
+    assert a == b
