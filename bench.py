@@ -522,10 +522,23 @@ def main():
         return ivf_pq_topk(q, e, "qid", "vec_id", "embedding", dim=64,
                            k=10, n_lists=16, n_probe=4, m=8, refine_k=100)
 
+    def _x_mix_tokens(s, d):
+        # round-7 key (new key, prior keys frozen): token-budget mixture
+        from pyspark.sql import functions as F
+        from prclz_spark.operators.mix import mix_strata_tokens
+        docs = s.read.parquet(f"{d}/documents.parquet").select(
+            "doc_id", "lang",
+            F.size(F.split("text", r"\s+")).alias("n_tok"),
+        )
+        return mix_strata_tokens(
+            docs, "lang", {"en": 200_000, "fr": 80_000}, "doc_id", "n_tok"
+        )
+
     for name, fn in [("token_stats", _x_token_stats),
                      ("ngram_distinct", _x_ngram_distinct),
                      ("strip_boilerplate", _x_strip_boilerplate),
-                     ("ivf_pq_topk", _x_ivf_pq)]:
+                     ("ivf_pq_topk", _x_ivf_pq),
+                     ("mix_tokens_sample", _x_mix_tokens)]:
         try:
             reps = []
             for _ in range(2):
