@@ -297,8 +297,14 @@ def main(argv=None):
     sp_ct.add_argument("--min-words", type=int, default=None,
                        help="override the Gopher min_words rule")
     sp_ct.add_argument("--mix", default=None,
-                       help="per-stratum quotas 'en=100,fr=50' applied to "
-                            "--mix-col (omit to keep every survivor)")
+                       help="per-stratum DOCUMENT quotas 'en=100,fr=50' "
+                            "applied to --mix-col (omit to keep every "
+                            "survivor)")
+    sp_ct.add_argument("--mix-tokens", default=None,
+                       help="per-stratum TOKEN budgets 'en=1000000,fr=...' "
+                            "(whitespace token count; minimal quota-reaching "
+                            "prefix per stratum; mutually exclusive with "
+                            "--mix)")
     sp_ct.add_argument("--mix-col", default="lang")
     sp_ct.add_argument("--pack-budget", type=int, default=None,
                        help="also pack the curated batch into token-budget "
@@ -820,13 +826,32 @@ def main(argv=None):
                     verdicts.filter(F.col("keep")).select(idc), idc, "left_semi"
                 )
 
-            # 4) mixture quotas
+            # 4) mixture quotas (document counts or token budgets)
+            if args.mix and args.mix_tokens:
+                p.error("curate-text: --mix and --mix-tokens are mutually "
+                        "exclusive")
             if args.mix:
                 quotas = {
                     k: int(v)
                     for k, v in (kv.split("=") for kv in args.mix.split(","))
                 }
                 docs = mix_strata(docs, args.mix_col, quotas, idc, seed=args.seed)
+            elif args.mix_tokens:
+                from .operators.mix import mix_strata_tokens
+
+                quotas = {
+                    k: int(v)
+                    for k, v in (
+                        kv.split("=") for kv in args.mix_tokens.split(",")
+                    )
+                }
+                toks = F.size(
+                    F.filter(F.split(F.col(txt), r"\s+"), lambda x: x != "")
+                )
+                docs = mix_strata_tokens(
+                    docs.withColumn("_ntok", toks), args.mix_col, quotas,
+                    idc, "_ntok", seed=args.seed,
+                ).drop("_ntok")
             docs = docs.cache()
             n_final = docs.count()
 

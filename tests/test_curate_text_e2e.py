@@ -185,3 +185,25 @@ def test_curate_text_mix_quotas(spark, tmp_path):
     counts = {r["lang"]: r["n"] for r in cur.groupBy("lang").agg(
         F.count("*").alias("n")).collect()}
     assert counts == {"en": 7, "fr": 5}
+
+
+def test_curate_text_mix_token_budgets(spark, tmp_path):
+    en = _docs(spark, list(range(40)), lang="en")
+    fr = _docs(spark, list(range(100, 120)), lang="fr")
+    p = str(tmp_path / "b.pq")
+    en.unionByName(fr).write.parquet(p)
+    # bodies are ~70 words + banner/footer; budgets of ~5 docs worth
+    _run(tmp_path, p, 0, extra=["--mix-tokens", "en=300,fr=150",
+                                "--mix-col", "lang"])
+    cur = spark.read.parquet(str(tmp_path / "out" / "curated_batch_0"))
+    toks = F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+    sums = {
+        r["lang"]: (r["s"], r["n"])
+        for r in cur.groupBy("lang").agg(
+            F.sum(toks).alias("s"), F.count("*").alias("n")
+        ).collect()
+    }
+    # quota reached, overshoot bounded by one document's tokens (~70)
+    assert 300 <= sums["en"][0] <= 300 + 80
+    assert 150 <= sums["fr"][0] <= 150 + 80
+    assert sums["en"][1] < 40 and sums["fr"][1] < 20
