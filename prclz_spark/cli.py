@@ -734,166 +734,46 @@ def main(argv=None):
                 print(f"aspect batches → {out}", file=sys.stderr)
             return
         elif args.cmd == "curate-text":
-            from .operators.dedup import dedup_batch_verdict
-            from .operators.mix import mix_strata
-            from .operators.pack import pack_sequences
-            from .operators.textq import (
-                GOPHER_RULES,
-                quality_filter,
-                read_boilerplate_corpus,
-                strip_boilerplate_lines,
-                update_boilerplate_corpus,
+            from .curate import curate_text_batch
+            from .operators.textq import GOPHER_RULES
+
+            if args.mix and args.mix_tokens:
+                p.error("curate-text: --mix and --mix-tokens are mutually "
+                        "exclusive")
+
+            def parse_quotas(spec):
+                return {
+                    k: int(v)
+                    for k, v in (kv.split("=") for kv in spec.split(","))
+                } if spec else None
+
+            rules = None
+            if not args.no_quality:
+                rules = dict(GOPHER_RULES)
+                if args.min_words is not None:
+                    rules["min_words"] = args.min_words
+            stats = curate_text_batch(
+                spark.read.parquet(args.batch), args.table, args.batch_id,
+                id_col=args.id_col, text_col=args.text_col,
+                tiers=[t.strip() for t in args.tiers.split(",")],
+                fp_root=args.fp_root, lines_table=args.lines_table,
+                min_df=args.min_df, quality_rules=rules,
+                mix=parse_quotas(args.mix),
+                mix_tokens=parse_quotas(args.mix_tokens),
+                mix_col=args.mix_col, pack_budget=args.pack_budget,
+                out_dir=args.out, seed=args.seed, query_id="curate-text",
             )
-            from .sources import iceberg_lite as IL
-
-            # Exactly-once protocol (same watermark machinery as the
-            # streaming ingest sinks): every table commit is stamped with
-            # {query_id, batch_id}; verdicts are computed BEFORE any
-            # commit, reading only state a replay would read identically —
-            # fingerprint tables are appended LAST, and the line-df append
-            # is skip-if-stamped, so a crash at any point replays to
-            # byte-identical curated output and at-most-once commits.
-            QID = "curate-text"
-            idc, txt = args.id_col, args.text_col
-            fp_root = args.fp_root or (args.table.rstrip("/") + "_fp")
-            lines_t = args.lines_table or (args.table.rstrip("/") + "_lines")
-            tiers = [t.strip() for t in args.tiers.split(",") if t.strip()]
-            fp_paths = {t: os.path.join(fp_root, t) for t in tiers}
-
-            def committed(path):
-                if not os.path.exists(os.path.join(path, "metadata")):
-                    return False
-                last = IL.last_committed_batch(path, QID)
-                return last is not None and args.batch_id <= last
-
-            if (
-                committed(args.table)
-                and committed(lines_t)
-                and all(committed(p) for p in fp_paths.values())
-            ):
+            if stats is None:
                 print(
                     f"batch {args.batch_id} fully committed — replay no-op",
                     file=sys.stderr,
                 )
                 return
-
-            batch = spark.read.parquet(args.batch)
-
-            # 1) tier verdicts — reads fingerprint corpora, commits nothing
-            cur = batch
-            pending_sigs, stats = [], []
-            for t in tiers:
-                surv, _cross, _internal, cols = dedup_batch_verdict(
-                    cur, fp_paths[t], idc, tier=t, text_col=txt,
-                    # anchor the corpus read BEFORE this batch's own
-                    # (possibly crash-orphaned) first-attempt fp commit —
-                    # a replay must never match the batch against itself
-                    corpus_snapshot=IL.snapshot_before_batch(
-                        fp_paths[t], QID, args.batch_id
-                    ),
-                )
-                n_in = cur.count()
-                cur = cur.join(
-                    F.broadcast(surv.select(idc)), idc, "left_semi"
-                ).cache()
-                stats.append(f"{t} -{n_in - cur.count()}")
-                pending_sigs.append((t, surv, cols))
-
-            # 2) line-df counts (stamped; skipped on replay so the strip
-            #    reads the same summed history) + boilerplate strip
-            if not committed(lines_t):
-                update_boilerplate_corpus(
-                    cur, lines_t, idc, txt,
-                    commit_properties={
-                        "query_id": QID, "batch_id": int(args.batch_id)
-                    },
-                )
-            hot = read_boilerplate_corpus(spark, lines_t, args.min_df)
-            stripped = strip_boilerplate_lines(
-                cur, idc, txt, boilerplate=hot
-            )
-            docs = cur.drop(txt).join(
-                stripped.select(idc, F.col("text_clean").alias(txt)), idc
-            )
-
-            # 3) Gopher quality filter on the STRIPPED text
-            if not args.no_quality:
-                rules = dict(GOPHER_RULES)
-                if args.min_words is not None:
-                    rules["min_words"] = args.min_words
-                verdicts = quality_filter(docs, idc, txt, rules=rules)
-                docs = docs.join(
-                    verdicts.filter(F.col("keep")).select(idc), idc, "left_semi"
-                )
-
-            # 4) mixture quotas (document counts or token budgets)
-            if args.mix and args.mix_tokens:
-                p.error("curate-text: --mix and --mix-tokens are mutually "
-                        "exclusive")
-            if args.mix:
-                quotas = {
-                    k: int(v)
-                    for k, v in (kv.split("=") for kv in args.mix.split(","))
-                }
-                docs = mix_strata(docs, args.mix_col, quotas, idc, seed=args.seed)
-            elif args.mix_tokens:
-                from .operators.mix import mix_strata_tokens
-
-                quotas = {
-                    k: int(v)
-                    for k, v in (
-                        kv.split("=") for kv in args.mix_tokens.split(",")
-                    )
-                }
-                toks = F.size(
-                    F.filter(F.split(F.col(txt), r"\s+"), lambda x: x != "")
-                )
-                docs = mix_strata_tokens(
-                    docs.withColumn("_ntok", toks), args.mix_col, quotas,
-                    idc, "_ntok", seed=args.seed,
-                ).drop("_ntok")
-            docs = docs.cache()
-            n_final = docs.count()
-
-            # 5) outputs first (overwrite-idempotent), THEN the commits —
-            #    a fully-committed batch always has its outputs on disk
-            cur_out = os.path.join(args.out, f"curated_batch_{args.batch_id}")
-            docs.write.mode("overwrite").parquet(cur_out)
-            if args.pack_budget:
-                toks = F.size(
-                    F.filter(F.split(F.col(txt), r"\s+"), lambda x: x != "")
-                )
-                pack_sequences(
-                    docs.select(idc, toks.alias("n_tokens")),
-                    idc, "n_tokens", args.pack_budget, seed=args.seed,
-                ).write.mode("overwrite").parquet(
-                    os.path.join(args.out, f"contexts_batch_{args.batch_id}")
-                )
-
-            # 6) curated-docs snapshot (stamped)
-            if not committed(args.table):
-                if not os.path.exists(os.path.join(args.table, "metadata")):
-                    IL.create_table(
-                        args.table, docs.schema.simpleString()[7:-1]
-                    )
-                IL.append(
-                    docs, args.table,
-                    properties={"query_id": QID, "batch_id": int(args.batch_id)},
-                )
-
-            # 7) fingerprint snapshots LAST, one per tier (stamped) — the
-            #    invariant the whole replay protocol rests on
-            for t, surv, cols in pending_sigs:
-                if not committed(fp_paths[t]):
-                    IL.append(
-                        surv.select(*cols), fp_paths[t],
-                        properties={
-                            "query_id": QID, "batch_id": int(args.batch_id)
-                        },
-                    )
+            ded = ", ".join(f"{t} -{n}" for t, n in stats["dedup"].items())
             print(
-                f"batch {args.batch_id}: {batch.count()} in, dedup "
-                f"[{', '.join(stats)}], {n_final} curated → {cur_out}",
+                f"batch {args.batch_id}: {stats['n_in']} in, dedup "
+                f"[{ded}], {stats['n_curated']} curated -> "
+                f"{stats['curated_path']}",
                 file=sys.stderr,
             )
             return

@@ -1047,3 +1047,91 @@ def test_strip_boilerplate_stream_refreshing(spark, tmp_path):
         }),
     )
     assert got2 == got
+
+
+def test_curate_text_stream_sink(spark, tmp_path):
+    """Continuous-crawl curation (r7): the curate-text batch step as a
+    foreachBatch sink — per micro-batch tiered dedup against the
+    ACCUMULATED fingerprint corpora, incremental boilerplate strip,
+    quality filter, exactly-once curated snapshots. Cross-micro-batch
+    re-crawls die against the corpus; restarting from the checkpoint
+    processes only new files (no duplicate commits)."""
+    import hashlib
+
+    from prclz_spark.curate import curate_text_stream_sink
+    from prclz_spark.operators.textq import GOPHER_RULES
+    from prclz_spark.sources import iceberg_lite as IL
+
+    BAN = "CLICK HERE to subscribe"
+
+    def word(i, j):
+        h = hashlib.md5(f"{i}:{j}".encode()).digest()
+        return "".join(chr(97 + b % 26) for b in h[: 5 + h[0] % 5])
+
+    def docs(ids, junk=()):
+        rows = []
+        for i in ids:
+            if i in junk:
+                t = "\n".join([BAN, "spam ham " * 40])
+            else:
+                b = " ".join(word(i, j) for j in range(70))
+                t = "\n".join([BAN, b[: len(b) // 2], b[len(b) // 2:]])
+            rows.append((i, t))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    d = tmp_path / "arrivals"
+    d.mkdir()
+    t = str(tmp_path / "docs_tbl")
+    # batch 0: 14 fresh docs (banner df 14 >= min_df 10) + 2 junk
+    docs(list(range(14)) + [90, 91], junk={90, 91}).coalesce(1).write.parquet(
+        str(d / "f0")
+    )
+
+    rules = dict(GOPHER_RULES)
+    rules["min_words"] = 20
+    got = {}
+    fn = curate_text_stream_sink(
+        t, tiers=("exact", "minhash"), min_df=10, quality_rules=rules,
+        on_batch=lambda stats, bid: got.update({bid: stats}),
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*")
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            stream.writeStream.foreachBatch(fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    ids0 = {r["doc_id"] for r in IL.read(spark, t).select("doc_id").collect()}
+    assert ids0 == set(range(14))          # junk failed quality
+    texts = {r["doc_id"]: r["text"] for r in IL.read(spark, t).collect()}
+    assert all(BAN not in v for v in texts.values())  # banner stripped
+
+    # batch 1 (new file, resumed checkpoint): 4 fresh + 2 re-crawls of
+    # batch-0 survivors — the re-crawls must die against the CORPUS
+    docs([200, 201, 202, 203]).unionByName(
+        docs([2, 3]).select((F.col("doc_id") + 500).alias("doc_id"), "text")
+    ).coalesce(1).write.parquet(str(d / "f1"))
+    run()
+    ids1 = {r["doc_id"] for r in IL.read(spark, t).select("doc_id").collect()}
+    assert ids1 == set(range(14)) | {200, 201, 202, 203}
+
+    # third run with nothing new: no snapshot moves anywhere
+    snaps = {
+        pth: IL.current_snapshot(pth)
+        for pth in (t, t + "_lines", t + "_fp/exact", t + "_fp/minhash")
+    }
+    run()
+    for pth, s in snaps.items():
+        assert IL.current_snapshot(pth) == s, pth
+    tbl = IL.read(spark, t)
+    assert tbl.count() == tbl.dropDuplicates(["doc_id"]).count() == 18
