@@ -65,20 +65,10 @@ def curate_text_batch(
     ``curated_batch_<id>`` (and ``contexts_batch_<id>`` with
     ``pack_budget``) parquet outputs — written BEFORE the commits, so a
     fully-committed batch always has its outputs on disk."""
-    from .operators.dedup import dedup_batch_verdict
-    from .operators.mix import mix_strata, mix_strata_tokens
-    from .operators.pack import pack_sequences
-    from .operators.textq import (
-        quality_filter,
-        read_boilerplate_corpus,
-        strip_boilerplate_lines,
-        update_boilerplate_corpus,
-    )
     from .sources import iceberg_lite as IL
 
     if mix and mix_tokens:
         raise ValueError("mix and mix_tokens are mutually exclusive")
-    spark = batch.sparkSession
     idc, txt = id_col, text_col
     fp_root = fp_root or (table.rstrip("/") + "_fp")
     lines_t = lines_table or (table.rstrip("/") + "_lines")
@@ -99,6 +89,39 @@ def curate_text_batch(
     ):
         return None  # full replay — every commit already landed
 
+    # Per-batch caches are handed back and unpersisted before returning:
+    # the streaming sink runs this every micro-batch for the life of the
+    # stream, and un-released caches would pile up in the cache manager.
+    caches = []
+    try:
+        return _curate_text_batch_inner(
+            batch, table, batch_id, idc, txt, tiers, fp_paths, lines_t,
+            min_df, quality_rules, mix, mix_tokens, mix_col, pack_budget,
+            out_dir, seed, query_id, committed, stamp, caches,
+        )
+    finally:
+        for c in caches:
+            c.unpersist()
+
+
+def _curate_text_batch_inner(
+    batch, table, batch_id, idc, txt, tiers, fp_paths, lines_t, min_df,
+    quality_rules, mix, mix_tokens, mix_col, pack_budget, out_dir, seed,
+    query_id, committed, stamp, caches,
+):
+    from .operators.dedup import dedup_batch_verdict
+    from .operators.mix import mix_strata, mix_strata_tokens
+    from .operators.pack import pack_sequences
+    from .operators.textq import (
+        quality_filter,
+        read_boilerplate_corpus,
+        strip_boilerplate_lines,
+        update_boilerplate_corpus,
+    )
+    from .sources import iceberg_lite as IL
+
+    spark = batch.sparkSession
+
     # 1) tier verdicts — read fingerprint corpora, commit nothing; each
     # corpus is read as of BEFORE this batch's own first-attempt commit
     # (a replay must never match the batch against itself)
@@ -110,11 +133,13 @@ def curate_text_batch(
             corpus_snapshot=IL.snapshot_before_batch(
                 fp_paths[t], query_id, batch_id
             ),
+            caches=caches,
         )
         before = cur.count()
         cur = cur.join(
             F.broadcast(surv.select(idc)), idc, "left_semi"
         ).cache()
+        caches.append(cur)
         dedup_stats[t] = before - cur.count()
         pending_sigs.append((t, surv, cols))
 
@@ -124,7 +149,11 @@ def curate_text_batch(
         update_boilerplate_corpus(
             cur, lines_t, idc, txt, commit_properties=stamp
         )
-    hot = read_boilerplate_corpus(spark, lines_t, min_df)
+    # cache the hot-line table: the strip's size probe + anti-join scan
+    # it more than once, and the sum-merge over the manifest chain must
+    # not re-run per scan
+    hot = read_boilerplate_corpus(spark, lines_t, min_df).cache()
+    caches.append(hot)
     stripped = strip_boilerplate_lines(cur, idc, txt, boilerplate=hot)
     docs = cur.drop(txt).join(
         stripped.select(idc, F.col("text_clean").alias(txt)), idc
@@ -146,6 +175,7 @@ def curate_text_batch(
             mix_tokens, idc, "_ntok", seed=seed,
         ).drop("_ntok")
     docs = docs.cache()
+    caches.append(docs)
     n_final = docs.count()
 
     # 5) outputs first (overwrite-idempotent), THEN the commits

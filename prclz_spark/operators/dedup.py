@@ -680,6 +680,7 @@ def dedup_batch_verdict(
     vec_col: str = "embedding",
     dim: int | None = None,
     corpus_snapshot: int | None = None,
+    caches: list | None = None,
     **params,
 ):
     """The verdict-only half of :func:`incremental_dedup`: sign the batch,
@@ -687,6 +688,12 @@ def dedup_batch_verdict(
     batch-internal pairs transitively — and append NOTHING. Returns
     (survivors_sigs, cross_pairs, internal_pairs, sig_cols); the caller
     commits ``survivors.select(*sig_cols)`` when its own protocol says so.
+
+    ``caches``, when given, collects the internally-cached frames (batch
+    signatures + pair tables) so a LONG-RUNNING caller — the streaming
+    curation sink runs this every micro-batch — can unpersist them once
+    the commits land; without the hand-back, per-batch caches pile up in
+    the cache manager for the life of the stream.
 
     Exists for orchestrators that must defer the fingerprint commit: the
     curate-text CLI's crash-replay protocol appends fingerprints LAST
@@ -716,6 +723,8 @@ def dedup_batch_verdict(
     corpus_sigs = IL.read(spark, table_path, snapshot=corpus_snapshot)
     cross = spec["cross"](corpus_sigs, batch_sigs).cache()
     internal = spec["internal"](batch_sigs).cache()
+    if caches is not None:
+        caches.extend([batch_sigs, cross, internal])
     # batch-internal losers via the TRANSITIVE closure (components), not
     # per-pair id_b: a component {1,5,9} with pairs (5,9),(1,9) only must
     # still keep just its minimum — see operators/components.py

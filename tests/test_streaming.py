@@ -1100,6 +1100,8 @@ def test_curate_text_stream_sink(spark, tmp_path):
         .parquet(f"{d}/*")
     )
     ckpt = str(tmp_path / "ckpt")
+    _cm = spark._jsparkSession.sharedState().cacheManager()
+    n_cached_before = _cm.cachedData().size()
 
     def run():
         q = (
@@ -1135,3 +1137,6 @@ def test_curate_text_stream_sink(spark, tmp_path):
         assert IL.current_snapshot(pth) == s, pth
     tbl = IL.read(spark, t)
     assert tbl.count() == tbl.dropDuplicates(["doc_id"]).count() == 18
+    # cache hygiene: per-micro-batch caches are unpersisted — a stream
+    # running for months must not grow the cache manager per batch
+    assert _cm.cachedData().size() == n_cached_before
