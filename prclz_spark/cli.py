@@ -632,9 +632,20 @@ def main(argv=None):
                     print(f"batch {args.batch_id} already encoded — "
                           f"replay no-op", file=sys.stderr)
                     return
+                batch_df = spark.read.parquet(args.batch)
+                # drop re-crawled ids (already-encoded vectors would
+                # appear twice in query candidates): batch ids broadcast,
+                # codes table scanned once, zero corpus-side shuffle —
+                # the same *_against shape as the dedup tiers
+                seen = IL.read(spark, codes_tbl).select(args.id_col).join(
+                    F.broadcast(batch_df.select(args.id_col)),
+                    args.id_col, "left_semi",
+                )
+                batch_df = batch_df.join(
+                    F.broadcast(seen), args.id_col, "left_anti"
+                )
                 new_codes = ivf_pq_encode_corpus(
-                    spark.read.parquet(args.batch), args.id_col,
-                    args.vec_col, cents, books,
+                    batch_df, args.id_col, args.vec_col, cents, books,
                 )
                 snap = IL.append(
                     new_codes, codes_tbl,

@@ -116,6 +116,9 @@ def mix_strata_tokens(
     (same determinism contract as :func:`mix_strata`). Strata with fewer
     total tokens than their quota contribute everything; NULL token
     counts weigh 0 (kept for free when they land before the boundary).
+    Token counts must be ≥ 0 — a negative weight makes the running sum
+    non-monotone and the bucket-threshold decomposition (and "minimal
+    prefix" itself) meaningless.
 
     Scale shape: identical two-pass threshold as :func:`mix_strata` with
     the histogram aggregating SUM(tokens) per scramble-bucket instead of

@@ -403,6 +403,14 @@ def test_cli_ann_index_encode_batch_loop(spark, tmp_path):
               "--batch", day1_p, "--batch-id", "0"])
     assert IL.current_snapshot(codes_tbl) == snap
 
+    # a later batch RE-CRAWLING already-encoded ids must not duplicate
+    # their codes (duplicate codes = duplicate query candidates)
+    cli.main(["ann-index", "encode-batch", "--corpus", corpus_dir,
+              "--index", idx, "--dim", "64",
+              "--batch", day1_p, "--batch-id", "1"])
+    codes = IL.read(spark, codes_tbl)
+    assert codes.count() == codes.dropDuplicates(["vec_id"]).count() == n_total
+
     # the re-rank corpus must cover day 1 too
     day1.write.mode("append").parquet(corpus_dir)
     # planted twin: 1.01x of day-1 vector 400 (same IVF list, cos 1.0)
