@@ -506,3 +506,57 @@ def test_expire_keeps_delete_tombstones_and_watermarks(spark, tmp_path):
     assert IL.last_committed_batch(t, "qE") == 0
     sink(_frame(spark, 0, 60), 0)                     # replay — still skipped
     assert IL.read(spark, t).count() == 50
+
+
+def test_snapshot_before_batch(spark, tmp_path):
+    """The crash-replay time-travel anchor: highest snapshot whose
+    query_id watermark is still < batch_id — walking the parent chain,
+    ignoring other writers' unstamped appends, -1 on empty/unknown
+    tables, loud ValueError once the needed history is expired."""
+    import pytest
+
+    from prclz_spark.sources import iceberg_lite as IL
+
+    t = str(tmp_path / "t")
+    assert IL.snapshot_before_batch(t, "q", 0) == -1  # no table at all
+
+    IL.create_table(t, "id long")
+
+    def app(lo, hi, batch=None):
+        df = spark.range(lo, hi).select(F.col("id"))
+        props = {"query_id": "q", "batch_id": batch} if batch is not None else None
+        return IL.append(df, t, properties=props)
+
+    s0 = app(0, 3, batch=0)
+    s1 = app(3, 5)            # another writer, unstamped
+    s2 = app(5, 8, batch=1)
+    s3 = app(8, 9, batch=2)
+    # batch 2 replay must read as of s2 (watermark there is 1 < 2);
+    # the unstamped append never blocks the walk
+    assert IL.snapshot_before_batch(t, "q", 2) == s2
+    assert IL.snapshot_before_batch(t, "q", 1) == s1
+    assert IL.snapshot_before_batch(t, "q", 0) == -1   # 0 committed at s0
+    assert IL.snapshot_before_batch(t, "q", 99) == s3  # future batch: head
+    # unknown query_id: nothing of it is in the table, the head is a
+    # correct (and maximal) pre-batch anchor
+    assert IL.snapshot_before_batch(t, "other", 0) == s3
+
+    # anchored read sees exactly the pre-batch rows
+    ids = {r["id"] for r in IL.read(
+        spark, t, snapshot=IL.snapshot_before_batch(t, "q", 2)
+    ).collect()}
+    assert ids == set(range(8))
+
+    # compaction carries watermarks; the anchor still resolves through it
+    IL.compact_manifests(t)
+    s4 = app(9, 10, batch=3)
+    assert IL.snapshot_before_batch(t, "q", 3) < s4
+    assert IL.last_committed_batch(
+        t, "q", IL.snapshot_before_batch(t, "q", 3)
+    ) == 2
+
+    # expiry that removes the needed history raises, never silently wrong
+    IL.rewrite_data_files(spark, t)
+    IL.expire_snapshots(t, retain_last=1, orphan_grace_seconds=0)
+    with pytest.raises(ValueError, match="expired"):
+        IL.snapshot_before_batch(t, "q", 0)
