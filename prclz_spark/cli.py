@@ -268,6 +268,31 @@ def main(argv=None):
     sp_ci.add_argument("--max-pixels", type=int, default=1024 * 1024)
     sp_ci.add_argument("--batches-out", default=None)
 
+    sp_cib = sub.add_parser(
+        "curate-images-batch",
+        help="incremental image curation, exactly-once per --batch-id: "
+             "phash (+ optional caption) dedup of the BATCH against the "
+             "accumulated fingerprint corpora, eval decontamination, "
+             "survivors appended to the images table — the daily-crawl "
+             "form of curate-images (which re-clusters the whole table)",
+    )
+    sp_cib.add_argument("--table", required=True,
+                        help="iceberg-lite images table (created on first "
+                             "batch)")
+    sp_cib.add_argument("--batch", required=True,
+                        help="parquet of new image rows")
+    sp_cib.add_argument("--batch-id", type=int, required=True)
+    sp_cib.add_argument("--id-col", default="image_id")
+    sp_cib.add_argument("--caption-dedup", action="store_true")
+    sp_cib.add_argument("--caption-col", default="caption")
+    sp_cib.add_argument("--jaccard-threshold", type=float, default=0.5)
+    sp_cib.add_argument("--max-hamming", type=int, default=6)
+    sp_cib.add_argument("--eval", default=None,
+                        help="parquet of eval images (id + phash/bytes)")
+    sp_cib.add_argument("--out", default=None,
+                        help="optional output dir for curated_batch_<id> "
+                             "parquet")
+
     sp_ct = sub.add_parser(
         "curate-text",
         help="one-command daily text-curation batch over iceberg-lite: "
@@ -743,6 +768,34 @@ def main(argv=None):
                     survivors, ladder, args.batch_size, id_col=args.id_col
                 ).write.mode("overwrite").parquet(out)
                 print(f"aspect batches → {out}", file=sys.stderr)
+            return
+        elif args.cmd == "curate-images-batch":
+            from .curate import curate_images_batch
+
+            stats = curate_images_batch(
+                spark.read.parquet(args.batch), args.table, args.batch_id,
+                id_col=args.id_col,
+                caption_col=args.caption_col if args.caption_dedup else None,
+                eval_df=(
+                    spark.read.parquet(args.eval) if args.eval else None
+                ),
+                max_hamming=args.max_hamming,
+                jaccard_threshold=args.jaccard_threshold,
+                out_dir=args.out, query_id="curate-images",
+            )
+            if stats is None:
+                print(
+                    f"batch {args.batch_id} fully committed — replay no-op",
+                    file=sys.stderr,
+                )
+                return
+            ded = ", ".join(f"{t} -{n}" for t, n in stats["dedup"].items())
+            print(
+                f"batch {args.batch_id}: {stats['n_in']} in, dedup [{ded}], "
+                f"{stats['n_contaminated']} contaminated, "
+                f"{stats['n_curated']} curated",
+                file=sys.stderr,
+            )
             return
         elif args.cmd == "curate-text":
             from .curate import curate_text_batch

@@ -243,3 +243,129 @@ def curate_text_stream_sink(
             on_batch(stats, batch_id)
 
     return sink
+
+
+def curate_images_batch(
+    batch: DataFrame,
+    table: str,
+    batch_id: int,
+    id_col: str = "image_id",
+    caption_col: str | None = None,
+    eval_df: DataFrame | None = None,
+    max_hamming: int = 6,
+    jaccard_threshold: float = 0.5,
+    fp_root: str | None = None,
+    out_dir: str | None = None,
+    query_id: str = "curate-images",
+) -> dict | None:
+    """One exactly-once IMAGE-curation batch — the incremental form of the
+    `curate-images` maintenance command. Re-clustering the whole table per
+    run is a corpus×corpus self-join (wrong shape at 10¹² images); the
+    daily-crawl form dedups only the BATCH against the accumulated phash
+    fingerprint corpus (corpus scanned once, batch broadcast), optionally
+    adds a caption MinHash tier (``caption_col``), drops eval-contaminated
+    rows (``eval_df``: id + phash/bytes rows, broadcast), and appends the
+    survivors' full rows to the images table — same commit protocol as
+    :func:`curate_text_batch` (stamped commits, fingerprints LAST,
+    verdict reads anchored at ``snapshot_before_batch``; returns None on
+    a full replay).
+
+    Tier fingerprints record everything that passed THAT tier, including
+    rows a later stage kills — so a re-crawl of an eval-contaminated
+    image dies at the cheap phash tier instead of re-running
+    decontamination; the curated table itself never carries it."""
+    from .operators.dedup import decontaminate_images, dedup_batch_verdict
+    from .sources import iceberg_lite as IL
+
+    idc = id_col
+    fp_root = fp_root or (table.rstrip("/") + "_fp")
+    tiers = [("phash", {"max_hamming": max_hamming})]
+    if caption_col:
+        tiers.append(
+            ("minhash", {"jaccard_threshold": jaccard_threshold})
+        )
+    fp_paths = {t: os.path.join(fp_root, t) for t, _ in tiers}
+    stamp = {"query_id": query_id, "batch_id": int(batch_id)}
+
+    def committed(path):
+        if not os.path.exists(os.path.join(path, "metadata")):
+            return False
+        last = IL.last_committed_batch(path, query_id)
+        return last is not None and batch_id <= last
+
+    if committed(table) and all(committed(p) for p in fp_paths.values()):
+        return None
+
+    caches = []
+    try:
+        cur = batch
+        pending_sigs, dedup_stats, n_in = [], {}, batch.count()
+        for t, params in tiers:
+            surv, _cross, _internal, cols = dedup_batch_verdict(
+                cur, fp_paths[t], idc, tier=t, text_col=caption_col,
+                corpus_snapshot=IL.snapshot_before_batch(
+                    fp_paths[t], query_id, batch_id
+                ),
+                caches=caches, **params,
+            )
+            before = cur.count()
+            cur = cur.join(
+                F.broadcast(surv.select(idc)), idc, "left_semi"
+            ).cache()
+            caches.append(cur)
+            dedup_stats[t] = before - cur.count()
+            pending_sigs.append((t, surv, cols))
+
+        n_contam = 0
+        if eval_df is not None:
+            cur, contaminated = decontaminate_images(
+                cur, eval_df, idc, max_hamming=max_hamming
+            )
+            cur = cur.cache()
+            caches.append(cur)
+            n_contam = contaminated.count()
+        n_final = cur.count()
+
+        cur_out = None
+        if out_dir:
+            cur_out = os.path.join(out_dir, f"curated_batch_{batch_id}")
+            cur.write.mode("overwrite").parquet(cur_out)
+
+        if not committed(table):
+            if not os.path.exists(os.path.join(table, "metadata")):
+                IL.create_table(table, cur.schema.simpleString()[7:-1])
+            IL.append(cur, table, properties=stamp)
+        for t, surv, cols in pending_sigs:
+            if not committed(fp_paths[t]):
+                IL.append(surv.select(*cols), fp_paths[t], properties=stamp)
+        return {
+            "n_in": n_in,
+            "dedup": dedup_stats,
+            "n_contaminated": n_contam,
+            "n_curated": n_final,
+            "curated_path": cur_out,
+        }
+    finally:
+        for c in caches:
+            c.unpersist()
+
+
+def curate_images_stream_sink(
+    table: str,
+    id_col: str = "image_id",
+    query_id: str = "curate-images-stream",
+    on_batch=None,
+    **kwargs,
+):
+    """``foreachBatch`` callable for a continuous image crawl — the
+    streaming form of :func:`curate_images_batch`, exactly-once via the
+    same {query_id, batch_id} watermarks (see curate_text_stream_sink)."""
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        stats = curate_images_batch(
+            df, table, batch_id, id_col=id_col, query_id=query_id, **kwargs
+        )
+        if on_batch is not None and stats is not None:
+            on_batch(stats, batch_id)
+
+    return sink

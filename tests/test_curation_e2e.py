@@ -169,3 +169,94 @@ def test_cli_curate_images_caption_dedup(spark, tmp_path):
     # every original survived — incl. the caption donors 20-23
     assert len(ids) == 40
     assert {f"img_{i:08d}" for i in range(20, 24)} <= ids
+
+
+def test_cli_curate_images_batch_incremental(spark, tmp_path):
+    """Incremental image curation (r7): per-batch dedup against the
+    accumulated phash + caption fingerprint corpora (never a whole-table
+    re-cluster), eval decontamination, exactly-once appends. Re-crawls of
+    previously-seen images — including a contaminated one — die against
+    the corpus; replay moves no snapshot."""
+    from prclz_spark import cli
+
+    t = str(tmp_path / "tbl")
+    pool = images_table(spark, 60, w=64, h=64).cache()
+
+    def recap(df, salt):
+        return df.withColumn(
+            "caption",
+            F.concat_ws(" ", *[
+                F.sha2(F.concat(F.lit(f"{salt}{i}-"), "image_id"), 256)
+                for i in range(3)
+            ]),
+        )
+
+    base = recap(pool.filter(F.col("image_id") < "img_00000030"), "c")
+    # eval set: pool rows 50-53 (never in any batch)
+    pool.filter(
+        (F.col("image_id") >= "img_00000050") & (F.col("image_id") < "img_00000054")
+    ).select("image_id", "phash").write.parquet(str(tmp_path / "eval.pq"))
+
+    # batch 0: 30 originals + a thumb dup of row 0 + a contaminated row
+    # (the bytes/phash of eval image 50 under a train id)
+    thumb = recap(base.limit(1).select(
+        F.concat(F.lit("thumb_"), "image_id").alias("image_id"), "bytes",
+        (F.col("w") / 2).cast("int").alias("w"),
+        (F.col("h") / 2).cast("int").alias("h"), "fmt", "caption", "phash",
+    ), "t")
+    contam = recap(pool.filter(F.col("image_id") == "img_00000050").select(
+        F.lit("contam_a").alias("image_id"), "bytes", "w", "h", "fmt",
+        "caption", "phash",
+    ), "x")
+    b0 = str(tmp_path / "b0.pq")
+    base.unionByName(thumb).unionByName(contam).write.parquet(b0)
+
+    args0 = ["curate-images-batch", "--table", t, "--batch", b0,
+             "--batch-id", "0", "--caption-dedup", "--max-hamming", "0",
+             "--eval", str(tmp_path / "eval.pq")]
+    cli.main(args0)
+    ids = {r["image_id"] for r in IL.read(spark, t).select("image_id").collect()}
+    assert len(ids) == 30 and "contam_a" not in ids
+    assert not any(i.startswith("thumb_") for i in ids)
+
+    # batch 1: 3 fresh (30-32), a re-crawl of row 5 (new id, same image),
+    # a re-crawl of the CONTAMINATED image (must die at the phash tier —
+    # its fingerprint entered the corpus even though the table never
+    # carried it), and a caption clone of row 10 on a fresh image (donor
+    # 55) that only the caption tier can catch
+    fresh = recap(pool.filter(
+        (F.col("image_id") >= "img_00000030") & (F.col("image_id") < "img_00000033")
+    ), "c")
+    recrawl = recap(pool.filter(F.col("image_id") == "img_00000005").select(
+        F.lit("re_5").alias("image_id"), "bytes", "w", "h", "fmt",
+        "caption", "phash"), "r")
+    recontam = recap(pool.filter(F.col("image_id") == "img_00000050").select(
+        F.lit("contam_b").alias("image_id"), "bytes", "w", "h", "fmt",
+        "caption", "phash"), "y")
+    cap10 = base.filter(F.col("image_id") == "img_00000010").select(
+        F.col("caption").alias("_cap"))
+    capclone = pool.filter(F.col("image_id") == "img_00000055").crossJoin(
+        cap10
+    ).select(
+        F.lit("capclone").alias("image_id"), "bytes", "w", "h", "fmt",
+        F.col("_cap").alias("caption"), "phash",
+    )
+    b1 = str(tmp_path / "b1.pq")
+    fresh.unionByName(recrawl).unionByName(recontam).unionByName(
+        capclone).write.parquet(b1)
+
+    args1 = ["curate-images-batch", "--table", t, "--batch", b1,
+             "--batch-id", "1", "--caption-dedup", "--max-hamming", "0",
+             "--eval", str(tmp_path / "eval.pq")]
+    cli.main(args1)
+    ids1 = {r["image_id"] for r in IL.read(spark, t).select("image_id").collect()}
+    assert ids1 - ids == {"img_00000030", "img_00000031", "img_00000032"}
+
+    # full replay of batch 1: no snapshot moves on any table
+    snaps = {
+        pth: IL.current_snapshot(pth)
+        for pth in (t, t + "_fp/phash", t + "_fp/minhash")
+    }
+    cli.main(args1)
+    for pth, s in snaps.items():
+        assert IL.current_snapshot(pth) == s, pth
