@@ -1140,3 +1140,57 @@ def test_curate_text_stream_sink(spark, tmp_path):
     # cache hygiene: per-micro-batch caches are unpersisted — a stream
     # running for months must not grow the cache manager per batch
     assert _cm.cachedData().size() == n_cached_before
+
+
+def test_curate_images_stream_sink(spark, tmp_path):
+    """Continuous image-crawl curation: curate_images_batch as a
+    foreachBatch sink — cross-micro-batch phash re-crawls die against
+    the corpus, exactly-once appends under checkpoint resume."""
+    from prclz_spark.curate import curate_images_stream_sink
+    from prclz_spark.images import images_table
+    from prclz_spark.sources import iceberg_lite as IL
+
+    pool = images_table(spark, 24, w=64, h=64).withColumn(
+        "caption", F.sha2(F.concat(F.lit("c-"), "image_id"), 256)
+    ).cache()
+    d = tmp_path / "arrivals"
+    d.mkdir()
+    t = str(tmp_path / "tbl")
+    pool.filter(F.col("image_id") < "img_00000016").coalesce(1).write.parquet(
+        str(d / "f0")
+    )
+
+    fn = curate_images_stream_sink(t, max_hamming=0)
+    schema = pool.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*")
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            stream.writeStream.foreachBatch(fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    assert IL.read(spark, t).count() == 16
+
+    # batch 1: 8 fresh + re-crawls of 2 batch-0 images under new ids
+    pool.filter(F.col("image_id") >= "img_00000016").unionByName(
+        pool.filter(F.col("image_id") < "img_00000002").select(
+            F.concat(F.lit("re_"), "image_id").alias("image_id"),
+            "bytes", "w", "h", "fmt", "caption", "phash",
+        )
+    ).coalesce(1).write.parquet(str(d / "f1"))
+    run()
+    tbl = IL.read(spark, t)
+    assert tbl.count() == 24
+    assert tbl.filter(F.col("image_id").startswith("re_")).count() == 0
+    run()  # nothing new: no snapshot moves
+    assert tbl.count() == tbl.dropDuplicates(["image_id"]).count() == 24
