@@ -870,3 +870,52 @@ def st_cell_point(res: int):
         return pd.Series(C.cell_of_xy(np.asarray(x, dtype=float), np.asarray(y, dtype=float), res))
 
     return _f
+
+
+# --- pure-JVM (codegen) cell expressions (round-8, guide §4.1) -------------
+# The probe-side cell id is integer/float arithmetic, not geometry: express
+# it as Column expressions so point-probe paths (PIP / kNN / radius joins)
+# carry NO ArrowEvalPython node at all. Bit-equal to cells.cell_of_xy for
+# every finite coordinate (identical IEEE double ops in identical order;
+# asserted value-for-value in tests/test_spark_ops.py). NULL coordinates
+# yield a NULL cell (the UDF yielded the clamped corner cell (0,0), which
+# exact refines always rejected — NULL rejects at the join instead).
+
+from pyspark.sql import Column
+from pyspark.sql import functions as _F
+
+
+def cell_ixy_cols(res: int, x: Column, y: Column) -> tuple:
+    """(ix, iy) grid indices as LONG columns — cells._grid_index verbatim:
+    clip(floor((v - min) / extent * n), 0, n-1)."""
+    n = 1 << res
+    fx = (x - _F.lit(-180.0)) / _F.lit(360.0) * _F.lit(float(n))
+    fy = (y - _F.lit(-90.0)) / _F.lit(180.0) * _F.lit(float(n))
+    ix = _F.greatest(_F.lit(0), _F.least(_F.lit(n - 1), _F.floor(fx)))
+    iy = _F.greatest(_F.lit(0), _F.least(_F.lit(n - 1), _F.floor(fy)))
+    return ix, iy
+
+
+def _spread_bits(v: Column) -> Column:
+    """Morton bit-spread: place the low 29 bits of v at even positions
+    (classic magic-mask interleave; equals cells._interleave bit-for-bit)."""
+    v = v.bitwiseAND(_F.lit(0x1FFFFFFF))
+    v = (v.bitwiseOR(_F.shiftleft(v, 16))).bitwiseAND(_F.lit(0x0000FFFF0000FFFF))
+    v = (v.bitwiseOR(_F.shiftleft(v, 8))).bitwiseAND(_F.lit(0x00FF00FF00FF00FF))
+    v = (v.bitwiseOR(_F.shiftleft(v, 4))).bitwiseAND(_F.lit(0x0F0F0F0F0F0F0F0F))
+    v = (v.bitwiseOR(_F.shiftleft(v, 2))).bitwiseAND(_F.lit(0x3333333333333333))
+    v = (v.bitwiseOR(_F.shiftleft(v, 1))).bitwiseAND(_F.lit(0x5555555555555555))
+    return v
+
+
+def cell_from_ixy_cols(res: int, ix: Column, iy: Column) -> Column:
+    """(ix, iy) → cell id (res tag | Morton code), cells.cell_id verbatim."""
+    code = _spread_bits(ix).bitwiseOR(_F.shiftleft(_spread_bits(iy), 1))
+    return _F.lit(res << C.RES_BITS_SHIFT).bitwiseOR(code)
+
+
+def st_cell_point_col(res: int, x: Column, y: Column) -> Column:
+    """Pure-JVM equivalent of ``st_cell_point(res)(x, y)`` — one codegen
+    expression, no Python boundary."""
+    ix, iy = cell_ixy_cols(res, x, y)
+    return cell_from_ixy_cols(res, ix, iy)

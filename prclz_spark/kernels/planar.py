@@ -572,12 +572,29 @@ def weak_dual(g: nx.Graph, faces=None) -> nx.Graph:
     # (topology.py:365-375). Termination still holds: trace_faces returns
     # [] below 2 nodes, so isolated self-looped faces die one level later.
     selfloops = S0_CFG.get("selfloops", False)
+    # edge-indexed adjacency (round-8): invert edge → faces once instead of
+    # the O(F²) pairwise set intersections; the dual-edge SET is identical
+    # and pairs are inserted in the same ascending (i, j) order the pairwise
+    # loop produced (first-insertion order decides nx adjacency iteration,
+    # which downstream atan2-tie traces depend on).
+    by_edge: dict = {}
+    for i, es in enumerate(edge_sets):
+        for e in es:
+            by_edge.setdefault(e, []).append(i)
+    pairs = set()
+    for members in by_edge.values():
+        if len(members) > 1:
+            for a_i in range(len(members)):
+                for b_i in range(a_i + 1, len(members)):
+                    pairs.add((members[a_i], members[b_i]))
+    by_i: dict = {}
+    for i, j in pairs:
+        by_i.setdefault(i, []).append(j)
     for i in range(len(faces)):
         if selfloops:
             dual.add_edge(cents[i], cents[i])
-        for j in range(i + 1, len(faces)):
-            if edge_sets[i] & edge_sets[j]:
-                dual.add_edge(cents[i], cents[j])
+        for j in sorted(by_i.get(i, ())):
+            dual.add_edge(cents[i], cents[j])
     return dual
 
 
@@ -632,28 +649,30 @@ def _clip_halfplane_list(xs, ys, a, b, c, dedupe=False):
     # same IEEE ops in the same order as an indexed loop; zip just shaves
     # interpreter overhead on the hottest kernel path
     d = [a * x + b * y - c for x, y in zip(xs, ys)]
-    nin = 0
-    for v in d:
-        if v <= eps:
-            nin += 1
+    ins = [v <= eps for v in d]  # one comparison per vertex, reused below
+    nin = sum(ins)
     if nin == n:
         return xs, ys
     if nin == 0:
         return [], []
     ox: list = []
     oy: list = []
+    ax_, ay_ = ox.append, oy.append
     for i in range(n):
-        j = i + 1 if i + 1 < n else 0
-        dp = d[i]
-        dq = d[j]
-        pin = dp <= eps
+        j = i + 1
+        if j == n:
+            j = 0
+        pin = ins[i]
+        xi = xs[i]
+        yi = ys[i]
         if pin:
-            ox.append(xs[i])
-            oy.append(ys[i])
-        if pin != (dq <= eps):
-            t = dp / (dp - dq)
-            ox.append(xs[i] + t * (xs[j] - xs[i]))
-            oy.append(ys[i] + t * (ys[j] - ys[i]))
+            ax_(xi)
+            ay_(yi)
+        if pin != ins[j]:
+            dp = d[i]
+            t = dp / (dp - d[j])
+            ax_(xi + t * (xs[j] - xi))
+            ay_(yi + t * (ys[j] - yi))
     if len(ox) < 3:
         return [], []
     if not dedupe:
@@ -682,25 +701,27 @@ def _clip_halfplane_scalar(ring, pts, a, b, c, closed, dedupe, eps):
     # same IEEE ops in the same order as an indexed loop; zip just shaves
     # interpreter overhead on the hottest kernel path
     d = [a * x + b * y - c for x, y in zip(xs, ys)]
-    nin = 0
-    for v in d:
-        if v <= eps:
-            nin += 1
+    ins = [v <= eps for v in d]  # one comparison per vertex, reused below
+    nin = sum(ins)
     if nin == n:
         return ring if closed else np.concatenate([pts, pts[:1]])
     if nin == 0:
         return np.zeros((0, 2))
     out = []
+    app = out.append
     for i in range(n):
-        j = i + 1 if i + 1 < n else 0
-        dp = d[i]
-        dq = d[j]
-        pin = dp <= eps
+        j = i + 1
+        if j == n:
+            j = 0
+        pin = ins[i]
+        xi = xs[i]
+        yi = ys[i]
         if pin:
-            out.append((xs[i], ys[i]))
-        if pin != (dq <= eps):
-            t = dp / (dp - dq)
-            out.append((xs[i] + t * (xs[j] - xs[i]), ys[i] + t * (ys[j] - ys[i])))
+            app((xi, yi))
+        if pin != ins[j]:
+            dp = d[i]
+            t = dp / (dp - d[j])
+            app((xi + t * (xs[j] - xi), yi + t * (ys[j] - yi)))
     if len(out) < 3:
         return np.zeros((0, 2))
     if not dedupe:
@@ -961,6 +982,39 @@ def clip_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
     ) else subject
     if len(spts) == 0:
         return np.zeros((0, 2))
+    n_edges = len(p)
+    if n_edges * len(spts) <= 512:
+        # small case (the s0 hot path: block rings × Voronoi cells are a
+        # handful of vertices each) — the same prefilter in plain Python
+        # floats, without ~15 small-array numpy dispatches per call. The
+        # normalization uses math.hypot, the SAME call clip_halfplane
+        # itself makes, so prefilter and clip agree exactly; (a, b, c)
+        # handed to clip_halfplane are the identical IEEE differences/
+        # products the vectorized branch computed.
+        sx = spts[:, 0].tolist()
+        sy = spts[:, 1].tolist()
+        px_ = p[:, 0].tolist()
+        py_ = p[:, 1].tolist()
+        qx_ = q[:, 0].tolist()
+        qy_ = q[:, 1].tolist()
+        out = subject
+        for i in range(n_edges):
+            ai = qy_[i] - py_[i]
+            bi = -(qx_[i] - px_[i])
+            ci = ai * px_[i] + bi * py_[i]
+            norm = math.hypot(ai, bi)
+            if norm < 1e-15:
+                continue  # identity by clip_halfplane's zero-edge guard
+            an_ = ai / norm
+            bn_ = bi / norm
+            cn_ = ci / norm
+            for xv, yv in zip(sx, sy):
+                if an_ * xv + bn_ * yv - cn_ > 1e-12:
+                    out = clip_halfplane(out, ai, bi, ci)
+                    if len(out) == 0:
+                        return out
+                    break
+        return out
     norm = np.hypot(a, b)
     ok = norm >= 1e-15
     an = np.where(ok, a / np.where(ok, norm, 1.0), 0.0)
@@ -1018,13 +1072,14 @@ def voronoi_cells(anchors: np.ndarray, bbox: tuple, pad: float = 1.0) -> list:
         # the max distance unchanged).
         xs, ys = base_x, base_y
         r2 = max((x - px) ** 2 + (y - py) ** 2 for x, y in zip(xs, ys))
+        thr = 4.0 * r2  # hoisted: same value, recomputed only when r2 moves
         order = np.argsort(d2m[i], kind="stable")
         d2row = d2m[i].tolist()
         for j in order:
             qx, qy = anchors_list[j]
             if j == i or (qx == px and qy == py):
                 continue
-            if xs and d2row[j] >= 4.0 * r2:
+            if xs and d2row[j] >= thr:
                 break
             a = 2 * (qx - px)
             b = 2 * (qy - py)
@@ -1035,6 +1090,7 @@ def voronoi_cells(anchors: np.ndarray, bbox: tuple, pad: float = 1.0) -> list:
                 if not xs:
                     break
                 r2 = max((x - px) ** 2 + (y - py) ** 2 for x, y in zip(xs, ys))
+                thr = 4.0 * r2
         if xs:
             ring = np.empty((len(xs) + 1, 2))
             ring[:-1, 0] = xs
@@ -1142,11 +1198,11 @@ def voronoi_pytess(anchors: np.ndarray) -> list:
         d2row = ((allp[:, 0] - px) ** 2 + (allp[:, 1] - py) ** 2).tolist()
         xs, ys = box_x, box_y
         r2 = max((x - px) ** 2 + (y - py) ** 2 for x, y in zip(xs, ys))
-        for j in range(len(allp_list)):
-            qx, qy = allp_list[j]
+        thr = 4.0 * r2 * (1.0 + 1e-6)  # hoisted: identical value per j
+        for j, (qx, qy) in enumerate(allp_list):
             if j == i or (qx == px and qy == py):
                 continue
-            if d2row[j] > 4.0 * r2 * (1.0 + 1e-6):
+            if d2row[j] > thr:
                 continue  # identity clip (proof above)
             a = 2 * (qx - px)
             b = 2 * (qy - py)
@@ -1157,6 +1213,7 @@ def voronoi_pytess(anchors: np.ndarray) -> list:
                 if not xs:
                     break
                 r2 = max((x - px) ** 2 + (y - py) ** 2 for x, y in zip(xs, ys))
+                thr = 4.0 * r2 * (1.0 + 1e-6)
         if xs:
             ring = np.empty((len(xs) + 1, 2))
             ring[:-1, 0] = xs

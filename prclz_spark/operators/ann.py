@@ -104,6 +104,10 @@ def ann_lsh_topk(
         F.col(query_id).alias("_qid"), F.col(vec_col).alias("_qv")
     ).withColumn("bucket", F.explode(_probe_sigs(F.col("_qv"))))
 
+    # (qid, cid) pairs are unique by construction — a corpus vector has ONE
+    # bucket and a query's probe signatures (base + base^2^i) are pairwise
+    # distinct — so no dedup exchange is needed (round-8, guide §2.4; the
+    # former dropDuplicates added a full candidate-set shuffle)
     cand = q.join(c, "bucket", "inner").filter(F.col("_qid") != F.col("_cid"))
     dot = F.expr(
         "aggregate(zip_with(_qv, _cv, (x, y) -> cast(x as double) * cast(y as double)),"
@@ -112,7 +116,7 @@ def ann_lsh_topk(
     nrm = lambda col: F.sqrt(
         F.expr(f"aggregate({col}, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double))")
     )
-    scored = cand.dropDuplicates(["_qid", "_cid"]).withColumn(
+    scored = cand.withColumn(
         # zero-norm vectors have no cosine: try_divide -> NULL, dropped
         # below (a zero embedding matches nothing; ANSI mode would raise)
         "cos_sim", F.round(F.try_divide(dot, nrm("_qv") * nrm("_cv")), 6)
@@ -120,6 +124,7 @@ def ann_lsh_topk(
     w = Window.partitionBy("_qid").orderBy(F.col("cos_sim").desc(), F.col("_cid").asc())
     return (
         scored.filter(F.col("cos_sim").isNotNull())
+        .select("_qid", "_cid", "cos_sim")
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
@@ -134,9 +139,24 @@ def ann_lsh_topk(
 # --- IVF tier ---------------------------------------------------------------
 
 
+def _sample_vectors(
+    corpus: DataFrame, vec_col: str, seed: int, limit: int = 100_000
+) -> np.ndarray:
+    """The shared bounded training sample: TakeOrderedAndProject over
+    rand(seed) — every partition contributes (no first-partitions bias),
+    ≤ ``limit`` rows at any corpus size. train_centroids and train_pq used
+    to run this identical job twice (same seed ⇒ same rows); sharing one
+    collect halves the training-side job count (round-8)."""
+    rows = corpus.select(vec_col).orderBy(F.rand(seed)).limit(limit).collect()
+    if not rows:
+        return np.zeros((0, 0))
+    return np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+
+
 def train_centroids(
     corpus: DataFrame, vec_col: str, dim: int, n_lists: int | None = None,
     sample_frac: float = 1.0, iters: int = 10, seed: int = 11,
+    sample: np.ndarray | None = None,
 ) -> np.ndarray:
     """K-means coarse quantizer trained on a driver-side SAMPLE (Lloyd's
     iterations in numpy). The training set is a bounded sample — at 10⁹+
@@ -152,11 +172,14 @@ def train_centroids(
     would take the first partitions only (first-partitions bias)."""
     if n_lists is None:
         n_lists = _auto_lists(corpus.count())
-    s = corpus.select(vec_col)
-    if sample_frac < 1.0:
-        s = s.sample(fraction=sample_frac, seed=seed)
-    rows = s.orderBy(F.rand(seed)).limit(100_000).collect()
-    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    if sample is not None and sample_frac >= 1.0:
+        X = sample  # caller-shared collect (see _sample_vectors)
+    else:
+        s = corpus.select(vec_col)
+        if sample_frac < 1.0:
+            s = s.sample(fraction=sample_frac, seed=seed)
+        rows = s.orderBy(F.rand(seed)).limit(100_000).collect()
+        X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     rng = np.random.default_rng(seed)
     cents = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)]
     for _ in range(iters):
@@ -216,6 +239,11 @@ def ivf_topk(
     q = queries.select(F.col(query_id).alias("_qid"), F.col(vec_col).alias("_qv")).withColumn(
         "list_id", F.explode(probe_n(F.col("_qv")))
     )
+    # (qid, cid) pairs are unique by construction — a corpus vector has ONE
+    # list_id and a query's n_probe lists are distinct — so no dedup
+    # exchange; and the vectors are projected away before the window
+    # exchange (round-8, guide §2.3: the former plan shuffled both 64-float
+    # vectors with every candidate row)
     cand = q.join(c, "list_id", "inner").filter(F.col("_qid") != F.col("_cid"))
     dot = F.expr(
         "aggregate(zip_with(_qv, _cv, (x, y) -> cast(x as double) * cast(y as double)),"
@@ -224,7 +252,7 @@ def ivf_topk(
     nrm = lambda col: F.sqrt(
         F.expr(f"aggregate({col}, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double))")
     )
-    scored = cand.dropDuplicates(["_qid", "_cid"]).withColumn(
+    scored = cand.withColumn(
         # zero-norm vectors have no cosine: try_divide -> NULL, dropped
         # below (a zero embedding matches nothing; ANSI mode would raise)
         "cos_sim", F.round(F.try_divide(dot, nrm("_qv") * nrm("_cv")), 6)
@@ -232,6 +260,7 @@ def ivf_topk(
     w = Window.partitionBy("_qid").orderBy(F.col("cos_sim").desc(), F.col("_cid").asc())
     return (
         scored.filter(F.col("cos_sim").isNotNull())
+        .select("_qid", "_cid", "cos_sim")
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
@@ -260,6 +289,7 @@ def train_pq(
     n_codes: int = 256,
     iters: int = 10,
     seed: int = 11,
+    sample: np.ndarray | None = None,
 ) -> np.ndarray:
     """Product-quantizer codebooks, shape (m, n_codes, dim//m): per-subspace
     k-means over a bounded driver-side sample of L2-NORMALIZED vectors
@@ -269,10 +299,11 @@ def train_pq(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
-    rows = corpus.select(vec_col).orderBy(F.rand(seed)).limit(100_000).collect()
-    if not rows:
+    if sample is None:
+        sample = _sample_vectors(corpus, vec_col, seed)
+    if not len(sample):
         raise ValueError("train_pq: empty corpus — nothing to train on")
-    X = _norm_rows(np.stack([np.asarray(r[0], dtype=np.float64) for r in rows]))
+    X = _norm_rows(sample)
     X = X[np.abs(X).sum(axis=1) > 0]
     if not len(X):
         raise ValueError(
@@ -416,10 +447,16 @@ def ivf_pq_topk(
             "corpus_codes requires the cents+books the codes were built "
             "with (retraining would mismatch the persisted index)"
         )
-    if cents is None:
-        cents = train_centroids(corpus, vec_col, dim, n_lists=n_lists, seed=seed)
-    if books is None:
-        books = train_pq(corpus, vec_col, dim, m=m, seed=seed)
+    if cents is None or books is None:
+        # ONE shared training collect (identical rows to the two separate
+        # same-seed collects the trainers used to run — round-8 job dedup)
+        X = _sample_vectors(corpus, vec_col, seed)
+        if cents is None:
+            cents = train_centroids(
+                corpus, vec_col, dim, n_lists=n_lists, seed=seed, sample=X
+            )
+        if books is None:
+            books = train_pq(corpus, vec_col, dim, m=m, seed=seed, sample=X)
     probe_n = _nearest_lists_udf(cents, min(n_probe, len(cents)))
     adc = _adc_score_udf(books)
 

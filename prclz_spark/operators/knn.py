@@ -18,23 +18,48 @@ Algorithm (distributed, driver-coordinated ring loop):
     ≤ r·min(cell_w, cell_h) — no point outside ring r can beat that.
     Finish: Window.partitionBy(probe).orderBy(dist) → row_number ≤ k.
 
-Each iteration is a plain DataFrame equi-join (broadcast when the build side
-is small); the loop runs O(1) times when the chosen resolution puts ~k points
-within a ring or two. Ring cells are generated by an Arrow pandas UDF from
-the probe's cell id — the probe table is never collected to the driver.
+Round-8 plan shape (guide §§2.4, 4.1): the whole candidate path is pure
+JVM codegen — the probe/build cell ids are Column expressions
+(st.cell_ixy_cols / cell_from_ixy_cols, bit-equal to the former pandas
+UDFs) and the ring-cell expansion explodes a LITERAL (dx, dy) offset
+array (the offsets do not depend on the row), so no ArrowEvalPython node
+exists anywhere. The per-iteration satisfaction check is folded into the
+SAME window pass that produces the final top-k (count/max over the
+already-partitioned top-k rows), so one action materializes a ≤k-rows-
+per-probe checkpoint that doubles as the result — the former shape paid a
+full-candidate-set checkpoint plus a second full window for the proof.
+
+Candidate (probe, build) pairs are UNIQUE by construction — each build
+point lives in exactly one cell, a probe's disk cells are distinct, and
+successive batches explode disjoint ring ranges — so no dedup exchange is
+needed (callers must pass unique build ids; duplicate build ids fed the
+old dedup an arbitrary-winner nondeterminism anyway).
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, LongType
 
 from .. import cells as C
-from ..functions.st import st_cell_point
+from ..functions.st import cell_from_ixy_cols, cell_ixy_cols, st_cell_point_col
+
+
+def _offsets_lit(r_lo: int, r_hi: int):
+    """Literal array of (dx, dy) Chebyshev offsets with r_lo ≤ max(|dx|,|dy|)
+    ≤ r_hi — the ring/disk cell set as data, exploded in the JVM."""
+    offs = [
+        (dx, dy)
+        for dx in range(-r_hi, r_hi + 1)
+        for dy in range(-r_hi, r_hi + 1)
+        if max(abs(dx), abs(dy)) >= r_lo
+    ]
+    return F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in offs
+        ]
+    )
 
 
 def within_distance_join(
@@ -62,29 +87,42 @@ def within_distance_join(
     refines. This is the distributed analogue of the expanding-buffer
     candidate search at `prclz/reblock/_reblock_graph.py:473-502` for a
     fixed radius."""
+    import numpy as np
+
     # coarsest-dimension cell height is 180/2^r; want cell ≥ radius
     max_res_for_radius = int(np.floor(np.log2(max(1.0, 180.0 / max(radius, 1e-300)))))
     res_eff = int(np.clip(min(res, max_res_for_radius), 0, C.MAX_RES))
-
-    @pandas_udf(ArrayType(LongType()))
-    def _disk1(cell: pd.Series) -> pd.Series:
-        return cell.map(lambda c: [int(x) for x in C.disk(int(c), 1)])
+    n = 1 << res_eff
 
     p = probes.select(
         F.col(probe_id).alias("_pid"), F.col(probe_x).alias("_px"), F.col(probe_y).alias("_py")
-    ).withColumn("cell", st_cell_point(res_eff)(F.col("_px"), F.col("_py")))
+    ).withColumn("cell", st_cell_point_col(res_eff, F.col("_px"), F.col("_py")))
     b = build.select(
         F.col(build_id).alias("_bid"), F.col(build_x).alias("_bx"), F.col(build_y).alias("_by")
-    ).withColumn("cell0", st_cell_point(res_eff)(F.col("_bx"), F.col("_by")))
-    b = b.withColumn("cell", F.explode(_disk1(F.col("cell0")))).drop("cell0")
+    )
+    bix, biy = cell_ixy_cols(res_eff, F.col("_bx"), F.col("_by"))
+    b = (
+        b.withColumn("_bix", bix)
+        .withColumn("_biy", biy)
+        .withColumn("_o", F.explode(_offsets_lit(0, 1)))
+        .withColumn("_cix", F.col("_bix") + F.col("_o.dx"))
+        .withColumn("_ciy", F.col("_biy") + F.col("_o.dy"))
+        .filter(
+            (F.col("_cix") >= 0) & (F.col("_cix") < n)
+            & (F.col("_ciy") >= 0) & (F.col("_ciy") < n)
+        )
+        .withColumn("cell", cell_from_ixy_cols(res_eff, F.col("_cix"), F.col("_ciy")))
+        .select("_bid", "_bx", "_by", "cell")
+    )
     if broadcast_build:
         b = F.broadcast(b)
     dist = F.sqrt((F.col("_px") - F.col("_bx")) ** 2 + (F.col("_py") - F.col("_by")) ** 2)
+    # a (probe, build) pair meets exactly once (probe has ONE cell; the
+    # build's 9 disk cells are distinct) — no dedup exchange needed
     return (
         p.join(b, "cell", "inner")
         .withColumn("dist", dist)
         .filter(F.col("dist") <= radius)
-        .dropDuplicates(["_pid", "_bid"])
         .select(F.col("_pid").alias(probe_id), F.col("_bid").alias(build_id), "dist")
     )
 
@@ -109,17 +147,20 @@ def knn_join(
     distance (ties broken by build_id for determinism, mirroring the
     reference's stable rtree ordering)."""
     w_cell = min(C._cell_w(res), C._cell_h(res))
+    n = 1 << res
 
     p0 = probes.select(
         F.col(probe_id).alias("_pid"),
         F.col(probe_x).alias("_px"),
         F.col(probe_y).alias("_py"),
-    ).withColumn("_pcell", st_cell_point(res)(F.col("_px"), F.col("_py")))
+    )
+    pix, piy = cell_ixy_cols(res, F.col("_px"), F.col("_py"))
+    p0 = p0.withColumn("_pix", pix).withColumn("_piy", piy)
     b0 = build.select(
         F.col(build_id).alias("_bid"),
         F.col(build_x).alias("_bx"),
         F.col(build_y).alias("_by"),
-    ).withColumn("cell", st_cell_point(res)(F.col("_bx"), F.col("_by")))
+    ).withColumn("cell", st_cell_point_col(res, F.col("_bx"), F.col("_by")))
     if broadcast_build:
         b0 = F.broadcast(b0)
 
@@ -127,20 +168,18 @@ def knn_join(
         (F.col("_px") - F.col("_bx")) ** 2 + (F.col("_py") - F.col("_by")) ** 2
     ).alias("dist")
 
-    def disk_udf(r_lo: int, r_hi: int):
-        @pandas_udf(ArrayType(LongType()))
-        def _f(cell: pd.Series) -> pd.Series:
-            import numpy as np
-
-            return cell.map(
-                lambda c: [
-                    int(x)
-                    for rr in range(r_lo, r_hi + 1)
-                    for x in C.ring(int(c), rr)
-                ]
+    def probe_cells(src: DataFrame, r_lo: int, r_hi: int) -> DataFrame:
+        return (
+            src.withColumn("_o", F.explode(_offsets_lit(r_lo, r_hi)))
+            .withColumn("_cix", F.col("_pix") + F.col("_o.dx"))
+            .withColumn("_ciy", F.col("_piy") + F.col("_o.dy"))
+            .filter(
+                (F.col("_cix") >= 0) & (F.col("_cix") < n)
+                & (F.col("_ciy") >= 0) & (F.col("_ciy") < n)
             )
-
-        return _f
+            .withColumn("cell", cell_from_ixy_cols(res, F.col("_cix"), F.col("_ciy")))
+            .select("_pid", "_px", "_py", "_pix", "_piy", "cell")
+        )
 
     # Batched expansion: the first pass probes the full disk(r_batch) in ONE
     # join (at a well-chosen resolution ~k candidates live within a ring or
@@ -150,42 +189,46 @@ def knn_join(
     r_batch = 2
     unsat = p0
     acc: DataFrame | None = None
+    topk: DataFrame | None = None
     r_done = -1
+    w = Window.partitionBy("_pid").orderBy(F.col("dist").asc(), F.col("_bid").asc())
+    wp = Window.partitionBy("_pid")
     while r_done < max_ring:
         r_lo, r_hi = r_done + 1, min(r_done + 1 + r_batch, max_ring)
-        probe_cells = unsat.withColumn("cell", F.explode(disk_udf(r_lo, r_hi)(F.col("_pcell"))))
-        cand = probe_cells.join(b0, "cell", "inner").select(
-            "_pid", "_px", "_py", "_pcell", "_bid", dist
+        cand = probe_cells(unsat, r_lo, r_hi).join(b0, "cell", "inner").select(
+            "_pid", "_bid", dist
         )
         acc = cand if acc is None else acc.unionByName(cand)
-        acc = acc.localCheckpoint(eager=True)  # truncate the growing lineage
         r_done = r_hi
-        # proof bound: k-th nearest so far ≤ r_done * cell_size → done
-        kth_exact = (
-            acc.withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy("_pid").orderBy(F.col("dist").asc(), F.col("_bid").asc())
-                ),
-            )
-            .filter(F.col("rn") == k)
-            .select("_pid", F.col("dist").alias("kdist"))
+        # ONE window pass yields the top-k AND the per-probe proof facts:
+        # the k-th candidate distance is max(dist) over the kept rows and
+        # "has k candidates" is their count — both computed over the same
+        # partitioning (no extra exchange). The materialized checkpoint is
+        # ≤ k rows per probe and IS the final answer when every probe is
+        # proven — the former shape checkpointed the full candidate set and
+        # ran the proof as a second full window.
+        topk = (
+            acc.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .withColumn("_nc", F.count(F.lit(1)).over(wp))
+            .withColumn("_kd", F.max("dist").over(wp))
+            .localCheckpoint(eager=True)
         )
-        proven = kth_exact.filter(F.col("kdist") <= r_done * w_cell).select("_pid")
-        unsat = unsat.join(proven, "_pid", "left_anti")
+        proven = (
+            topk.filter((F.col("_nc") >= k) & (F.col("_kd") <= F.lit(r_done * w_cell)))
+            .select("_pid")
+            .distinct()
+        )
+        unsat = unsat.join(F.broadcast(proven), "_pid", "left_anti")
         if unsat.isEmpty():
             break
+        # looping again: truncate acc's growing lineage (lazy — only pays
+        # if the next iteration actually computes it)
+        acc = acc.localCheckpoint(eager=False)
 
-    w = Window.partitionBy("_pid").orderBy(F.col("dist").asc(), F.col("_bid").asc())
-    out = (
-        acc.dropDuplicates(["_pid", "_bid"])
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("_pid").alias(probe_id),
-            F.col("_bid").alias(build_id),
-            F.col("dist"),
-            F.col("rank"),
-        )
+    return topk.select(
+        F.col("_pid").alias(probe_id),
+        F.col("_bid").alias(build_id),
+        F.col("dist"),
+        F.col("rank"),
     )
-    return out
