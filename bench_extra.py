@@ -72,6 +72,7 @@ def stage_report(spark, prev_stage: int):
                 "name": s["name"].split("\n")[0][:60],
                 "tasks": s["numCompleteTasks"],
                 "runtime_ms": s.get("executorRunTime", 0),
+                "cpu_ms": round(s.get("executorCpuTime", 0) / 1e6),
                 "shuffle_read_mb": round(s.get("shuffleReadBytes", 0) / 1e6, 2),
                 "shuffle_write_mb": round(s.get("shuffleWriteBytes", 0) / 1e6, 2),
                 "input_mb": round(s.get("inputBytes", 0) / 1e6, 2),
@@ -174,7 +175,9 @@ def run_queries(names):
             reps.append(round(time.time() - t0, 3))
         rep = stage_report(spark, prev)
         results[name] = {"min": min(reps), "reps": reps, "stages": rep}
-        print(f"== {name}: min={min(reps)} reps={reps}")
+        tot_cpu = sum(s["cpu_ms"] for s in rep)
+        print(f"== {name}: min={min(reps)} reps={reps} last_rep_cpu_ms={tot_cpu} "
+              f"stages={len(rep)}")
         for s in rep:
             print(f"   {s}")
         sys.stdout.flush()

@@ -843,17 +843,55 @@ def st_centroid_xy_cell(res: int):
     def _f(s: pd.Series) -> pd.DataFrame:
         import numpy as np
 
-        xs, ys = [], []
-        for b in s:
-            if b is None:
-                xs.append(np.nan)
-                ys.append(np.nan)
+        # Round-8 fast path: batch WKB decode + grouped-by-ring-length
+        # vectorized shoelace centroid for single-ring polygons (the 10⁹-row
+        # building shape). BIT-exact with the per-row G.centroid loop: the
+        # stacked rows reduce with numpy's pairwise summation along a
+        # contiguous axis — the same grouping np.sum applies to each ring's
+        # own 1D pass (asserted row-for-row in tests/test_geom_batch.py) —
+        # and the (|a|·c)/|a| double-rounding is replicated verbatim.
+        # Everything else (multipart, holes, lines, None) takes the scalar
+        # loop.
+        geoms = G.wkb_loads_batch([None if b is None else bytes(b) for b in s])
+        m = len(geoms)
+        xs = np.full(m, np.nan)
+        ys = np.full(m, np.nan)
+        groups: dict[int, list] = {}
+        other: list = []
+        for i, g in enumerate(geoms):
+            if g is None:
                 continue
-            c = G.centroid(G.wkb_loads(bytes(b)))
-            xs.append(c[0])
-            ys.append(c[1])
-        xs = np.asarray(xs)
-        ys = np.asarray(ys)
+            if g.kind == G.POLYGON and len(g.data) == 1:
+                groups.setdefault(len(g.data[0]), []).append(i)
+            else:
+                other.append(i)
+        for L, idxs in groups.items():
+            if L < 2:
+                other.extend(idxs)
+                continue
+            arr = np.stack([geoms[i].data[0] for i in idxs])
+            x, y = arr[:, :-1, 0], arr[:, :-1, 1]
+            x1, y1 = arr[:, 1:, 0], arr[:, 1:, 1]
+            cross = x * y1 - x1 * y
+            a = 0.5 * cross.sum(axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cx = ((x + x1) * cross).sum(axis=1) / (6 * a)
+                cy = ((y + y1) * cross).sum(axis=1) / (6 * a)
+                w = np.abs(a)
+                rx = (w * cx) / w  # scalar path's acc/tot double-rounding
+                ry = (w * cy) / w
+            ii = np.asarray(idxs)
+            nz = a != 0
+            xs[ii[nz]] = rx[nz]
+            ys[ii[nz]] = ry[nz]
+            if (~nz).any():
+                # zero-area ring: scalar fallback (mean incl. closing vertex)
+                for j in ii[~nz]:
+                    c = G.centroid(geoms[j])
+                    xs[j], ys[j] = c[0], c[1]
+        for i in other:
+            c = G.centroid(geoms[i])
+            xs[i], ys[i] = c[0], c[1]
         cells = C.cell_of_xy(np.nan_to_num(xs), np.nan_to_num(ys), res)
         return pd.DataFrame({"x": xs, "y": ys, "cell": np.where(np.isnan(xs), None, cells)})
 
@@ -916,6 +954,57 @@ def cell_from_ixy_cols(res: int, ix: Column, iy: Column) -> Column:
 
 def st_cell_point_col(res: int, x: Column, y: Column) -> Column:
     """Pure-JVM equivalent of ``st_cell_point(res)(x, y)`` — one codegen
-    expression, no Python boundary."""
+    expression, no Python boundary.
+
+    NOTE: each Morton spread step references its input twice, so this
+    single-Column form duplicates the (x, y) subtrees ~32× in the Catalyst
+    tree. Runtime is fine (codegen CSE), but the DRIVER re-optimizes the
+    blown-up tree on every plan build (~3 s measured on the skew-fixture
+    probe). Use it only where x/y are plain attributes; operators should
+    call :func:`with_cell_point` / :func:`with_cell_from_ixy`, which chain
+    each step through a named column and keep the tree linear."""
     ix, iy = cell_ixy_cols(res, x, y)
     return cell_from_ixy_cols(res, ix, iy)
+
+
+_SPREAD_STEPS = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+
+def with_cell_from_ixy(df, res: int, ix_col: str, iy_col: str, out: str = "cell"):
+    """Append ``out`` = cell id of grid indices (ix_col, iy_col) via a chain
+    of named single-use columns: every Morton step materializes as ONE
+    attribute, so the Catalyst tree stays linear in res (see
+    st_cell_point_col's note). Bit-equal to cells.cell_id."""
+    tx, ty = "_mrt_x", "_mrt_y"
+    for tmp, src in ((tx, ix_col), (ty, iy_col)):
+        df = df.withColumn(tmp, _F.col(src).bitwiseAND(_F.lit(0x1FFFFFFF)))
+        for sh, mask in _SPREAD_STEPS:
+            df = df.withColumn(
+                tmp,
+                (_F.col(tmp).bitwiseOR(_F.shiftleft(_F.col(tmp), sh))).bitwiseAND(
+                    _F.lit(mask)
+                ),
+            )
+    return df.withColumn(
+        out,
+        _F.lit(res << C.RES_BITS_SHIFT).bitwiseOR(
+            _F.col(tx).bitwiseOR(_F.shiftleft(_F.col(ty), 1))
+        ),
+    ).drop(tx, ty)
+
+
+def with_cell_point(df, res: int, x: str, y: str, out: str = "cell"):
+    """Append ``out`` = containing cell of point columns (x, y) — the
+    DataFrame-level form of st_cell_point_col (same bit-exact arithmetic,
+    linear plan tree)."""
+    ix, iy = cell_ixy_cols(res, _F.col(x), _F.col(y))
+    df = df.withColumn("_mrt_ix", ix).withColumn("_mrt_iy", iy)
+    return with_cell_from_ixy(df, res, "_mrt_ix", "_mrt_iy", out).drop(
+        "_mrt_ix", "_mrt_iy"
+    )

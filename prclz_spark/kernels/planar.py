@@ -42,6 +42,19 @@ import numpy as np
 
 QUANTUM = 1e-9  # coordinate snap for node identity during noding
 
+# Optional C inner loops (kernels/planar_fast.c, built by
+# tools/build_native.py; the committed .so matches this container's
+# CPython). Bit-exact with the pure-Python loops below: normalization
+# stays in Python (math.hypot is correctly rounded; C libm's is not
+# guaranteed), the C side only runs the identical mul/add/sub/div
+# sequence, compiled with -ffp-contract=off so no FMA re-rounding.
+# Import failure (other platform, missing build) silently falls back —
+# tests/test_planar.py asserts C == Python whenever the module loads.
+try:  # pragma: no cover - exercised via test_planar's equivalence sweep
+    from . import planar_fast as _CF
+except Exception:  # noqa: BLE001
+    _CF = None
+
 
 # ---------------------------------------------------------------------------
 # Noding: split segments at their intersection points
@@ -632,6 +645,35 @@ def weak_dual_sequence_len(g0: nx.Graph, max_k: int = 64) -> int:
 # Convex clipping + half-plane Voronoi
 # ---------------------------------------------------------------------------
 
+def _clip_halfplane_list2(xs, ys, a, b, c, px, py, dedupe=False):
+    """Fused form of :func:`_clip_halfplane_list` for the Voronoi loops:
+    additionally returns max((x-px)²+(y-py)²) over the clipped ring (the
+    r2 pruning bound) so the caller skips a Python generator pass, and
+    routes through the C module when available. Returns
+    (xs, ys, None) on identity — same ``is`` contract — or
+    (nxs, nys, r2) / ([], [], None)."""
+    norm = math.hypot(a, b)
+    if norm < 1e-15:
+        return xs, ys, None
+    an, bn, cn = a / norm, b / norm, c / norm
+    n = len(xs)
+    if n == 0:
+        return xs, ys, None
+    if _CF is not None and n <= 4096:
+        r = _CF.clip_list(xs, ys, an, bn, cn, 1e-12, 1 if dedupe else 0, px, py)
+        if r is None:
+            return xs, ys, None
+        if len(r) == 0:
+            return [], [], None
+        return r
+    nxs, nys = _clip_halfplane_list_py(xs, ys, an, bn, cn, dedupe)
+    if nxs is xs:
+        return xs, ys, None
+    if not nxs:
+        return [], [], None
+    return nxs, nys, max((x - px) ** 2 + (y - py) ** 2 for x, y in zip(nxs, nys))
+
+
 def _clip_halfplane_list(xs, ys, a, b, c, dedupe=False):
     """S-H step over OPEN-ring coordinate lists (the voronoi hot paths) —
     bit-exact with clip_halfplane: every operation is the same IEEE double
@@ -641,11 +683,26 @@ def _clip_halfplane_list(xs, ys, a, b, c, dedupe=False):
     norm = math.hypot(a, b)
     if norm < 1e-15:
         return xs, ys
+    if _CF is not None and 0 < len(xs) <= 4096:
+        an, bn, cn = a / norm, b / norm, c / norm
+        r = _CF.clip_list(xs, ys, an, bn, cn, 1e-12, 1 if dedupe else 0, 0.0, 0.0)
+        if r is None:
+            return xs, ys
+        if len(r) == 0:
+            return [], []
+        return r[0], r[1]
     a, b, c = a / norm, b / norm, c / norm
-    eps = 1e-12
     n = len(xs)
     if n == 0:
         return xs, ys
+    return _clip_halfplane_list_py(xs, ys, a, b, c, dedupe)
+
+
+def _clip_halfplane_list_py(xs, ys, a, b, c, dedupe):
+    """Pure-Python body of the open-ring S-H step over PRE-NORMALIZED
+    (a, b, c) — the reference implementation the C module must match."""
+    eps = 1e-12
+    n = len(xs)
     # same IEEE ops in the same order as an indexed loop; zip just shaves
     # interpreter overhead on the hottest kernel path
     d = [a * x + b * y - c for x, y in zip(xs, ys)]
@@ -698,6 +755,18 @@ def _clip_halfplane_scalar(ring, pts, a, b, c, closed, dedupe, eps):
     xs = pts[:, 0].tolist()
     ys = pts[:, 1].tolist()
     n = len(xs)
+    if _CF is not None and 0 < n <= 4096:
+        r = _CF.clip_list(xs, ys, a, b, c, eps, 1 if dedupe else 0, 0.0, 0.0)
+        if r is None:
+            return ring if closed else np.concatenate([pts, pts[:1]])
+        if len(r) == 0:
+            return np.zeros((0, 2))
+        nxs, nys = r[0], r[1]
+        out = np.empty((len(nxs) + 1, 2))
+        out[:-1, 0] = nxs
+        out[:-1, 1] = nys
+        out[-1] = out[0]
+        return out
     # same IEEE ops in the same order as an indexed loop; zip just shaves
     # interpreter overhead on the hottest kernel path
     d = [a * x + b * y - c for x, y in zip(xs, ys)]
@@ -1084,12 +1153,12 @@ def voronoi_cells(anchors: np.ndarray, bbox: tuple, pad: float = 1.0) -> list:
             a = 2 * (qx - px)
             b = 2 * (qy - py)
             c = qx * qx + qy * qy - px * px - py * py
-            nxs, nys = _clip_halfplane_list(xs, ys, a, b, c, dedupe=True)
+            nxs, nys, nr2 = _clip_halfplane_list2(xs, ys, a, b, c, px, py, dedupe=True)
             if nxs is not xs:
                 xs, ys = nxs, nys
                 if not xs:
                     break
-                r2 = max((x - px) ** 2 + (y - py) ** 2 for x, y in zip(xs, ys))
+                r2 = nr2
                 thr = 4.0 * r2
         if xs:
             ring = np.empty((len(xs) + 1, 2))
@@ -1207,12 +1276,12 @@ def voronoi_pytess(anchors: np.ndarray) -> list:
             a = 2 * (qx - px)
             b = 2 * (qy - py)
             c = qx * qx + qy * qy - px * px - py * py
-            nxs, nys = _clip_halfplane_list(xs, ys, a, b, c)
+            nxs, nys, nr2 = _clip_halfplane_list2(xs, ys, a, b, c, px, py)
             if nxs is not xs:  # ring shrank → refresh the radius bound
                 xs, ys = nxs, nys
                 if not xs:
                     break
-                r2 = max((x - px) ** 2 + (y - py) ** 2 for x, y in zip(xs, ys))
+                r2 = nr2
                 thr = 4.0 * r2 * (1.0 + 1e-6)
         if xs:
             ring = np.empty((len(xs) + 1, 2))

@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .. import cells as C
-from ..functions.st import cell_from_ixy_cols, cell_ixy_cols, st_cell_point_col
+from ..functions.st import cell_ixy_cols, with_cell_from_ixy, with_cell_point
 
 
 def _offsets_lit(r_lo: int, r_hi: int):
@@ -94,9 +94,14 @@ def within_distance_join(
     res_eff = int(np.clip(min(res, max_res_for_radius), 0, C.MAX_RES))
     n = 1 << res_eff
 
-    p = probes.select(
-        F.col(probe_id).alias("_pid"), F.col(probe_x).alias("_px"), F.col(probe_y).alias("_py")
-    ).withColumn("cell", st_cell_point_col(res_eff, F.col("_px"), F.col("_py")))
+    p = with_cell_point(
+        probes.select(
+            F.col(probe_id).alias("_pid"),
+            F.col(probe_x).alias("_px"),
+            F.col(probe_y).alias("_py"),
+        ),
+        res_eff, "_px", "_py", "cell",
+    )
     b = build.select(
         F.col(build_id).alias("_bid"), F.col(build_x).alias("_bx"), F.col(build_y).alias("_by")
     )
@@ -111,8 +116,9 @@ def within_distance_join(
             (F.col("_cix") >= 0) & (F.col("_cix") < n)
             & (F.col("_ciy") >= 0) & (F.col("_ciy") < n)
         )
-        .withColumn("cell", cell_from_ixy_cols(res_eff, F.col("_cix"), F.col("_ciy")))
-        .select("_bid", "_bx", "_by", "cell")
+    )
+    b = with_cell_from_ixy(b, res_eff, "_cix", "_ciy", "cell").select(
+        "_bid", "_bx", "_by", "cell"
     )
     if broadcast_build:
         b = F.broadcast(b)
@@ -156,11 +162,14 @@ def knn_join(
     )
     pix, piy = cell_ixy_cols(res, F.col("_px"), F.col("_py"))
     p0 = p0.withColumn("_pix", pix).withColumn("_piy", piy)
-    b0 = build.select(
-        F.col(build_id).alias("_bid"),
-        F.col(build_x).alias("_bx"),
-        F.col(build_y).alias("_by"),
-    ).withColumn("cell", st_cell_point_col(res, F.col("_bx"), F.col("_by")))
+    b0 = with_cell_point(
+        build.select(
+            F.col(build_id).alias("_bid"),
+            F.col(build_x).alias("_bx"),
+            F.col(build_y).alias("_by"),
+        ),
+        res, "_bx", "_by", "cell",
+    )
     if broadcast_build:
         b0 = F.broadcast(b0)
 
@@ -169,7 +178,7 @@ def knn_join(
     ).alias("dist")
 
     def probe_cells(src: DataFrame, r_lo: int, r_hi: int) -> DataFrame:
-        return (
+        e = (
             src.withColumn("_o", F.explode(_offsets_lit(r_lo, r_hi)))
             .withColumn("_cix", F.col("_pix") + F.col("_o.dx"))
             .withColumn("_ciy", F.col("_piy") + F.col("_o.dy"))
@@ -177,8 +186,9 @@ def knn_join(
                 (F.col("_cix") >= 0) & (F.col("_cix") < n)
                 & (F.col("_ciy") >= 0) & (F.col("_ciy") < n)
             )
-            .withColumn("cell", cell_from_ixy_cols(res, F.col("_cix"), F.col("_ciy")))
-            .select("_pid", "_px", "_py", "_pix", "_piy", "cell")
+        )
+        return with_cell_from_ixy(e, res, "_cix", "_ciy", "cell").select(
+            "_pid", "_px", "_py", "_pix", "_piy", "cell"
         )
 
     # Batched expansion: the first pass probes the full disk(r_batch) in ONE

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.st import st_cell_point_col, st_cells, st_contains, st_contains_xy, st_intersects
+from ..functions.st import st_cells, st_contains, st_contains_xy, st_intersects, with_cell_point
 from .skew import salt_exploded_join
 
 _PG, _BG = "_probe_geom", "_build_geom"
@@ -173,13 +173,13 @@ def pip_join(
     st_centroid_xy_cell prep) it is used as-is — one fewer Python phase.
 
     Round-8: the probe cell is a pure-JVM codegen expression
-    (st_cell_point_col, bit-equal to the former pandas UDF), so the probe
+    (with_cell_point, bit-equal to the former pandas UDF), so the probe
     side of this join carries NO ArrowEvalPython node at all — the only
     Python phase left is the exact refine (guide §4.1)."""
     if "cell" in points.columns:
         p = points
     else:
-        p = points.withColumn("cell", st_cell_point_col(res, F.col(x), F.col(y)))
+        p = with_cell_point(points, res, x, y, "cell")
     b = polys.select(F.col(poly_id), F.col(poly_geom).alias(_BG)).withColumn(
         "cell", F.explode(st_cells(res)(F.col(_BG)))
     )

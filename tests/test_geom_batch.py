@@ -275,3 +275,41 @@ def test_tolerated_member_kind_mismatch_matches_scalar():
     want = G.wkb_loads(buf)
     got = G.wkb_loads_batch([buf])[0]
     assert got == want and got.kind == G.MULTIPOINT
+
+
+def test_centroid_xy_cell_fast_path_bitwise(spark):
+    """Round-8: the grouped/stacked centroid fast path inside
+    st_centroid_xy_cell must match the per-row G.centroid loop BIT-for-bit
+    on synthetic buildings (boxes + multiparts) and on rings of many
+    lengths (pairwise-sum grouping must survive the stacking)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from prclz_spark import fixtures as FX
+    from prclz_spark.functions.st import st_centroid_xy_cell
+
+    pdf = FX.make_buildings(8, 8, per_cell=24)
+    # add irregular rings of several lengths (incl. >8 edges: pairwise
+    # summation kicks into its unrolled mode there)
+    rng = np.random.default_rng(7)
+    extra = []
+    for n_pts in (3, 5, 9, 17, 40, 130):
+        for t in range(8):
+            ang = np.sort(rng.uniform(0, 2 * np.pi, n_pts))
+            rad = rng.uniform(0.5, 1.5, n_pts)
+            ring = np.stack([10 + rad * np.cos(ang), 10 + rad * np.sin(ang)], axis=1)
+            extra.append((f"x{n_pts}_{t}", "house", None,
+                          G.wkb_dumps(G.polygon([tuple(p) for p in ring]))))
+    pdf = pd.concat([pdf, pd.DataFrame(extra, columns=pdf.columns)])
+    sdf = spark.createDataFrame(pdf[["osm_id", "geometry"]])
+    out = (
+        sdf.withColumn("_c", st_centroid_xy_cell(14)(F.col("geometry")))
+        .select("osm_id", "_c.x", "_c.y", "_c.cell")
+        .toPandas()
+        .set_index("osm_id")
+    )
+    for r in pdf.itertuples():
+        want = G.centroid(G.wkb_loads(bytes(r.geometry)))
+        got = out.loc[r.osm_id]
+        assert got["x"] == want[0] and got["y"] == want[1], r.osm_id

@@ -413,3 +413,43 @@ def test_pair_aspect_rule_decision_boundary():
         assert not P._pytess_pair_degenerate(np.array([[1.0, 1.0], [2.0, 1.1]]))
     finally:
         P.S0_CFG["pair_aspect"] = old
+
+
+def test_c_clip_matches_python_bitwise():
+    """Round-8: the optional C clip module must be BIT-identical to the
+    pure-Python S-H loops across randomized rings/half-planes (incl.
+    identity, wipe, dedupe and crossing cases). Skipped when the module
+    is not importable (pure-Python fallback is then the only path)."""
+    import math
+
+    import numpy as np
+    import pytest
+
+    from prclz_spark.kernels import planar as P
+
+    if P._CF is None:
+        pytest.skip("planar_fast not built")
+    rng = np.random.default_rng(42)
+    for trial in range(3000):
+        n = int(rng.integers(1, 12))
+        xs = (rng.normal(scale=2.0, size=n) * (10.0 ** rng.integers(-9, 2))).tolist()
+        ys = (rng.normal(scale=2.0, size=n) * (10.0 ** rng.integers(-9, 2))).tolist()
+        a, b = rng.normal(size=2)
+        c = float(rng.normal(scale=0.5))
+        dedupe = bool(rng.integers(0, 2))
+        px, py = (float(v) for v in rng.normal(size=2))
+        norm = math.hypot(a, b)
+        if norm < 1e-15:
+            continue
+        an, bn, cn = a / norm, b / norm, c / norm
+        want = P._clip_halfplane_list_py(xs, ys, an, bn, cn, dedupe)
+        got = P._CF.clip_list(xs, ys, an, bn, cn, 1e-12, 1 if dedupe else 0, px, py)
+        if got is None:
+            assert want[0] is xs, trial
+        elif len(got) == 0:
+            assert want == ([], []), trial
+        else:
+            gxs, gys, gr2 = got
+            assert want[0] == gxs and want[1] == gys, trial
+            exp_r2 = max((x - px) ** 2 + (y - py) ** 2 for x, y in zip(gxs, gys))
+            assert gr2 == exp_r2, trial
