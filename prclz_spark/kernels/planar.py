@@ -350,6 +350,13 @@ def _cluster_vertices(pts: np.ndarray, eps: float) -> np.ndarray:
             i = parent[i]
         return i
 
+    if _CF is not None and n:
+        # C port: identical grid keys, identical 3×3 scan in insertion
+        # order, identical union-find merge sequence (planar_fast.c)
+        return np.asarray(
+            _CF.cluster_verts(pts[:, 0].tolist(), pts[:, 1].tolist(), eps),
+            dtype=np.int64,
+        )
     # plain-Python coordinate lists: identical merges in identical order,
     # without numpy scalar-extraction cost on the O(n·9·bucket) inner loop
     px = pts[:, 0].tolist()
@@ -627,6 +634,25 @@ def weak_dual_sequence_len(g0: nx.Graph, max_k: int = 64) -> int:
     terminal case is exact: +1 iff the final level has exactly one unpaired
     face. Golden-fixture effect: +12 net exact blocks
     (tools/dji_ablate.py; trade detailed in ROADMAP.md)."""
+    if _CF is not None and not S0_CFG.get("selfloops", False):
+        # whole sequence in C (planar_fast.weak_dual_k): same rotation
+        # system (libm atan2 == math.atan2), same seed/len-sort orders,
+        # same centroid arithmetic and nx node-identity semantics —
+        # asserted graph-for-graph against this Python loop in
+        # tests/test_planar.py. The selfloops ablation mode keeps the
+        # Python path.
+        nodes = list(g0.nodes())
+        index = {nd: i for i, nd in enumerate(nodes)}
+        xs = [float(nd[0]) for nd in nodes]
+        ys = [float(nd[1]) for nd in nodes]
+        off = [0]
+        adj: list = []
+        gadj = g0.adj
+        for nd in nodes:
+            for nb in gadj[nd]:
+                adj.append(index[nb])
+            off.append(len(adj))
+        return _CF.weak_dual_k(xs, ys, off, adj, max_k)
     g = g0
     k = 0
     while g.number_of_nodes() > 0 and k < max_k:
@@ -1052,6 +1078,29 @@ def clip_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
     if len(spts) == 0:
         return np.zeros((0, 2))
     n_edges = len(p)
+    if _CF is not None and n_edges <= 4096 and len(spts) <= 4096:
+        # whole small-case loop in C (prefilter + sequential clips share
+        # one pass, no per-edge ndarray⇄list conversion); math.hypot is
+        # ported bit-exactly inside (see planar_fast.c hypot2)
+        try:
+            r = _CF.clip_convex_small(
+                spts[:, 0].tolist(), spts[:, 1].tolist(),
+                p[:, 0].tolist(), p[:, 1].tolist(),
+                q[:, 0].tolist(), q[:, 1].tolist(),
+            )
+        except ValueError:
+            r = False  # ring-growth guard tripped: take the Python path
+        if r is None:
+            return subject
+        if r is not False:
+            if len(r) == 0:
+                return np.zeros((0, 2))
+            xs_, ys_ = r
+            out = np.empty((len(xs_) + 1, 2))
+            out[:-1, 0] = xs_
+            out[:-1, 1] = ys_
+            out[-1] = out[0]
+            return out
     if n_edges * len(spts) <= 512:
         # small case (the s0 hot path: block rings × Voronoi cells are a
         # handful of vertices each) — the same prefilter in plain Python
@@ -1123,6 +1172,8 @@ def voronoi_cells(anchors: np.ndarray, bbox: tuple, pad: float = 1.0) -> list:
     base_x = base[:-1, 0].tolist()
     base_y = base[:-1, 1].tolist()
     anchors_list = anchors.tolist()
+    anchors_x = anchors[:, 0].tolist() if len(anchors) else []
+    anchors_y = anchors[:, 1].tolist() if len(anchors) else []
     for i in range(len(anchors_list)):
         px, py = anchors_list[i]
         key = (px, py)
@@ -1130,6 +1181,25 @@ def voronoi_cells(anchors: np.ndarray, bbox: tuple, pad: float = 1.0) -> list:
             cells.append(np.zeros((0, 2)))
             continue
         seen[key] = i
+        if _CF is not None and len(base_x) <= 2048 and len(anchors_x) <= 65536:
+            order_l = np.argsort(d2m[i], kind="stable").tolist()
+            try:
+                r = _CF.voronoi_cell(
+                    base_x, base_y, anchors_x, anchors_y, i, px, py, 1, order_l
+                )
+            except ValueError:
+                r = False  # ring-growth guard: take the Python path
+            if r is not False:
+                if len(r) == 0:
+                    cells.append(np.zeros((0, 2)))
+                    continue
+                xs, ys = r
+                ring = np.empty((len(xs) + 1, 2))
+                ring[:-1, 0] = xs
+                ring[:-1, 1] = ys
+                ring[-1] = ring[0]
+                cells.append(ring)
+                continue
         # nearest-first with an EXACT cutoff: the bisector to a site at
         # distance d lies d/2 away from p — once d/2 exceeds the farthest
         # current cell vertex, no remaining site can cut (output identical
@@ -1250,7 +1320,27 @@ def voronoi_pytess(anchors: np.ndarray) -> list:
     allp_list = allp.tolist()
     box_x = box[:-1, 0].tolist()
     box_y = box[:-1, 1].tolist()
+    allp_x = allp[:, 0].tolist()
+    allp_y = allp[:, 1].tolist()
     for i, (px, py) in enumerate(pts):
+        if _CF is not None and len(box_x) <= 2048 and len(allp_x) <= 65536:
+            px = float(px)
+            py = float(py)
+            try:
+                r = _CF.voronoi_cell(
+                    box_x, box_y, allp_x, allp_y, i, px, py, 0, None
+                )
+            except ValueError:
+                r = False  # ring-growth guard: take the Python path
+            if r is not False:
+                if len(r):
+                    xs, ys = r
+                    ring = np.empty((len(xs) + 1, 2))
+                    ring[:-1, 0] = xs
+                    ring[:-1, 1] = ys
+                    ring[-1] = ring[0]
+                    out.append(((px, py), ring))
+                continue
         # NOTE: deliberately NO nearest-first REORDERING here (unlike
         # voronoi_cells): reordering the clips changes float dust in the
         # cell vertices, and the DJI golden-parity gate is tuned on the

@@ -18,6 +18,69 @@
  */
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
+#include <float.h>
+#include <math.h>
+
+/* ---- correctly-rounded 2-norm: port of CPython 3.11 math.hypot --------
+ * (Modules/mathmodule.c vector_norm, n == 2).  Verified bit-identical to
+ * math.hypot over 6M random finite doubles incl. full-range bit patterns
+ * (and re-asserted by tests/test_planar.py when this module is loaded).
+ * Every operation is exactly specified IEEE double arithmetic: mul, add,
+ * sub, div, sqrt, fma, ldexp — no libm hypot (glibc's differs by 1 ulp on
+ * ~0.04% of inputs). */
+typedef struct { double hi; double lo; } DL;
+
+static inline DL dl_fast_sum(double a, double b) {
+    double x = a + b;
+    double y = (a - x) + b;
+    DL r = {x, y};
+    return r;
+}
+
+static inline DL dl_mul(double x, double y) {
+    double z = x * y;
+    double zz = fma(x, y, -z);
+    DL r = {z, zz};
+    return r;
+}
+
+static double hypot2(double a, double b) {
+    double vec[2];
+    double x, h, scale, csum = 1.0, frac1 = 0.0, frac2 = 0.0;
+    DL pr, sm;
+    int max_e, i;
+    double max;
+    vec[0] = fabs(a);
+    vec[1] = fabs(b);
+    max = vec[0] > vec[1] ? vec[0] : vec[1];
+    if (isinf(max))
+        return max;
+    if (isnan(a) || isnan(b))
+        return NAN;
+    if (max == 0.0)
+        return max;
+    frexp(max, &max_e);
+    if (max_e < -1023)  /* fully subnormal: rescale through DBL_MIN */
+        return hypot2(a / DBL_MIN, b / DBL_MIN) * DBL_MIN;
+    scale = ldexp(1.0, -max_e);
+    for (i = 0; i < 2; i++) {
+        x = vec[i] * scale;
+        pr = dl_mul(x, x);
+        sm = dl_fast_sum(csum, pr.hi);
+        csum = sm.hi;
+        frac1 += pr.lo;
+        frac2 += sm.lo;
+    }
+    h = sqrt(csum - 1.0 + (frac1 + frac2));
+    pr = dl_mul(-h, h);
+    sm = dl_fast_sum(csum, pr.hi);
+    csum = sm.hi;
+    frac1 += pr.lo;
+    frac2 += sm.lo;
+    x = csum - 1.0 + (frac1 + frac2);
+    h += x / (2.0 * h);
+    return h / scale;
+}
 
 /* clip_list(xs, ys, a, b, c, eps, dedupe, px, py)
  *   xs, ys : open-ring coordinates as Python lists of float
@@ -157,9 +220,1039 @@ clip_list(PyObject *self, PyObject *args)
     return out;
 }
 
+/* ---- shared clip core over C arrays ------------------------------------
+ * Mirrors clip_list exactly (same IEEE ops in the same order).
+ * Returns: -1 identity (keep input), 0 wiped, else new length written to
+ * (ox, oy).  Buffers must hold 2*n doubles. */
+static Py_ssize_t
+clip_core(const double *xs, const double *ys, Py_ssize_t n,
+          double a, double b, double c, double eps, int dedupe,
+          double *ox, double *oy)
+{
+    double dbuf[8192];
+    unsigned char ins[8192];
+    Py_ssize_t nin = 0, m = 0, i;
+    if (n == 0)
+        return -1;
+    if (n > 4096)
+        return -3; /* caller falls back to the Python loop */
+    for (i = 0; i < n; i++) {
+        double d = a * xs[i] + b * ys[i] - c;
+        dbuf[i] = d;
+        ins[i] = (d <= eps);
+        nin += ins[i];
+    }
+    if (nin == n)
+        return -1;
+    if (nin == 0)
+        return 0;
+    for (i = 0; i < n; i++) {
+        Py_ssize_t j = i + 1 == n ? 0 : i + 1;
+        if (ins[i]) {
+            ox[m] = xs[i];
+            oy[m] = ys[i];
+            m++;
+        }
+        if (ins[i] != ins[j]) {
+            double dp = dbuf[i];
+            double t = dp / (dp - dbuf[j]);
+            ox[m] = xs[i] + t * (xs[j] - xs[i]);
+            oy[m] = ys[i] + t * (ys[j] - ys[i]);
+            m++;
+        }
+    }
+    if (m < 3)
+        return 0;
+    if (dedupe) {
+        Py_ssize_t k = 1;
+        for (i = 1; i < m; i++) {
+            double dx = ox[i] - ox[k - 1];
+            double dy = oy[i] - oy[k - 1];
+            if (dx > 1e-12 || dx < -1e-12 || dy > 1e-12 || dy < -1e-12) {
+                ox[k] = ox[i];
+                oy[k] = oy[i];
+                k++;
+            }
+        }
+        while (k > 1) {
+            double dx = ox[0] - ox[k - 1];
+            double dy = oy[0] - oy[k - 1];
+            if ((dx <= 1e-12 && dx >= -1e-12) && (dy <= 1e-12 && dy >= -1e-12))
+                k--;
+            else
+                break;
+        }
+        if (k < 3)
+            return 0;
+        m = k;
+    }
+    return m;
+}
+
+static int
+load_list(PyObject *o, double *buf, Py_ssize_t cap, Py_ssize_t *n_out)
+{
+    if (!PyList_CheckExact(o)) {
+        PyErr_SetString(PyExc_TypeError, "expected list");
+        return 0;
+    }
+    Py_ssize_t n = PyList_GET_SIZE(o);
+    if (n > cap) {
+        PyErr_SetString(PyExc_ValueError, "list too large");
+        return 0;
+    }
+    for (Py_ssize_t i = 0; i < n; i++) {
+        buf[i] = PyFloat_AsDouble(PyList_GET_ITEM(o, i));
+        if (PyErr_Occurred())
+            return 0;
+    }
+    *n_out = n;
+    return 1;
+}
+
+static PyObject *
+pack_ring(const double *xs, const double *ys, Py_ssize_t m)
+{
+    PyObject *lx = PyList_New(m), *ly = PyList_New(m), *out;
+    if (!lx || !ly) {
+        Py_XDECREF(lx);
+        Py_XDECREF(ly);
+        return NULL;
+    }
+    for (Py_ssize_t i = 0; i < m; i++) {
+        PyList_SET_ITEM(lx, i, PyFloat_FromDouble(xs[i]));
+        PyList_SET_ITEM(ly, i, PyFloat_FromDouble(ys[i]));
+    }
+    out = PyTuple_New(2);
+    if (!out) {
+        Py_DECREF(lx);
+        Py_DECREF(ly);
+        return NULL;
+    }
+    PyTuple_SET_ITEM(out, 0, lx);
+    PyTuple_SET_ITEM(out, 1, ly);
+    return out;
+}
+
+/* voronoi_cell(base_x, base_y, allx, ally, i, px, py, mode, order)
+ * The whole per-site half-plane clip loop of voronoi_pytess (mode 0:
+ * iterate all j ascending, skip when d2 > 4*r2*(1+1e-6), no dedupe) and
+ * voronoi_cells (mode 1: iterate the given `order`, BREAK when
+ * d2 >= 4*r2, dedupe) — bit-exact with the Python loops.
+ * Returns (xs, ys) open lists, or () when the ring is wiped. */
+static PyObject *
+voronoi_cell(PyObject *self, PyObject *args)
+{
+    PyObject *bx_o, *by_o, *ax_o, *ay_o, *order_o;
+    Py_ssize_t site_i;
+    double px, py;
+    int mode;
+    if (!PyArg_ParseTuple(args, "OOOOnddiO", &bx_o, &by_o, &ax_o, &ay_o,
+                          &site_i, &px, &py, &mode, &order_o))
+        return NULL;
+    static double ax[65536], ay[65536];
+    static double cur_x[8192], cur_y[8192], nxt_x[8192], nxt_y[8192];
+    Py_ssize_t n_base, n_all, n_all2;
+    if (!load_list(bx_o, cur_x, 4096, &n_base))
+        return NULL;
+    if (!load_list(by_o, cur_y, 4096, &n_base))
+        return NULL;
+    if (!load_list(ax_o, ax, 65536, &n_all))
+        return NULL;
+    if (!load_list(ay_o, ay, 65536, &n_all2))
+        return NULL;
+    if (n_all != n_all2) {
+        PyErr_SetString(PyExc_ValueError, "allx/ally length mismatch");
+        return NULL;
+    }
+    Py_ssize_t n_cur = n_base;
+    double r2 = -1.0;
+    for (Py_ssize_t t = 0; t < n_cur; t++) {
+        double dx = cur_x[t] - px, dy = cur_y[t] - py;
+        double d2 = dx * dx + dy * dy;
+        if (d2 > r2)
+            r2 = d2;
+    }
+    double thr = mode == 0 ? 4.0 * r2 * (1.0 + 1e-6) : 4.0 * r2;
+    Py_ssize_t n_iter = mode == 0 ? n_all : PyList_GET_SIZE(order_o);
+    for (Py_ssize_t t = 0; t < n_iter; t++) {
+        Py_ssize_t j;
+        if (mode == 0)
+            j = t;
+        else {
+            j = PyLong_AsSsize_t(PyList_GET_ITEM(order_o, t));
+            if (j == -1 && PyErr_Occurred())
+                return NULL;
+        }
+        double qx = ax[j], qy = ay[j];
+        if (j == site_i || (qx == px && qy == py))
+            continue;
+        double ddx = qx - px, ddy = qy - py;
+        double d2 = ddx * ddx + ddy * ddy;
+        if (mode == 0) {
+            if (d2 > thr)
+                continue;  /* identity clip (pruning proof in planar.py) */
+        } else {
+            if (n_cur > 0 && d2 >= thr)
+                break;  /* nearest-first order: nothing further can cut */
+        }
+        double a = 2 * ddx;
+        double b = 2 * ddy;
+        double c = qx * qx + qy * qy - px * px - py * py;
+        double norm = hypot2(a, b);
+        if (norm < 1e-15)
+            continue;  /* degenerate bisector: identity (see clip_halfplane) */
+        Py_ssize_t m = clip_core(cur_x, cur_y, n_cur, a / norm, b / norm,
+                                 c / norm, 1e-12, mode == 1, nxt_x, nxt_y);
+        if (m == -3) {
+            PyErr_SetString(PyExc_ValueError, "ring too large");
+            return NULL; /* wrapper falls back to the Python loop */
+        }
+        if (m < 0)
+            continue;  /* identity */
+        if (m == 0)
+            return PyTuple_New(0);
+        memcpy(cur_x, nxt_x, m * sizeof(double));
+        memcpy(cur_y, nxt_y, m * sizeof(double));
+        n_cur = m;
+        r2 = -1.0;
+        for (Py_ssize_t u = 0; u < n_cur; u++) {
+            double dx = cur_x[u] - px, dy = cur_y[u] - py;
+            double dd = dx * dx + dy * dy;
+            if (dd > r2)
+                r2 = dd;
+        }
+        thr = mode == 0 ? 4.0 * r2 * (1.0 + 1e-6) : 4.0 * r2;
+    }
+    return pack_ring(cur_x, cur_y, n_cur);
+}
+
+/* clip_convex_small(sx, sy, p_x, p_y, q_x, q_y)
+ * The small-case body of planar.clip_convex: per CONVEX clip edge
+ * (p[i]→q[i]), prefilter against the ORIGINAL subject vertices, then
+ * sequentially clip the current ring (dedupe, eps 1e-12).  Subject is the
+ * OPEN ring; returns (xs, ys) open lists or () when wiped. */
+static PyObject *
+clip_convex_small(PyObject *self, PyObject *args)
+{
+    PyObject *sx_o, *sy_o, *px_o, *py_o, *qx_o, *qy_o;
+    if (!PyArg_ParseTuple(args, "OOOOOO", &sx_o, &sy_o, &px_o, &py_o,
+                          &qx_o, &qy_o))
+        return NULL;
+    static double sx[4096], sy[4096], epx[4096], epy[4096], eqx[4096], eqy[4096];
+    static double cur_x[8192], cur_y[8192], nxt_x[8192], nxt_y[8192];
+    Py_ssize_t ns, ns2, ne, t;
+    if (!load_list(sx_o, sx, 4096, &ns) || !load_list(sy_o, sy, 4096, &ns2))
+        return NULL;
+    if (!load_list(px_o, epx, 4096, &ne) || !load_list(py_o, epy, 4096, &ne)
+        || !load_list(qx_o, eqx, 4096, &ne) || !load_list(qy_o, eqy, 4096, &ne))
+        return NULL;
+    memcpy(cur_x, sx, ns * sizeof(double));
+    memcpy(cur_y, sy, ns * sizeof(double));
+    Py_ssize_t n_cur = ns;
+    int changed = 0;
+    for (Py_ssize_t i = 0; i < ne; i++) {
+        double a = eqy[i] - epy[i];
+        double b = -(eqx[i] - epx[i]);
+        double c = a * epx[i] + b * epy[i];
+        double norm = hypot2(a, b);
+        if (norm < 1e-15)
+            continue;  /* identity by clip_halfplane's zero-edge guard */
+        double an = a / norm, bn = b / norm, cn = c / norm;
+        int cuts = 0;
+        for (t = 0; t < ns; t++) {
+            if (an * sx[t] + bn * sy[t] - cn > 1e-12) {
+                cuts = 1;
+                break;
+            }
+        }
+        if (!cuts)
+            continue;
+        Py_ssize_t m = clip_core(cur_x, cur_y, n_cur, an, bn, cn, 1e-12, 1,
+                                 nxt_x, nxt_y);
+        if (m == -3) {
+            PyErr_SetString(PyExc_ValueError, "ring too large");
+            return NULL; /* wrapper falls back to the Python loop */
+        }
+        if (m < 0)
+            continue;
+        if (m == 0)
+            return PyTuple_New(0);
+        memcpy(cur_x, nxt_x, m * sizeof(double));
+        memcpy(cur_y, nxt_y, m * sizeof(double));
+        n_cur = m;
+        changed = 1;
+    }
+    if (!changed)
+        Py_RETURN_NONE; /* identity: caller returns the subject object */
+    return pack_ring(cur_x, cur_y, n_cur);
+}
+
+/* cluster_verts(xs, ys, eps) -> list of representative indices
+ * Exact port of planar._cluster_vertices: grid buckets keyed by
+ * floor(v/eps), 3x3 neighborhood scan in insertion order, union-find with
+ * path halving, parent[find(i)] = find(j) merge order. */
+static PyObject *
+cluster_verts(PyObject *self, PyObject *args)
+{
+    PyObject *xs_o, *ys_o;
+    double eps;
+    if (!PyArg_ParseTuple(args, "OOd", &xs_o, &ys_o, &eps))
+        return NULL;
+    if (!PyList_CheckExact(xs_o) || !PyList_CheckExact(ys_o)) {
+        PyErr_SetString(PyExc_TypeError, "expected lists");
+        return NULL;
+    }
+    Py_ssize_t n = PyList_GET_SIZE(xs_o);
+    if (n != PyList_GET_SIZE(ys_o)) {
+        PyErr_SetString(PyExc_ValueError, "length mismatch");
+        return NULL;
+    }
+    double *px = PyMem_Malloc(n * sizeof(double));
+    double *py = PyMem_Malloc(n * sizeof(double));
+    long long *kx = PyMem_Malloc(n * sizeof(long long));
+    long long *ky = PyMem_Malloc(n * sizeof(long long));
+    Py_ssize_t *parent = PyMem_Malloc(n * sizeof(Py_ssize_t));
+    Py_ssize_t *nxt = PyMem_Malloc(n * sizeof(Py_ssize_t));
+    /* open-addressing hash of buckets: head/tail chain indices */
+    Py_ssize_t cap = 16;
+    while (cap < 2 * n + 8)
+        cap <<= 1;
+    long long *hkx = PyMem_Malloc(cap * sizeof(long long));
+    long long *hky = PyMem_Malloc(cap * sizeof(long long));
+    Py_ssize_t *hhead = PyMem_Malloc(cap * sizeof(Py_ssize_t));
+    Py_ssize_t *htail = PyMem_Malloc(cap * sizeof(Py_ssize_t));
+    if (!px || !py || !kx || !ky || !parent || !nxt || !hkx || !hky
+        || !hhead || !htail) {
+        PyErr_NoMemory();
+        goto fail;
+    }
+    for (Py_ssize_t i = 0; i < cap; i++)
+        hhead[i] = -2; /* empty slot */
+    for (Py_ssize_t i = 0; i < n; i++) {
+        px[i] = PyFloat_AsDouble(PyList_GET_ITEM(xs_o, i));
+        py[i] = PyFloat_AsDouble(PyList_GET_ITEM(ys_o, i));
+        if (PyErr_Occurred())
+            goto fail;
+        kx[i] = (long long)floor(px[i] / eps);
+        ky[i] = (long long)floor(py[i] / eps);
+        parent[i] = i;
+        nxt[i] = -1;
+    }
+#define SLOT_OF(KX, KY, OUT)                                              \
+    do {                                                                  \
+        unsigned long long hh =                                           \
+            (unsigned long long)(KX) * 0x9E3779B97F4A7C15ULL              \
+            ^ ((unsigned long long)(KY) * 0xC2B2AE3D27D4EB4FULL);         \
+        Py_ssize_t s_ = (Py_ssize_t)(hh & (unsigned long long)(cap - 1)); \
+        while (hhead[s_] != -2 && (hkx[s_] != (KX) || hky[s_] != (KY)))   \
+            s_ = (s_ + 1) & (cap - 1);                                    \
+        (OUT) = s_;                                                       \
+    } while (0)
+
+    for (Py_ssize_t i = 0; i < n; i++) {
+        double xi = px[i], yi = py[i];
+        for (int dx = -1; dx <= 1; dx++) {
+            for (int dy = -1; dy <= 1; dy++) {
+                long long bx = kx[i] + dx, by = ky[i] + dy;
+                Py_ssize_t s;
+                SLOT_OF(bx, by, s);
+                if (hhead[s] == -2)
+                    continue;
+                for (Py_ssize_t j = hhead[s]; j != -1; j = nxt[j]) {
+                    if (fabs(px[j] - xi) <= eps && fabs(py[j] - yi) <= eps) {
+                        Py_ssize_t ri = i, rj = j;
+                        while (parent[ri] != ri) {
+                            parent[ri] = parent[parent[ri]];
+                            ri = parent[ri];
+                        }
+                        while (parent[rj] != rj) {
+                            parent[rj] = parent[parent[rj]];
+                            rj = parent[rj];
+                        }
+                        if (ri != rj)
+                            parent[ri] = rj;
+                    }
+                }
+            }
+        }
+        {
+            Py_ssize_t s;
+            SLOT_OF(kx[i], ky[i], s);
+            if (hhead[s] == -2) {
+                hkx[s] = kx[i];
+                hky[s] = ky[i];
+                hhead[s] = i;
+                htail[s] = i;
+            } else {
+                nxt[htail[s]] = i;
+                htail[s] = i;
+            }
+        }
+    }
+#undef SLOT_OF
+    {
+        PyObject *out = PyList_New(n);
+        if (!out)
+            goto fail;
+        for (Py_ssize_t i = 0; i < n; i++) {
+            Py_ssize_t r = i;
+            while (parent[r] != r) {
+                parent[r] = parent[parent[r]];
+                r = parent[r];
+            }
+            PyList_SET_ITEM(out, i, PyLong_FromSsize_t(r));
+        }
+        PyMem_Free(px); PyMem_Free(py); PyMem_Free(kx); PyMem_Free(ky);
+        PyMem_Free(parent); PyMem_Free(nxt); PyMem_Free(hkx);
+        PyMem_Free(hky); PyMem_Free(hhead); PyMem_Free(htail);
+        return out;
+    }
+fail:
+    PyMem_Free(px); PyMem_Free(py); PyMem_Free(kx); PyMem_Free(ky);
+    PyMem_Free(parent); PyMem_Free(nxt); PyMem_Free(hkx);
+    PyMem_Free(hky); PyMem_Free(hhead); PyMem_Free(htail);
+    return NULL;
+}
+
+/* ---- weak-dual sequence (k-index) -------------------------------------
+ * Port of planar.weak_dual_sequence_len + trace_faces + inner_faces +
+ * weak_dual + face_centroid, bit-exact with the Python implementations:
+ *   - rotation order: stable sort of each node's adjacency (in its given
+ *     insertion order) by atan2(dx, dy) — C atan2 is the same libm call
+ *     math.atan2 wraps (verified 0 mismatches / 5M);
+ *   - face seeds iterate in lexicographic (prev.x, prev.y, cur.x, cur.y)
+ *     order (== Python's sorted(succ));
+ *   - inner faces = stable len-sort minus the last (largest) face;
+ *   - dual adjacency = faces sharing an undirected edge, dual edges
+ *     inserted in ascending (i, then sorted j) order, dual nodes interned
+ *     by exact centroid bits (== nx add_edge identity semantics);
+ *   - face_centroid replicates the sequential shoelace accumulation and
+ *     the |2A| < 0.02 sorted-vertex-mean fallback.
+ */
+
+typedef struct { double x, y; } PTxy;
+
+typedef struct {
+    Py_ssize_t n_nodes;
+    PTxy *pos;
+    Py_ssize_t *adj_off;  /* n_nodes + 1 */
+    Py_ssize_t *adj;      /* m2 entries: neighbor node ids, insertion order */
+    Py_ssize_t m2;
+} Lvl;
+
+static void lvl_free(Lvl *L) {
+    PyMem_Free(L->pos);
+    PyMem_Free(L->adj_off);
+    PyMem_Free(L->adj);
+    L->pos = NULL; L->adj_off = NULL; L->adj = NULL;
+    L->n_nodes = 0; L->m2 = 0;
+}
+
+/* stable merge sort of idx[0..n) by key[idx[i]] ascending (ties keep order) */
+static void
+stable_sort_by_key(Py_ssize_t *idx, Py_ssize_t n, const double *key,
+                   Py_ssize_t *tmp)
+{
+    if (n < 2)
+        return;
+    Py_ssize_t mid = n / 2;
+    stable_sort_by_key(idx, mid, key, tmp);
+    stable_sort_by_key(idx + mid, n - mid, key, tmp);
+    Py_ssize_t i = 0, j = mid, t = 0;
+    while (i < mid && j < n) {
+        if (key[idx[j]] < key[idx[i]])
+            tmp[t++] = idx[j++];
+        else
+            tmp[t++] = idx[i++];
+    }
+    while (i < mid) tmp[t++] = idx[i++];
+    while (j < n) tmp[t++] = idx[j++];
+    memcpy(idx, tmp, n * sizeof(Py_ssize_t));
+}
+
+/* lexicographic 4-key sort for seeds (keys unique, plain merge sort) */
+typedef struct { double k1, k2, k3, k4; Py_ssize_t id; } Seed;
+
+static int seed_lt(const Seed *a, const Seed *b) {
+    if (a->k1 != b->k1) return a->k1 < b->k1;
+    if (a->k2 != b->k2) return a->k2 < b->k2;
+    if (a->k3 != b->k3) return a->k3 < b->k3;
+    return a->k4 < b->k4;
+}
+
+static void
+seed_sort(Seed *s, Py_ssize_t n, Seed *tmp)
+{
+    if (n < 2) return;
+    Py_ssize_t mid = n / 2;
+    seed_sort(s, mid, tmp);
+    seed_sort(s + mid, n - mid, tmp);
+    Py_ssize_t i = 0, j = mid, t = 0;
+    while (i < mid && j < n) {
+        if (seed_lt(&s[j], &s[i])) tmp[t++] = s[j++];
+        else tmp[t++] = s[i++];
+    }
+    while (i < mid) tmp[t++] = s[i++];
+    while (j < n) tmp[t++] = s[j++];
+    memcpy(s, tmp, n * sizeof(Seed));
+}
+
+/* hash map: 128-bit key (bit patterns of two doubles) -> Py_ssize_t value */
+typedef struct {
+    unsigned long long *k1, *k2;
+    Py_ssize_t *val;
+    Py_ssize_t cap;
+} Map2;
+
+static int map2_init(Map2 *m, Py_ssize_t want) {
+    m->cap = 16;
+    while (m->cap < 2 * want + 8) m->cap <<= 1;
+    m->k1 = PyMem_Malloc(m->cap * sizeof(unsigned long long));
+    m->k2 = PyMem_Malloc(m->cap * sizeof(unsigned long long));
+    m->val = PyMem_Malloc(m->cap * sizeof(Py_ssize_t));
+    if (!m->k1 || !m->k2 || !m->val) return 0;
+    for (Py_ssize_t i = 0; i < m->cap; i++) m->val[i] = -1;
+    return 1;
+}
+static void map2_free(Map2 *m) {
+    PyMem_Free(m->k1); PyMem_Free(m->k2); PyMem_Free(m->val);
+}
+static Py_ssize_t map2_slot(Map2 *m, unsigned long long a, unsigned long long b) {
+    unsigned long long h = a * 0x9E3779B97F4A7C15ULL ^ (b * 0xC2B2AE3D27D4EB4FULL);
+    Py_ssize_t s = (Py_ssize_t)(h & (unsigned long long)(m->cap - 1));
+    while (m->val[s] != -1 && (m->k1[s] != a || m->k2[s] != b))
+        s = (s + 1) & (m->cap - 1);
+    return s;
+}
+
+static unsigned long long dbits(double v) {
+    unsigned long long u;
+    memcpy(&u, &v, 8);
+    return u;
+}
+
+/* one weak-dual level: faces of L -> dual level D. Returns:
+ *   0  ok (D filled; n_faces_out set)
+ *  -1  allocation failure (PyErr set)
+ * D->n_nodes == 0 with *n_faces_out == number of inner faces at this level.
+ */
+static int
+dual_level(const Lvl *L, Lvl *D, Py_ssize_t *n_faces_out)
+{
+    Py_ssize_t n = L->n_nodes, m2 = L->m2;
+    Py_ssize_t i, v;
+    D->n_nodes = 0; D->pos = NULL; D->adj_off = NULL; D->adj = NULL; D->m2 = 0;
+    *n_faces_out = 0;
+    if (n < 2 || m2 == 0)
+        return 0;
+    /* rotations: per node, adjacency sorted stably by atan2 */
+    Py_ssize_t *rot = PyMem_Malloc(m2 * sizeof(Py_ssize_t));       /* neighbor ids */
+    Py_ssize_t *de_succ = PyMem_Malloc(m2 * sizeof(Py_ssize_t));   /* directed edge -> next */
+    Py_ssize_t *de_p = PyMem_Malloc(m2 * sizeof(Py_ssize_t));
+    Py_ssize_t *de_c = PyMem_Malloc(m2 * sizeof(Py_ssize_t));
+    double *keybuf = PyMem_Malloc(m2 * sizeof(double));
+    Py_ssize_t *ordbuf = PyMem_Malloc(m2 * sizeof(Py_ssize_t));
+    Py_ssize_t *tmpbuf = PyMem_Malloc(m2 * sizeof(Py_ssize_t));
+    Map2 demap;
+    int demap_ok = map2_init(&demap, m2);
+    if (!rot || !de_succ || !de_p || !de_c || !keybuf || !ordbuf || !tmpbuf
+        || !demap_ok) {
+        PyErr_NoMemory();
+        goto fail0;
+    }
+    /* directed edge id: off[c] + position of p in SORTED rot of c.
+     * First build rot per node; register (p, c) -> id in demap. */
+    for (v = 0; v < n; v++) {
+        Py_ssize_t off = L->adj_off[v], deg = L->adj_off[v + 1] - off;
+        for (i = 0; i < deg; i++) {
+            Py_ssize_t nb = L->adj[off + i];
+            keybuf[i] = atan2(L->pos[nb].x - L->pos[v].x,
+                              L->pos[nb].y - L->pos[v].y);
+            ordbuf[i] = i;
+        }
+        stable_sort_by_key(ordbuf, deg, keybuf, tmpbuf);
+        for (i = 0; i < deg; i++)
+            rot[off + i] = L->adj[off + ordbuf[i]];
+        for (i = 0; i < deg; i++) {
+            Py_ssize_t id = off + i;           /* directed edge (rot[i], v) */
+            de_p[id] = rot[off + i];
+            de_c[id] = v;
+            Py_ssize_t s = map2_slot(&demap, (unsigned long long)de_p[id],
+                                     (unsigned long long)v);
+            demap.k1[s] = (unsigned long long)de_p[id];
+            demap.k2[s] = (unsigned long long)v;
+            demap.val[s] = id;
+        }
+    }
+    /* succ[(nb, v)] = (v, rot_v[pos(nb)+1 mod deg]) */
+    for (v = 0; v < n; v++) {
+        Py_ssize_t off = L->adj_off[v], deg = L->adj_off[v + 1] - off;
+        for (i = 0; i < deg; i++) {
+            Py_ssize_t id = off + i;
+            Py_ssize_t w = rot[off + (i + 1) % deg];
+            Py_ssize_t s = map2_slot(&demap, (unsigned long long)v,
+                                     (unsigned long long)w);
+            de_succ[id] = demap.val[s];  /* id of (v, w) */
+        }
+    }
+    /* seeds in lexicographic coordinate order */
+    Seed *seeds = PyMem_Malloc(m2 * sizeof(Seed));
+    Seed *stmp = PyMem_Malloc(m2 * sizeof(Seed));
+    unsigned char *used = PyMem_Calloc(m2, 1);
+    Py_ssize_t *face_of = PyMem_Malloc(m2 * sizeof(Py_ssize_t));
+    Py_ssize_t *face_start = PyMem_Malloc((m2 + 2) * sizeof(Py_ssize_t));
+    Py_ssize_t *face_seq = PyMem_Malloc(m2 * sizeof(Py_ssize_t));
+    if (!seeds || !stmp || !used || !face_of || !face_start || !face_seq) {
+        PyErr_NoMemory();
+        goto fail1;
+    }
+    for (i = 0; i < m2; i++) {
+        seeds[i].k1 = L->pos[de_p[i]].x;
+        seeds[i].k2 = L->pos[de_p[i]].y;
+        seeds[i].k3 = L->pos[de_c[i]].x;
+        seeds[i].k4 = L->pos[de_c[i]].y;
+        seeds[i].id = i;
+    }
+    seed_sort(seeds, m2, stmp);
+    Py_ssize_t n_faces = 0, seq = 0;
+    for (i = 0; i < m2; i++) {
+        Py_ssize_t seed = seeds[i].id;
+        if (used[seed])
+            continue;
+        face_start[n_faces] = seq;
+        face_seq[seq++] = seed;
+        used[seed] = 1;
+        Py_ssize_t cur = de_succ[seed];
+        Py_ssize_t budget = 2 * m2 + 4;
+        while (cur != seed && budget) {
+            budget--;
+            face_seq[seq++] = cur;
+            used[cur] = 1;
+            cur = de_succ[cur];
+        }
+        n_faces++;
+    }
+    face_start[n_faces] = seq;
+    *n_faces_out = n_faces > 0 ? n_faces - 1 : 0;  /* inner faces */
+    if (n_faces == 0)
+        goto done_empty;
+    /* inner faces: stable len-sort, drop the last (largest) */
+    Py_ssize_t *forder = PyMem_Malloc(n_faces * sizeof(Py_ssize_t));
+    Py_ssize_t *ftmp = PyMem_Malloc(n_faces * sizeof(Py_ssize_t));
+    double *flen = PyMem_Malloc(n_faces * sizeof(double));
+    if (!forder || !ftmp || !flen) {
+        PyErr_NoMemory();
+        PyMem_Free(forder); PyMem_Free(ftmp); PyMem_Free(flen);
+        goto fail1;
+    }
+    for (i = 0; i < n_faces; i++) {
+        forder[i] = i;
+        flen[i] = (double)(face_start[i + 1] - face_start[i]);
+    }
+    stable_sort_by_key(forder, n_faces, flen, ftmp);
+    Py_ssize_t n_inner = n_faces - 1;
+    *n_faces_out = n_inner;
+    if (n_inner == 0) {
+        PyMem_Free(forder); PyMem_Free(ftmp); PyMem_Free(flen);
+        goto done_empty;
+    }
+    /* centroids + undirected edge keys per inner face (in sorted order) */
+    {
+        PTxy *cents = PyMem_Malloc(n_inner * sizeof(PTxy));
+        /* edge key table: key -> first face list (chained) */
+        Py_ssize_t total_keys = 0;
+        for (i = 0; i < n_inner; i++)
+            total_keys += face_start[forder[i] + 1] - face_start[forder[i]];
+        Map2 ekmap;
+        Py_ssize_t *ek_head = PyMem_Malloc((total_keys + 1) * sizeof(Py_ssize_t));
+        Py_ssize_t *ek_tail = PyMem_Malloc((total_keys + 1) * sizeof(Py_ssize_t));
+        Py_ssize_t *mem_face = PyMem_Malloc((total_keys + 1) * sizeof(Py_ssize_t));
+        Py_ssize_t *mem_next = PyMem_Malloc((total_keys + 1) * sizeof(Py_ssize_t));
+        Py_ssize_t n_keys = 0, n_mem = 0;
+        int ek_ok = map2_init(&ekmap, total_keys + 1);
+        /* local per-face dedupe buffer */
+        unsigned long long *fk1 = PyMem_Malloc((total_keys + 1) * sizeof(unsigned long long));
+        unsigned long long *fk2 = PyMem_Malloc((total_keys + 1) * sizeof(unsigned long long));
+        if (!cents || !ek_head || !ek_tail || !mem_face || !mem_next || !ek_ok
+            || !fk1 || !fk2) {
+            PyErr_NoMemory();
+            PyMem_Free(cents); PyMem_Free(ek_head); PyMem_Free(ek_tail);
+            PyMem_Free(mem_face); PyMem_Free(mem_next);
+            if (ek_ok) map2_free(&ekmap);
+            PyMem_Free(fk1); PyMem_Free(fk2);
+            PyMem_Free(forder); PyMem_Free(ftmp); PyMem_Free(flen);
+            goto fail1;
+        }
+        for (i = 0; i < n_inner; i++) {
+            Py_ssize_t f = forder[i];
+            Py_ssize_t s0 = face_start[f], s1 = face_start[f + 1];
+            /* face_centroid: sequential shoelace over directed edges */
+            double acc_a2 = 0.0, acc_cx = 0.0, acc_cy = 0.0;
+            for (Py_ssize_t t = s0; t < s1; t++) {
+                Py_ssize_t de = face_seq[t];
+                double x0 = L->pos[de_p[de]].x, y0 = L->pos[de_p[de]].y;
+                double x1 = L->pos[de_c[de]].x, y1 = L->pos[de_c[de]].y;
+                double cr = x0 * y1 - x1 * y0;
+                acc_a2 += cr;
+                acc_cx += (x0 + x1) * cr;
+                acc_cy += (y0 + y1) * cr;
+            }
+            if (fabs(acc_a2) < 0.02) {
+                /* sorted unique vertex mean (Python: sorted(set(nodes))) */
+                Py_ssize_t nv = 0;
+                Seed *vbuf = PyMem_Malloc(2 * (s1 - s0) * sizeof(Seed));
+                Seed *vtmp = PyMem_Malloc(2 * (s1 - s0) * sizeof(Seed));
+                if (!vbuf || !vtmp) {
+                    PyErr_NoMemory();
+                    PyMem_Free(vbuf); PyMem_Free(vtmp);
+                    PyMem_Free(cents); PyMem_Free(ek_head); PyMem_Free(ek_tail);
+                    PyMem_Free(mem_face); PyMem_Free(mem_next);
+                    map2_free(&ekmap); PyMem_Free(fk1); PyMem_Free(fk2);
+                    PyMem_Free(forder); PyMem_Free(ftmp); PyMem_Free(flen);
+                    goto fail1;
+                }
+                for (Py_ssize_t t = s0; t < s1; t++) {
+                    Py_ssize_t de = face_seq[t];
+                    vbuf[nv].k1 = L->pos[de_p[de]].x;
+                    vbuf[nv].k2 = L->pos[de_p[de]].y;
+                    vbuf[nv].k3 = 0; vbuf[nv].k4 = 0; vbuf[nv].id = 0;
+                    nv++;
+                    vbuf[nv].k1 = L->pos[de_c[de]].x;
+                    vbuf[nv].k2 = L->pos[de_c[de]].y;
+                    vbuf[nv].k3 = 0; vbuf[nv].k4 = 0; vbuf[nv].id = 0;
+                    nv++;
+                }
+                seed_sort(vbuf, nv, vtmp);
+                double sx = 0.0, sy = 0.0;
+                Py_ssize_t cnt = 0;
+                for (Py_ssize_t t = 0; t < nv; t++) {
+                    if (t > 0 && vbuf[t].k1 == vbuf[t - 1].k1
+                        && vbuf[t].k2 == vbuf[t - 1].k2)
+                        continue;
+                    cnt++;
+                }
+                /* sum in sorted-unique order, sequentially (two passes to
+                 * mirror Python's sum over xs then ys) */
+                for (Py_ssize_t t = 0; t < nv; t++) {
+                    if (t > 0 && vbuf[t].k1 == vbuf[t - 1].k1
+                        && vbuf[t].k2 == vbuf[t - 1].k2)
+                        continue;
+                    sx += vbuf[t].k1;
+                }
+                for (Py_ssize_t t = 0; t < nv; t++) {
+                    if (t > 0 && vbuf[t].k1 == vbuf[t - 1].k1
+                        && vbuf[t].k2 == vbuf[t - 1].k2)
+                        continue;
+                    sy += vbuf[t].k2;
+                }
+                cents[i].x = sx / (double)cnt;
+                cents[i].y = sy / (double)cnt;
+                PyMem_Free(vbuf); PyMem_Free(vtmp);
+            } else {
+                double a6 = 3.0 * acc_a2;
+                cents[i].x = acc_cx / a6;
+                cents[i].y = acc_cy / a6;
+            }
+            /* undirected edge keys, deduped within the face */
+            Py_ssize_t fk_n = 0;
+            for (Py_ssize_t t = s0; t < s1; t++) {
+                Py_ssize_t de = face_seq[t];
+                Py_ssize_t a = de_p[de], b = de_c[de];
+                unsigned long long ka, kb;
+                if (a == b) {
+                    ka = (unsigned long long)a;
+                    kb = 0xFFFFFFFFFFFFFFFFULL; /* self marker */
+                } else {
+                    ka = (unsigned long long)(a < b ? a : b);
+                    kb = (unsigned long long)(a < b ? b : a);
+                }
+                int dup = 0;
+                for (Py_ssize_t u = 0; u < fk_n; u++)
+                    if (fk1[u] == ka && fk2[u] == kb) { dup = 1; break; }
+                if (dup)
+                    continue;
+                fk1[fk_n] = ka; fk2[fk_n] = kb; fk_n++;
+                Py_ssize_t s = map2_slot(&ekmap, ka, kb);
+                if (ekmap.val[s] == -1) {
+                    ekmap.k1[s] = ka; ekmap.k2[s] = kb;
+                    ekmap.val[s] = n_keys;
+                    ek_head[n_keys] = -1; ek_tail[n_keys] = -1;
+                    n_keys++;
+                }
+                Py_ssize_t key_id = ekmap.val[s];
+                mem_face[n_mem] = i;
+                mem_next[n_mem] = -1;
+                if (ek_head[key_id] == -1)
+                    ek_head[key_id] = n_mem;
+                else
+                    mem_next[ek_tail[key_id]] = n_mem;
+                ek_tail[key_id] = n_mem;
+                n_mem++;
+            }
+        }
+        /* face pairs (i < j) from shared keys, inserted ascending (i, j):
+         * collect per-i sorted unique js */
+        /* first gather all pairs */
+        Py_ssize_t *pair_i = PyMem_Malloc((n_mem * 4 + 1) * sizeof(Py_ssize_t));
+        Py_ssize_t *pair_j = PyMem_Malloc((n_mem * 4 + 1) * sizeof(Py_ssize_t));
+        Py_ssize_t n_pairs = 0, cap_pairs = n_mem * 4 + 1;
+        int pair_fail = 0;
+        if (!pair_i || !pair_j) { PyErr_NoMemory(); pair_fail = 1; }
+        for (Py_ssize_t kk = 0; !pair_fail && kk < n_keys; kk++) {
+            for (Py_ssize_t ma = ek_head[kk]; ma != -1; ma = mem_next[ma]) {
+                for (Py_ssize_t mb = mem_next[ma]; mb != -1; mb = mem_next[mb]) {
+                    if (n_pairs == cap_pairs) {
+                        cap_pairs *= 2;
+                        Py_ssize_t *ni = PyMem_Realloc(pair_i, cap_pairs * sizeof(Py_ssize_t));
+                        Py_ssize_t *nj = PyMem_Realloc(pair_j, cap_pairs * sizeof(Py_ssize_t));
+                        if (!ni || !nj) { PyErr_NoMemory(); pair_fail = 1; break; }
+                        pair_i = ni; pair_j = nj;
+                    }
+                    pair_i[n_pairs] = mem_face[ma];
+                    pair_j[n_pairs] = mem_face[mb];
+                    n_pairs++;
+                }
+                if (pair_fail) break;
+            }
+        }
+        if (pair_fail) {
+            PyMem_Free(pair_i); PyMem_Free(pair_j);
+            PyMem_Free(cents); PyMem_Free(ek_head); PyMem_Free(ek_tail);
+            PyMem_Free(mem_face); PyMem_Free(mem_next);
+            map2_free(&ekmap); PyMem_Free(fk1); PyMem_Free(fk2);
+            PyMem_Free(forder); PyMem_Free(ftmp); PyMem_Free(flen);
+            goto fail1;
+        }
+        /* sort pairs lexicographically (i, j), dedupe */
+        {
+            Seed *ps = PyMem_Malloc((n_pairs + 1) * sizeof(Seed));
+            Seed *pt = PyMem_Malloc((n_pairs + 1) * sizeof(Seed));
+            if (!ps || !pt) {
+                PyErr_NoMemory();
+                PyMem_Free(ps); PyMem_Free(pt);
+                PyMem_Free(pair_i); PyMem_Free(pair_j);
+                PyMem_Free(cents); PyMem_Free(ek_head); PyMem_Free(ek_tail);
+                PyMem_Free(mem_face); PyMem_Free(mem_next);
+                map2_free(&ekmap); PyMem_Free(fk1); PyMem_Free(fk2);
+                PyMem_Free(forder); PyMem_Free(ftmp); PyMem_Free(flen);
+                goto fail1;
+            }
+            for (Py_ssize_t t = 0; t < n_pairs; t++) {
+                ps[t].k1 = (double)pair_i[t];
+                ps[t].k2 = (double)pair_j[t];
+                ps[t].k3 = ps[t].k4 = 0;
+                ps[t].id = t;
+            }
+            seed_sort(ps, n_pairs, pt);
+            /* build dual graph via add_edge(cents[i], cents[j]) in order */
+            Map2 nmap;
+            PTxy *dpos = PyMem_Malloc((2 * n_pairs + 1) * sizeof(PTxy));
+            Py_ssize_t dn = 0;
+            /* adjacency as linked lists per node */
+            Py_ssize_t *ahead = PyMem_Malloc((2 * n_pairs + 1) * sizeof(Py_ssize_t));
+            Py_ssize_t *atail = PyMem_Malloc((2 * n_pairs + 1) * sizeof(Py_ssize_t));
+            Py_ssize_t *anode = PyMem_Malloc((4 * n_pairs + 1) * sizeof(Py_ssize_t));
+            Py_ssize_t *anext = PyMem_Malloc((4 * n_pairs + 1) * sizeof(Py_ssize_t));
+            Py_ssize_t an = 0;
+            int nm_ok = map2_init(&nmap, 2 * n_pairs + 1);
+            if (!dpos || !ahead || !atail || !anode || !anext || !nm_ok) {
+                PyErr_NoMemory();
+                if (nm_ok) map2_free(&nmap);
+                PyMem_Free(dpos); PyMem_Free(ahead); PyMem_Free(atail);
+                PyMem_Free(anode); PyMem_Free(anext);
+                PyMem_Free(ps); PyMem_Free(pt);
+                PyMem_Free(pair_i); PyMem_Free(pair_j);
+                PyMem_Free(cents); PyMem_Free(ek_head); PyMem_Free(ek_tail);
+                PyMem_Free(mem_face); PyMem_Free(mem_next);
+                map2_free(&ekmap); PyMem_Free(fk1); PyMem_Free(fk2);
+                PyMem_Free(forder); PyMem_Free(ftmp); PyMem_Free(flen);
+                goto fail1;
+            }
+#define INTERN(CX, CY, OUT)                                               \
+            do {                                                          \
+                unsigned long long b1 = dbits(CX), b2 = dbits(CY);        \
+                Py_ssize_t sl = map2_slot(&nmap, b1, b2);                 \
+                if (nmap.val[sl] == -1) {                                 \
+                    nmap.k1[sl] = b1; nmap.k2[sl] = b2;                   \
+                    nmap.val[sl] = dn;                                    \
+                    dpos[dn].x = (CX); dpos[dn].y = (CY);                 \
+                    ahead[dn] = -1; atail[dn] = -1;                       \
+                    dn++;                                                 \
+                }                                                         \
+                (OUT) = nmap.val[sl];                                     \
+            } while (0)
+#define ADJ_ADD(U, W)                                                     \
+            do {                                                          \
+                int found = 0;                                            \
+                for (Py_ssize_t q_ = ahead[U]; q_ != -1; q_ = anext[q_])  \
+                    if (anode[q_] == (W)) { found = 1; break; }           \
+                if (!found) {                                             \
+                    anode[an] = (W); anext[an] = -1;                      \
+                    if (ahead[U] == -1) ahead[U] = an;                    \
+                    else anext[atail[U]] = an;                            \
+                    atail[U] = an;                                        \
+                    an++;                                                 \
+                }                                                         \
+            } while (0)
+            Py_ssize_t last_i = -1, last_j = -1;
+            for (Py_ssize_t t = 0; t < n_pairs; t++) {
+                Py_ssize_t fi = (Py_ssize_t)ps[t].k1;
+                Py_ssize_t fj = (Py_ssize_t)ps[t].k2;
+                if (fi == last_i && fj == last_j)
+                    continue;  /* dedupe repeated pair */
+                last_i = fi; last_j = fj;
+                Py_ssize_t u, w;
+                INTERN(cents[fi].x, cents[fi].y, u);
+                INTERN(cents[fj].x, cents[fj].y, w);
+                ADJ_ADD(u, w);
+                if (w != u)
+                    ADJ_ADD(w, u);
+            }
+#undef INTERN
+#undef ADJ_ADD
+            /* flatten into Lvl D */
+            D->n_nodes = dn;
+            D->pos = PyMem_Malloc((dn + 1) * sizeof(PTxy));
+            D->adj_off = PyMem_Malloc((dn + 2) * sizeof(Py_ssize_t));
+            D->adj = PyMem_Malloc((an + 1) * sizeof(Py_ssize_t));
+            if (!D->pos || !D->adj_off || !D->adj) {
+                PyErr_NoMemory();
+                lvl_free(D);
+                map2_free(&nmap);
+                PyMem_Free(dpos); PyMem_Free(ahead); PyMem_Free(atail);
+                PyMem_Free(anode); PyMem_Free(anext);
+                PyMem_Free(ps); PyMem_Free(pt);
+                PyMem_Free(pair_i); PyMem_Free(pair_j);
+                PyMem_Free(cents); PyMem_Free(ek_head); PyMem_Free(ek_tail);
+                PyMem_Free(mem_face); PyMem_Free(mem_next);
+                map2_free(&ekmap); PyMem_Free(fk1); PyMem_Free(fk2);
+                PyMem_Free(forder); PyMem_Free(ftmp); PyMem_Free(flen);
+                goto fail1;
+            }
+            Py_ssize_t pos_ = 0;
+            for (Py_ssize_t u = 0; u < dn; u++) {
+                D->pos[u] = dpos[u];
+                D->adj_off[u] = pos_;
+                for (Py_ssize_t q = ahead[u]; q != -1; q = anext[q])
+                    D->adj[pos_++] = anode[q];
+            }
+            D->adj_off[dn] = pos_;
+            D->m2 = pos_;
+            map2_free(&nmap);
+            PyMem_Free(dpos); PyMem_Free(ahead); PyMem_Free(atail);
+            PyMem_Free(anode); PyMem_Free(anext);
+            PyMem_Free(ps); PyMem_Free(pt);
+        }
+        PyMem_Free(pair_i); PyMem_Free(pair_j);
+        PyMem_Free(cents); PyMem_Free(ek_head); PyMem_Free(ek_tail);
+        PyMem_Free(mem_face); PyMem_Free(mem_next);
+        map2_free(&ekmap); PyMem_Free(fk1); PyMem_Free(fk2);
+    }
+    PyMem_Free(forder); PyMem_Free(ftmp); PyMem_Free(flen);
+done_empty:
+    PyMem_Free(seeds); PyMem_Free(stmp); PyMem_Free(used);
+    PyMem_Free(face_of); PyMem_Free(face_start); PyMem_Free(face_seq);
+    PyMem_Free(rot); PyMem_Free(de_succ); PyMem_Free(de_p); PyMem_Free(de_c);
+    PyMem_Free(keybuf); PyMem_Free(ordbuf); PyMem_Free(tmpbuf);
+    map2_free(&demap);
+    return 0;
+fail1:
+    PyMem_Free(seeds); PyMem_Free(stmp); PyMem_Free(used);
+    PyMem_Free(face_of); PyMem_Free(face_start); PyMem_Free(face_seq);
+fail0:
+    PyMem_Free(rot); PyMem_Free(de_succ); PyMem_Free(de_p); PyMem_Free(de_c);
+    PyMem_Free(keybuf); PyMem_Free(ordbuf); PyMem_Free(tmpbuf);
+    if (demap_ok) map2_free(&demap);
+    return -1;
+}
+
+/* weak_dual_k(xs, ys, adj_off, adj, max_k) -> int
+ * xs/ys: node coordinates (insertion order); adj_off/adj: neighbor node
+ * indices per node in nx adjacency (insertion) order. */
+static PyObject *
+weak_dual_k(PyObject *self, PyObject *args)
+{
+    PyObject *xs_o, *ys_o, *off_o, *adj_o;
+    Py_ssize_t max_k;
+    if (!PyArg_ParseTuple(args, "OOOOn", &xs_o, &ys_o, &off_o, &adj_o, &max_k))
+        return NULL;
+    if (!PyList_CheckExact(xs_o) || !PyList_CheckExact(ys_o)
+        || !PyList_CheckExact(off_o) || !PyList_CheckExact(adj_o)) {
+        PyErr_SetString(PyExc_TypeError, "expected lists");
+        return NULL;
+    }
+    Lvl L = {0}, D = {0};
+    Py_ssize_t n = PyList_GET_SIZE(xs_o);
+    Py_ssize_t m2 = PyList_GET_SIZE(adj_o);
+    L.n_nodes = n;
+    L.m2 = m2;
+    L.pos = PyMem_Malloc((n + 1) * sizeof(PTxy));
+    L.adj_off = PyMem_Malloc((n + 2) * sizeof(Py_ssize_t));
+    L.adj = PyMem_Malloc((m2 + 1) * sizeof(Py_ssize_t));
+    if (!L.pos || !L.adj_off || !L.adj) {
+        PyErr_NoMemory();
+        lvl_free(&L);
+        return NULL;
+    }
+    for (Py_ssize_t i = 0; i < n; i++) {
+        L.pos[i].x = PyFloat_AsDouble(PyList_GET_ITEM(xs_o, i));
+        L.pos[i].y = PyFloat_AsDouble(PyList_GET_ITEM(ys_o, i));
+        if (PyErr_Occurred()) { lvl_free(&L); return NULL; }
+    }
+    for (Py_ssize_t i = 0; i <= n; i++) {
+        L.adj_off[i] = PyLong_AsSsize_t(PyList_GET_ITEM(off_o, i));
+        if (L.adj_off[i] == -1 && PyErr_Occurred()) { lvl_free(&L); return NULL; }
+    }
+    for (Py_ssize_t i = 0; i < m2; i++) {
+        L.adj[i] = PyLong_AsSsize_t(PyList_GET_ITEM(adj_o, i));
+        if (L.adj[i] == -1 && PyErr_Occurred()) { lvl_free(&L); return NULL; }
+    }
+    Py_ssize_t k = 0;
+    while (L.n_nodes > 0 && k < max_k) {
+        Py_ssize_t n_faces = 0;
+        if (dual_level(&L, &D, &n_faces) < 0) {
+            lvl_free(&L);
+            lvl_free(&D);
+            return NULL;
+        }
+        if (D.n_nodes == 0) {
+            if (n_faces == 1)
+                k += 1;
+            break;
+        }
+        lvl_free(&L);
+        L = D;
+        D.pos = NULL; D.adj_off = NULL; D.adj = NULL; D.n_nodes = 0; D.m2 = 0;
+        k += 1;
+    }
+    lvl_free(&L);
+    lvl_free(&D);
+    return PyLong_FromSsize_t(k);
+}
+
+static PyObject *
+py_hypot2(PyObject *self, PyObject *args)
+{
+    double a, b;
+    if (!PyArg_ParseTuple(args, "dd", &a, &b))
+        return NULL;
+    return PyFloat_FromDouble(hypot2(a, b));
+}
+
 static PyMethodDef Methods[] = {
     {"clip_list", clip_list, METH_VARARGS,
      "Sutherland-Hodgman step over coordinate lists (pre-normalized)"},
+    {"voronoi_cell", voronoi_cell, METH_VARARGS,
+     "per-site half-plane Voronoi clip loop (pytess/cells modes)"},
+    {"clip_convex_small", clip_convex_small, METH_VARARGS,
+     "convex S-H clip of a small subject ring"},
+    {"cluster_verts", cluster_verts, METH_VARARGS,
+     "eps union-find vertex clustering (grid buckets)"},
+    {"weak_dual_k", weak_dual_k, METH_VARARGS,
+     "weak-dual sequence length (k-index) of a planar graph"},
+    {"hypot2", py_hypot2, METH_VARARGS,
+     "CPython 3.11 math.hypot port (2 args) for equivalence testing"},
     {NULL, NULL, 0, NULL},
 };
 

@@ -453,3 +453,51 @@ def test_c_clip_matches_python_bitwise():
             assert want[0] == gxs and want[1] == gys, trial
             exp_r2 = max((x - px) ** 2 + (y - py) ** 2 for x, y in zip(gxs, gys))
             assert gr2 == exp_r2, trial
+
+
+def test_c_weak_dual_k_matches_python():
+    """Round-8: the C weak-dual sequence (planar_fast.weak_dual_k) must
+    equal the Python inner_faces/weak_dual loop on randomized s0 graphs
+    (covers rotation ties, degenerate centroids, multi-level duals)."""
+    import numpy as np
+    import pytest
+
+    from prclz_spark.kernels import planar as P
+
+    if P._CF is None:
+        pytest.skip("planar_fast not built")
+
+    def py_k(g0, max_k=64):
+        g = g0
+        k = 0
+        while g.number_of_nodes() > 0 and k < max_k:
+            faces = P.inner_faces(g)
+            nxt = P.weak_dual(g, faces=faces)
+            if nxt.number_of_nodes() == 0:
+                if len(faces) == 1:
+                    k += 1
+                break
+            g = nxt
+            k += 1
+        return k
+
+    def c_k(g0, max_k=64):
+        nodes = list(g0.nodes())
+        index = {nd: i for i, nd in enumerate(nodes)}
+        xs = [float(nd[0]) for nd in nodes]
+        ys = [float(nd[1]) for nd in nodes]
+        off = [0]
+        adj = []
+        for nd in nodes:
+            for nb in g0.adj[nd]:
+                adj.append(index[nb])
+            off.append(len(adj))
+        return P._CF.weak_dual_k(xs, ys, off, adj, max_k)
+
+    rng = np.random.default_rng(0)
+    ring = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], dtype=float)
+    for trial in range(120):
+        npts = int(rng.integers(2, 30))
+        pts = rng.uniform(0, 1, size=(npts, 2))
+        g0 = P.s0_graph(ring, pts)
+        assert py_k(g0) == c_k(g0), trial
