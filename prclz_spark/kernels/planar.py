@@ -917,6 +917,19 @@ def split_ring_parts(ring: np.ndarray, eps: float = 1e-12) -> list:
     repeated vertices) into simple sub-rings, mirroring the MultiPolygon
     that GEOS `intersection` would return (`_complexity.py:38-42`)."""
     pts = ring[:-1] if len(ring) > 1 and np.array_equal(ring[0], ring[-1]) else ring
+    if _CF is not None and 0 < len(pts) <= 8192:
+        # C port of the dedupe + stack loop extraction (planar_fast.c);
+        # returns ORIGINAL point-index loops so all float work (the area
+        # filter below) stays in numpy — asserted equal to the Python path
+        # in tests/test_planar.py
+        parts = _CF.ring_parts(pts[:, 0].tolist(), pts[:, 1].tolist(), eps)
+        out = []
+        for p_idx in parts:
+            sub = np.empty((len(p_idx) + 1, 2))
+            sub[:-1] = pts[p_idx]
+            sub[-1] = sub[0]
+            out.append(sub)
+        return [r for r in out if _abs_ring_area(r) > 0.0]
     # plain-Python coordinate lists (identical float values and identical
     # key arithmetic — the /eps division is kept verbatim; multiplying by
     # a precomputed reciprocal would change the rounding keys)
@@ -1434,6 +1447,16 @@ def _snap_to_canon(ring: np.ndarray, canon: np.ndarray, eps: float = 1e-9) -> np
     verbatim; our Sutherland-Hodgman re-derives them as edge crossings)."""
     if not len(ring) or not len(canon):
         return ring
+    if _CF is not None and len(ring) <= 8192 and len(canon) <= 65536:
+        rx, ry = _CF.snap_to_canon(
+            np.asarray(ring[:, 0], dtype=np.float64).tolist(),
+            np.asarray(ring[:, 1], dtype=np.float64).tolist(),
+            canon[:, 0].tolist(), canon[:, 1].tolist(), eps,
+        )
+        out = np.empty((len(rx), 2))
+        out[:, 0] = rx
+        out[:, 1] = ry
+        return out
     ring = np.asarray(ring, dtype=np.float64).copy()
     cx, cy = canon[:, 0], canon[:, 1]
     # one (|ring| × |canon|) pass; bool argmax = index of the FIRST match,

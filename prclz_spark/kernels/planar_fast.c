@@ -1231,6 +1231,150 @@ weak_dual_k(PyObject *self, PyObject *args)
     return PyLong_FromSsize_t(k);
 }
 
+/* snap_to_canon(rx, ry, cx, cy, eps) -> (rx', ry') — for each ring vertex,
+ * the FIRST canon vertex within eps (both axes) replaces it; port of
+ * planar._snap_to_canon (comparisons + assignment only, no arithmetic). */
+static PyObject *
+snap_to_canon(PyObject *self, PyObject *args)
+{
+    PyObject *rx_o, *ry_o, *cx_o, *cy_o;
+    double eps;
+    if (!PyArg_ParseTuple(args, "OOOOd", &rx_o, &ry_o, &cx_o, &cy_o, &eps))
+        return NULL;
+    static double rx[8192], ry[8192];
+    static double cx[65536], cy[65536];
+    Py_ssize_t nr, nr2, nc, nc2;
+    if (!load_list(rx_o, rx, 8192, &nr) || !load_list(ry_o, ry, 8192, &nr2)
+        || !load_list(cx_o, cx, 65536, &nc) || !load_list(cy_o, cy, 65536, &nc2))
+        return NULL;
+    for (Py_ssize_t i = 0; i < nr; i++) {
+        for (Py_ssize_t j = 0; j < nc; j++) {
+            if (fabs(cx[j] - rx[i]) <= eps && fabs(cy[j] - ry[i]) <= eps) {
+                rx[i] = cx[j];
+                ry[i] = cy[j];
+                break;
+            }
+        }
+    }
+    return pack_ring(rx, ry, nr);
+}
+
+/* ring_parts(px, py, eps) -> list of node-index lists (sub-ring loops) —
+ * port of planar.split_ring_parts minus the final area filter (which the
+ * Python wrapper keeps, so all float summation stays in numpy).
+ * Input: OPEN ring coordinates. Keys use rint(v/eps) == Python round()
+ * (round-half-even for in-range doubles). */
+static PyObject *
+ring_parts(PyObject *self, PyObject *args)
+{
+    PyObject *px_o, *py_o;
+    double eps;
+    if (!PyArg_ParseTuple(args, "OOd", &px_o, &py_o, &eps))
+        return NULL;
+    static double px[8192], py[8192];
+    Py_ssize_t n0, n02;
+    if (!load_list(px_o, px, 8192, &n0) || !load_list(py_o, py, 8192, &n02))
+        return NULL;
+    /* consecutive-duplicate removal (keep[] indices) */
+    static Py_ssize_t keep[8192];
+    Py_ssize_t nk = 0;
+    if (n0 > 0)
+        keep[nk++] = 0;
+    for (Py_ssize_t i = 1; i < n0; i++) {
+        if (fabs(px[i] - px[keep[nk - 1]]) > eps
+            || fabs(py[i] - py[keep[nk - 1]]) > eps)
+            keep[nk++] = i;
+    }
+    if (nk > 1 && fabs(px[keep[0]] - px[keep[nk - 1]]) <= eps
+        && fabs(py[keep[0]] - py[keep[nk - 1]]) <= eps)
+        nk--;
+    if (nk < 3)
+        return PyList_New(0);
+    static double qx[8192], qy[8192];
+    static long long kx[8192], ky[8192];
+    double d = eps > 1e-300 ? eps : 1e-300;
+    for (Py_ssize_t i = 0; i < nk; i++) {
+        qx[i] = px[keep[i]];
+        qy[i] = py[keep[i]];
+        kx[i] = (long long)rint(qx[i] / d);
+        ky[i] = (long long)rint(qy[i] / d);
+    }
+    /* stack-based loop extraction at repeated (kx, ky) keys.  Entries are
+     * never deleted from the open-addressed map (that would break probe
+     * chains); a map hit is LIVE only if its stack position is still below
+     * sp and that position still points back at this slot — popped entries
+     * fail one of the two and read as absent, exactly like Python's
+     * index.pop(). */
+    Map2 idx;
+    if (!map2_init(&idx, nk + 1))
+        return PyErr_NoMemory();
+    static Py_ssize_t stack_pt[8192];     /* ORIGINAL point index per slot */
+    static Py_ssize_t stack_slot[8192];   /* map slot per stack entry */
+    Py_ssize_t sp = 0;
+    PyObject *out = PyList_New(0);
+    if (!out) {
+        map2_free(&idx);
+        return NULL;
+    }
+    for (Py_ssize_t i = 0; i <= nk; i++) {
+        Py_ssize_t ii = i % nk;
+        unsigned long long a = (unsigned long long)kx[ii];
+        unsigned long long b = (unsigned long long)ky[ii];
+        Py_ssize_t s = map2_slot(&idx, a, b);
+        int live = idx.val[s] != -1 && idx.val[s] < sp
+                   && stack_slot[idx.val[s]] == s;
+        if (live) {
+            Py_ssize_t j = idx.val[s];
+            Py_ssize_t looplen = sp - j;
+            if (looplen >= 3) {
+                PyObject *sub = PyList_New(looplen);
+                if (!sub)
+                    goto fail;
+                for (Py_ssize_t t = 0; t < looplen; t++)
+                    PyList_SET_ITEM(sub, t,
+                                    PyLong_FromSsize_t(stack_pt[j + t]));
+                if (PyList_Append(out, sub) < 0) {
+                    Py_DECREF(sub);
+                    goto fail;
+                }
+                Py_DECREF(sub);
+            }
+            sp = j;
+            if (i < nk) {
+                idx.val[s] = sp;
+                stack_pt[sp] = keep[ii];
+                stack_slot[sp] = s;
+                sp++;
+            }
+        } else if (i < nk) {
+            idx.k1[s] = a;
+            idx.k2[s] = b;
+            idx.val[s] = sp;
+            stack_pt[sp] = keep[ii];
+            stack_slot[sp] = s;
+            sp++;
+        }
+    }
+    if (sp >= 3) {
+        PyObject *sub = PyList_New(sp);
+        if (!sub)
+            goto fail;
+        for (Py_ssize_t t = 0; t < sp; t++)
+            PyList_SET_ITEM(sub, t, PyLong_FromSsize_t(stack_pt[t]));
+        if (PyList_Append(out, sub) < 0) {
+            Py_DECREF(sub);
+            goto fail;
+        }
+        Py_DECREF(sub);
+    }
+    map2_free(&idx);
+    return out;
+fail:
+    map2_free(&idx);
+    Py_DECREF(out);
+    return NULL;
+}
+
 static PyObject *
 py_hypot2(PyObject *self, PyObject *args)
 {
@@ -1251,6 +1395,10 @@ static PyMethodDef Methods[] = {
      "eps union-find vertex clustering (grid buckets)"},
     {"weak_dual_k", weak_dual_k, METH_VARARGS,
      "weak-dual sequence length (k-index) of a planar graph"},
+    {"snap_to_canon", snap_to_canon, METH_VARARGS,
+     "snap ring vertices to the first eps-close canonical vertex"},
+    {"ring_parts", ring_parts, METH_VARARGS,
+     "split a degenerate ring into sub-loops at repeated vertices"},
     {"hypot2", py_hypot2, METH_VARARGS,
      "CPython 3.11 math.hypot port (2 args) for equivalence testing"},
     {NULL, NULL, 0, NULL},
