@@ -139,6 +139,21 @@ def ann_lsh_topk(
 # --- IVF tier ---------------------------------------------------------------
 
 
+def _assign_nearest(X: np.ndarray, cents: np.ndarray, chunk: int = 32) -> np.ndarray:
+    """argmin_c ||x - cents[c]||² per row — elementwise identical to
+    ``((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1).argmin(1)`` (same
+    IEEE ops per row; per-row reductions are independent of chunking),
+    evaluated in row chunks so the temporary stays cache-sized. The
+    unchunked cube is also a SCALE bug: at the 100k-row training sample
+    with √N-auto lists it is tens of GB on the driver (round-8)."""
+    n = len(X)
+    out = np.empty(n, dtype=np.int64)
+    for i in range(0, n, chunk):
+        d2 = ((X[i : i + chunk, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        out[i : i + chunk] = d2.argmin(axis=1)
+    return out
+
+
 def _sample_vectors(
     corpus: DataFrame, vec_col: str, seed: int, limit: int = 100_000
 ) -> np.ndarray:
@@ -183,8 +198,7 @@ def train_centroids(
     rng = np.random.default_rng(seed)
     cents = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)]
     for _ in range(iters):
-        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
-        a = d2.argmin(axis=1)
+        a = _assign_nearest(X, cents)
         for c in range(len(cents)):
             m = a == c
             if m.any():
@@ -317,8 +331,7 @@ def train_pq(
         k = min(n_codes, len(Xs))
         cents = Xs[rng.choice(len(Xs), size=k, replace=False)]
         for _ in range(iters):
-            d2 = ((Xs[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
-            a = d2.argmin(axis=1)
+            a = _assign_nearest(Xs, cents)
             for c in range(k):
                 mask = a == c
                 if mask.any():
