@@ -162,7 +162,13 @@ def geo_world(spark, nx: int, ny: int, per_cell: int = 6, gx: int = 2, gy: int =
     if distributed_buildings is None:
         distributed_buildings = n_cells * per_cell > 20_000
     if distributed_buildings:
-        parts = min(256, max(8, n_cells // 64))
+        # partitions sized to ~20k rows (a few MB of WKB) instead of the
+        # former n_cells/64 (1.5k rows each at the bench world): tiny
+        # partitions multiply per-task scheduling + Python-worker
+        # round-trips through every downstream stage (guide §6 small-files
+        # argument, applied to in-memory partitioning); still adaptive in
+        # the row count and capped for huge worlds
+        parts = min(256, max(8, (n_cells * per_cell) // 20_000))
         bldgs = spark.range(0, n_cells, 1, parts).mapInPandas(
             _buildings_for_cells(nx, ny, per_cell), S.BUILDINGS
         )
