@@ -146,7 +146,13 @@ def _buildings_for_cells(nx: int, ny: int, per_cell: int):
 
 
 def to_spark(spark, pdf: pd.DataFrame, schema):
-    return spark.createDataFrame(pdf, schema=schema)
+    """Driver-side dim → DataFrame with row-count-sized partitioning: a
+    256-row dim scattered over default parallelism (32 at local[32]) makes
+    every Python phase that touches it pay one worker round-trip per
+    near-empty task (same ~20k-rows-per-partition rule as the distributed
+    buildings path; ≥1 partition, and never more than the default)."""
+    want = max(1, (len(pdf) + 19_999) // 20_000)
+    return spark.createDataFrame(pdf, schema=schema).coalesce(want)
 
 
 def geo_world(spark, nx: int, ny: int, per_cell: int = 6, gx: int = 2, gy: int = 2, seed: int = 42,
