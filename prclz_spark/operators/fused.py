@@ -103,9 +103,16 @@ def fused_blocks_k(
     contract as ``extract_blocks``); by default those rows are filtered out,
     ``keep_status=True`` returns them so callers can feed
     ``Ledger.record_errors`` and retry on resume."""
-    b0 = gadm.select("gadm", F.col("geometry").alias("region_geom")).withColumn(
-        "cells", st_cells(res)(F.col("region_geom"))
-    )
+    # The region-cover pUDF is CPU-heavy per ROW (~ms each), so its
+    # parallelism must not be inherited from however the caller partitioned
+    # a small dim table (a 1-partition 256-row gadm would serialize ~0.6 s
+    # of cover work into one task before the broadcast). Repartition to the
+    # session's shuffle parallelism — a few hundred rows of exchange,
+    # cluster-sized at any scale (round-8, guide §2).
+    n_par = int(gadm.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    b0 = gadm.select("gadm", F.col("geometry").alias("region_geom")).repartition(
+        n_par
+    ).withColumn("cells", st_cells(res)(F.col("region_geom")))
     # a region whose geometry doesn't even parse (st_cells → NULL) would be
     # silently dropped by the explode — surface it as an error row instead
     # (same contract as extract_blocks' bad_regions)
