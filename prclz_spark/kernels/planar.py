@@ -207,32 +207,46 @@ def node_segments(segs: np.ndarray, snap_grid: float | None = None) -> list:
         cut_j = ok & (uu > 1e-12) & (uu < 1 - 1e-12)
         idx_list += [i_arr[cut_i], j_arr[cut_j]]
         t_list += [tt[cut_i], uu[cut_j]]
-        col_i: list = []
-        col_t: list = []
         # collinear overlap: cut at each other's endpoints projected.
         # BOTH segments must be non-degenerate: a zero-length segment has
         # d = 0, so denom == 0 and cross == 0 hold against EVERY segment and
         # the projection would phantom-cut segments it is nowhere near (the
         # same float-dust family as geom.point_in_ring's zero-length guard).
-        for idx in np.nonzero((denom == 0) & (cross_pr == 0))[0]:
-            i, j = int(i_arr[idx]), int(j_arr[idx])
-            li2 = float(d[i] @ d[i])
-            lj2 = float(d[j] @ d[j])
-            if li2 <= 0 or lj2 <= 0:
-                continue
-            for pt in (p[j], q[j]):
-                ti = float((pt - p[i]) @ d[i]) / li2
-                if 1e-12 < ti < 1 - 1e-12:
-                    col_i.append(i)
-                    col_t.append(ti)
-            for pt in (p[i], q[i]):
-                uj = float((pt - p[j]) @ d[j]) / lj2
-                if 1e-12 < uj < 1 - 1e-12:
-                    col_i.append(j)
-                    col_t.append(uj)
-        if col_i:
-            idx_list.append(np.asarray(col_i, dtype=np.int64))
-            t_list.append(np.asarray(col_t))
+        # Vectorized (round-8): the four endpoint projections run as
+        # elementwise numpy over all collinear pairs at once — the same
+        # IEEE mul/add/div per projection as the former per-pair loop, and
+        # the EMISSION ORDER is immaterial because the assembly below
+        # lexsorts by (segment, t) and dedupes exact-equal cut params.
+        col = np.nonzero((denom == 0) & (cross_pr == 0))[0]
+        if len(col):
+            i_c = i_arr[col]
+            j_c = j_arr[col]
+            di_ = d[i_c]
+            dj_ = d[j_c]
+            li2 = di_[:, 0] * di_[:, 0] + di_[:, 1] * di_[:, 1]
+            lj2 = dj_[:, 0] * dj_[:, 0] + dj_[:, 1] * dj_[:, 1]
+            nz_ = (li2 > 0) & (lj2 > 0)
+            col_parts_i: list = []
+            col_parts_t: list = []
+            with np.errstate(divide="ignore", invalid="ignore"):
+                for pt, seg_idx, dd, l2 in (
+                    (p[j_c], i_c, di_, li2),
+                    (q[j_c], i_c, di_, li2),
+                    (p[i_c], j_c, dj_, lj2),
+                    (q[i_c], j_c, dj_, lj2),
+                ):
+                    base_pt = p[seg_idx]
+                    t_ = (
+                        (pt[:, 0] - base_pt[:, 0]) * dd[:, 0]
+                        + (pt[:, 1] - base_pt[:, 1]) * dd[:, 1]
+                    ) / l2
+                    ok_ = nz_ & (t_ > 1e-12) & (t_ < 1 - 1e-12)
+                    if ok_.any():
+                        col_parts_i.append(seg_idx[ok_])
+                        col_parts_t.append(t_[ok_])
+            if col_parts_i:
+                idx_list.append(np.concatenate(col_parts_i))
+                t_list.append(np.concatenate(col_parts_t))
     # vectorized piece assembly: sort (segment, t), dedupe exact-equal cut
     # params, emit one piece per consecutive pair within a segment
     all_i = np.concatenate(idx_list)
