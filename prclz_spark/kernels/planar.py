@@ -178,9 +178,16 @@ def node_segments(segs: np.ndarray, snap_grid: float | None = None) -> list:
     so sub-pixel T-junction dust becomes exact shared vertices."""
     if snap_grid is not None:
         return snap_round(segs, snap_grid)
+    return list(map(tuple, _node_pieces(segs)))
+
+
+def _node_pieces(segs: np.ndarray) -> np.ndarray:
+    """node_segments minus the tuple materialization: returns the noded,
+    QUANTUM-rounded, zero-length-filtered pieces as an (n, 4) float array
+    (identical values — node_segments wraps this)."""
     m = len(segs)
     if m == 0:
-        return []
+        return np.zeros((0, 4))
     p = segs[:, :2]
     q = segs[:, 2:]
     d = q - p
@@ -261,7 +268,7 @@ def node_segments(segs: np.ndarray, snap_grid: float | None = None) -> list:
     pt1 = p[iis] + st[1:][same][:, None] * d[iis]
     allc = np.round(np.hstack([pt0, pt1]) / QUANTUM) * QUANTUM
     nz = (allc[:, 0] != allc[:, 2]) | (allc[:, 1] != allc[:, 3])
-    return list(map(tuple, allc[nz]))
+    return allc[nz]
 
 
 def snap_round(pieces, grid: float, max_iter: int = 6) -> list:
@@ -1486,23 +1493,15 @@ def _snap_to_canon(ring: np.ndarray, canon: np.ndarray, eps: float = 1e-9) -> np
     return ring
 
 
-def s0_graph(block_ring: np.ndarray, centroids: np.ndarray, boundary_set=None) -> nx.Graph:
-    """The s0 approximation (`_complexity.py:16-45`): Voronoi cells of the
-    building centroids (pytess dummy-site framing), each intersected with
-    the block, fed to a planar graph with the reference's EXACT-identity
-    node dedup. Anchors on the block boundary and degenerate (≤2-vertex)
-    cells are dropped, as in the reference.
-
-    Node-sharing model (matches GEOS+pytess, see _canonicalize_cells):
-    triple points are shared verbatim across cells; per-cell clip crossing
-    points stay distinct (GEOS computes them per intersection call from
-    opposite-oriented edges — they differ in dust there too, and the
-    weak dual's shared-EDGE adjacency never unifies them)."""
+def _s0_rings(block_ring: np.ndarray, centroids: np.ndarray, boundary_set=None) -> list:
+    """The kept cell∩block rings of s0_graph (everything before the union/
+    arrangement step) — the shared reference for both s0_graph and the
+    fused-C equivalence fuzz (tests/test_planar_fused.py)."""
     centroids = np.asarray(centroids, dtype=np.float64).reshape(-1, 2)
     if boundary_set is None:
         boundary_set = {(float(x), float(y)) for x, y in block_ring}
     if _pytess_pair_degenerate(centroids):
-        return nx.Graph()
+        return []
     rings = []
     from .. import geom as _G
 
@@ -1528,6 +1527,22 @@ def s0_graph(block_ring: np.ndarray, centroids: np.ndarray, boundary_set=None) -
                 if _G.point_in_ring(cx, cy, part):
                     rings.append(part)
                     break
+    return rings
+
+
+def s0_graph(block_ring: np.ndarray, centroids: np.ndarray, boundary_set=None) -> nx.Graph:
+    """The s0 approximation (`_complexity.py:16-45`): Voronoi cells of the
+    building centroids (pytess dummy-site framing), each intersected with
+    the block, fed to a planar graph with the reference's EXACT-identity
+    node dedup. Anchors on the block boundary and degenerate (≤2-vertex)
+    cells are dropped, as in the reference.
+
+    Node-sharing model (matches GEOS+pytess, see _canonicalize_cells):
+    triple points are shared verbatim across cells; per-cell clip crossing
+    points stay distinct (GEOS computes them per intersection call from
+    opposite-oriented edges — they differ in dust there too, and the
+    weak dual's shared-EDGE adjacency never unifies them)."""
+    rings = _s0_rings(block_ring, centroids, boundary_set)
     if S0_CFG.get("arrangement"):
         # single noded arrangement over every kept ring: shared boundaries
         # are computed once (QUANTUM snap merges the two cells' dust-apart
@@ -1670,6 +1685,41 @@ def graph_from_rings_exact(rings) -> nx.Graph:
 
 def block_complexity(block_ring: np.ndarray, centroids: np.ndarray) -> int:
     """K3+K6-K10 composed: k-complexity of one block (`_complexity.py:57-97`)."""
+    if (
+        _CF is not None
+        and S0_CFG.get("backend") != "fortune"
+        and S0_CFG["dummies"] == "corner"
+        and S0_CFG["canon"]
+        and S0_CFG["snap"]
+        and S0_CFG.get("arrangement")
+        and not S0_CFG.get("selfloops", False)
+    ):
+        # fused per-block C path (round 8): the whole voronoi → canonicalize
+        # → clip → snap → split → anchor-select sequence in ONE call, the
+        # noding in numpy (_node_pieces), the graph build + weak-dual loop
+        # in a second call — bit-identical to the Python path below
+        # (tests/test_planar_fused.py fuzzes segs, k, and the end-to-end
+        # block values; the DJI golden replay is unchanged).
+        br = np.asarray(block_ring, dtype=np.float64)
+        cents = np.asarray(centroids, dtype=np.float64).reshape(-1, 2)
+        pa = S0_CFG.get("pair_aspect")
+        try:
+            seg_bytes = _CF.s0_segs(
+                br[:, 0].tolist(), br[:, 1].tolist(),
+                cents[:, 0].tolist(), cents[:, 1].tolist(),
+                -1.0 if pa is None else float(pa), SNAP, 1e-9,
+            )
+        except ValueError:
+            pass  # capacity guard tripped: take the Python path
+        else:
+            if not seg_bytes:
+                return 0
+            pieces = _node_pieces(np.frombuffer(seg_bytes).reshape(-1, 4))
+            if not len(pieces):
+                return 0
+            return _CF.weak_dual_k_segs(
+                np.ascontiguousarray(pieces).tobytes(), 64
+            )
     if S0_CFG.get("backend") == "fortune":
         g0 = s0_graph_fortune(block_ring, centroids)
     else:

@@ -82,6 +82,88 @@ static double hypot2(double a, double b) {
     return h / scale;
 }
 
+/* ---- numpy pairwise summation: scalar port of pairwise_sum_DOUBLE -----
+ * (numpy/core/src/umath/loops.c.src: blocksize 128, 8 accumulators, halves
+ * rounded down to a multiple of 8).  Verified bit-identical to np.sum over
+ * contiguous float64 for every length <= 8192 on this numpy build,
+ * including cancellation / mixed-magnitude / signed-zero / denormal fuzz
+ * (tests/test_planar_fused.py); numpy switches to a SIMD variant ONLY
+ * above 8192 elements, so every caller here stays under the existing 8192
+ * ring caps.  Must not be compiled with -ffast-math (no reassociation). */
+static double pw_sum(const double *a, Py_ssize_t n)
+{
+    if (n < 8) {
+        double res = 0.0;
+        for (Py_ssize_t i = 0; i < n; i++)
+            res += a[i];
+        return res;
+    }
+    else if (n <= 128) {
+        double r0 = a[0], r1 = a[1], r2 = a[2], r3 = a[3];
+        double r4 = a[4], r5 = a[5], r6 = a[6], r7 = a[7];
+        Py_ssize_t i;
+        for (i = 8; i < n - (n % 8); i += 8) {
+            r0 += a[i + 0]; r1 += a[i + 1]; r2 += a[i + 2]; r3 += a[i + 3];
+            r4 += a[i + 4]; r5 += a[i + 5]; r6 += a[i + 6]; r7 += a[i + 7];
+        }
+        double res = ((r0 + r1) + (r2 + r3)) + ((r4 + r5) + (r6 + r7));
+        for (; i < n; i++)
+            res += a[i];
+        return res;
+    }
+    else {
+        Py_ssize_t n2 = n / 2;
+        n2 -= n2 % 8;
+        return pw_sum(a, n2) + pw_sum(a + n2, n - n2);
+    }
+}
+
+/* ---- geom.point_in_ring port (ray cast, boundary inside) --------------
+ * rx/ry: CLOSED ring rows (n rows incl. the duplicate last).  Elementwise
+ * identical to the numpy expressions (div-by-zero inf and NaN comparisons
+ * behave the same; numpy evaluates xint for every edge but only uses it
+ * where cond holds, and cond true implies y0 != y1, so guarding the
+ * division changes nothing). */
+static int pt_in_ring_c(double px, double py,
+                        const double *rx, const double *ry, Py_ssize_t n)
+{
+    Py_ssize_t m = n - 1, i;
+    for (i = 0; i < m; i++) {
+        double x0 = rx[i], y0 = ry[i], x1 = rx[i + 1], y1 = ry[i + 1];
+        double dx = x1 - x0, dy = y1 - y0;
+        double cross = (px - x0) * dy - (py - y0) * dx;
+        double dot = (px - x0) * dx + (py - y0) * dy;
+        double l2 = dx * dx + dy * dy;
+        int on = (fabs(cross) < 1e-12) && (dot >= -1e-12)
+                 && (dot <= l2 + 1e-12);
+        if (on && !(l2 >= 1e-24))
+            on = (fabs(px - x0) < 1e-12) && (fabs(py - y0) < 1e-12);
+        if (on)
+            return 1;
+    }
+    Py_ssize_t cnt = 0;
+    for (i = 0; i < m; i++) {
+        double x0 = rx[i], y0 = ry[i], x1 = rx[i + 1], y1 = ry[i + 1];
+        if ((y0 > py) != (y1 > py)) {
+            double xint = x0 + (py - y0) * (x1 - x0) / (y1 - y0);
+            if (px < xint)
+                cnt++;
+        }
+    }
+    return (int)(cnt & 1);
+}
+
+/* value-equality bits: Python float tuples / np.unique treat -0.0 == 0.0,
+ * so hash keys normalize the zero sign before taking bit patterns */
+static unsigned long long vbits(double v)
+{
+    unsigned long long u;
+    if (v == 0.0)
+        v = 0.0;
+    memcpy(&u, &v, 8);
+    return u;
+}
+
 /* clip_list(xs, ys, a, b, c, eps, dedupe, px, py)
  *   xs, ys : open-ring coordinates as Python lists of float
  *   a,b,c  : PRE-NORMALIZED half-plane (keep a*x+b*y <= c)
@@ -334,6 +416,84 @@ pack_ring(const double *xs, const double *ys, Py_ssize_t m)
     return out;
 }
 
+/* per-site half-plane Voronoi clip loop over C arrays — the shared core of
+ * voronoi_cell and s0_segs.  cur_x/cur_y (working ring, may alias the
+ * initial base copy) and nxt_x/nxt_y are caller scratch of >= 8192 doubles;
+ * the base ring must already be copied into cur before the call when they
+ * alias (the Python-facing wrapper loads it there directly).
+ * Returns the final OPEN ring length (0 = wiped), -3 ring-too-large,
+ * -4 Python error from the order list (mode 1 only, PyErr set). */
+static Py_ssize_t
+vor_cell_core(const double *base_x, const double *base_y, Py_ssize_t n_base,
+              const double *ax, const double *ay, Py_ssize_t n_all,
+              Py_ssize_t site_i, double px, double py, int mode,
+              PyObject *order_o,
+              double *cur_x, double *cur_y, double *nxt_x, double *nxt_y)
+{
+    if (cur_x != base_x) {
+        memcpy(cur_x, base_x, n_base * sizeof(double));
+        memcpy(cur_y, base_y, n_base * sizeof(double));
+    }
+    Py_ssize_t n_cur = n_base;
+    double r2 = -1.0;
+    for (Py_ssize_t t = 0; t < n_cur; t++) {
+        double dx = cur_x[t] - px, dy = cur_y[t] - py;
+        double d2 = dx * dx + dy * dy;
+        if (d2 > r2)
+            r2 = d2;
+    }
+    double thr = mode == 0 ? 4.0 * r2 * (1.0 + 1e-6) : 4.0 * r2;
+    Py_ssize_t n_iter = mode == 0 ? n_all : PyList_GET_SIZE(order_o);
+    for (Py_ssize_t t = 0; t < n_iter; t++) {
+        Py_ssize_t j;
+        if (mode == 0)
+            j = t;
+        else {
+            j = PyLong_AsSsize_t(PyList_GET_ITEM(order_o, t));
+            if (j == -1 && PyErr_Occurred())
+                return -4;
+        }
+        double qx = ax[j], qy = ay[j];
+        if (j == site_i || (qx == px && qy == py))
+            continue;
+        double ddx = qx - px, ddy = qy - py;
+        double d2 = ddx * ddx + ddy * ddy;
+        if (mode == 0) {
+            if (d2 > thr)
+                continue;  /* identity clip (pruning proof in planar.py) */
+        } else {
+            if (n_cur > 0 && d2 >= thr)
+                break;  /* nearest-first order: nothing further can cut */
+        }
+        double a = 2 * ddx;
+        double b = 2 * ddy;
+        double c = qx * qx + qy * qy - px * px - py * py;
+        double norm = hypot2(a, b);
+        if (norm < 1e-15)
+            continue;  /* degenerate bisector: identity (see clip_halfplane) */
+        Py_ssize_t m = clip_core(cur_x, cur_y, n_cur, a / norm, b / norm,
+                                 c / norm, 1e-12, mode == 1, nxt_x, nxt_y);
+        if (m == -3)
+            return -3;
+        if (m < 0)
+            continue;  /* identity */
+        if (m == 0)
+            return 0;
+        memcpy(cur_x, nxt_x, m * sizeof(double));
+        memcpy(cur_y, nxt_y, m * sizeof(double));
+        n_cur = m;
+        r2 = -1.0;
+        for (Py_ssize_t u = 0; u < n_cur; u++) {
+            double dx = cur_x[u] - px, dy = cur_y[u] - py;
+            double dd = dx * dx + dy * dy;
+            if (dd > r2)
+                r2 = dd;
+        }
+        thr = mode == 0 ? 4.0 * r2 * (1.0 + 1e-6) : 4.0 * r2;
+    }
+    return n_cur;
+}
+
 /* voronoi_cell(base_x, base_y, allx, ally, i, px, py, mode, order)
  * The whole per-site half-plane clip loop of voronoi_pytess (mode 0:
  * iterate all j ascending, skip when d2 > 4*r2*(1+1e-6), no dedupe) and
@@ -365,66 +525,18 @@ voronoi_cell(PyObject *self, PyObject *args)
         PyErr_SetString(PyExc_ValueError, "allx/ally length mismatch");
         return NULL;
     }
-    Py_ssize_t n_cur = n_base;
-    double r2 = -1.0;
-    for (Py_ssize_t t = 0; t < n_cur; t++) {
-        double dx = cur_x[t] - px, dy = cur_y[t] - py;
-        double d2 = dx * dx + dy * dy;
-        if (d2 > r2)
-            r2 = d2;
+    Py_ssize_t m = vor_cell_core(cur_x, cur_y, n_base, ax, ay, n_all,
+                                 site_i, px, py, mode, order_o,
+                                 cur_x, cur_y, nxt_x, nxt_y);
+    if (m == -3) {
+        PyErr_SetString(PyExc_ValueError, "ring too large");
+        return NULL; /* wrapper falls back to the Python loop */
     }
-    double thr = mode == 0 ? 4.0 * r2 * (1.0 + 1e-6) : 4.0 * r2;
-    Py_ssize_t n_iter = mode == 0 ? n_all : PyList_GET_SIZE(order_o);
-    for (Py_ssize_t t = 0; t < n_iter; t++) {
-        Py_ssize_t j;
-        if (mode == 0)
-            j = t;
-        else {
-            j = PyLong_AsSsize_t(PyList_GET_ITEM(order_o, t));
-            if (j == -1 && PyErr_Occurred())
-                return NULL;
-        }
-        double qx = ax[j], qy = ay[j];
-        if (j == site_i || (qx == px && qy == py))
-            continue;
-        double ddx = qx - px, ddy = qy - py;
-        double d2 = ddx * ddx + ddy * ddy;
-        if (mode == 0) {
-            if (d2 > thr)
-                continue;  /* identity clip (pruning proof in planar.py) */
-        } else {
-            if (n_cur > 0 && d2 >= thr)
-                break;  /* nearest-first order: nothing further can cut */
-        }
-        double a = 2 * ddx;
-        double b = 2 * ddy;
-        double c = qx * qx + qy * qy - px * px - py * py;
-        double norm = hypot2(a, b);
-        if (norm < 1e-15)
-            continue;  /* degenerate bisector: identity (see clip_halfplane) */
-        Py_ssize_t m = clip_core(cur_x, cur_y, n_cur, a / norm, b / norm,
-                                 c / norm, 1e-12, mode == 1, nxt_x, nxt_y);
-        if (m == -3) {
-            PyErr_SetString(PyExc_ValueError, "ring too large");
-            return NULL; /* wrapper falls back to the Python loop */
-        }
-        if (m < 0)
-            continue;  /* identity */
-        if (m == 0)
-            return PyTuple_New(0);
-        memcpy(cur_x, nxt_x, m * sizeof(double));
-        memcpy(cur_y, nxt_y, m * sizeof(double));
-        n_cur = m;
-        r2 = -1.0;
-        for (Py_ssize_t u = 0; u < n_cur; u++) {
-            double dx = cur_x[u] - px, dy = cur_y[u] - py;
-            double dd = dx * dx + dy * dy;
-            if (dd > r2)
-                r2 = dd;
-        }
-        thr = mode == 0 ? 4.0 * r2 * (1.0 + 1e-6) : 4.0 * r2;
-    }
-    return pack_ring(cur_x, cur_y, n_cur);
+    if (m == -4)
+        return NULL; /* order list conversion error (PyErr set) */
+    if (m == 0)
+        return PyTuple_New(0);
+    return pack_ring(cur_x, cur_y, m);
 }
 
 /* clip_convex_small(sx, sy, p_x, p_y, q_x, q_y)
@@ -432,21 +544,17 @@ voronoi_cell(PyObject *self, PyObject *args)
  * (p[i]→q[i]), prefilter against the ORIGINAL subject vertices, then
  * sequentially clip the current ring (dedupe, eps 1e-12).  Subject is the
  * OPEN ring; returns (xs, ys) open lists or () when wiped. */
-static PyObject *
-clip_convex_small(PyObject *self, PyObject *args)
+/* core of clip_convex_small over C arrays (same IEEE ops in the same
+ * order).  Scratch cur/nxt must hold 8192 doubles each.  Returns -1
+ * identity, 0 wiped, -3 ring too large, else the OPEN output length
+ * written to (cur_x, cur_y). */
+static Py_ssize_t
+ccs_core(const double *sx, const double *sy, Py_ssize_t ns,
+         const double *epx, const double *epy,
+         const double *eqx, const double *eqy, Py_ssize_t ne,
+         double *cur_x, double *cur_y, double *nxt_x, double *nxt_y)
 {
-    PyObject *sx_o, *sy_o, *px_o, *py_o, *qx_o, *qy_o;
-    if (!PyArg_ParseTuple(args, "OOOOOO", &sx_o, &sy_o, &px_o, &py_o,
-                          &qx_o, &qy_o))
-        return NULL;
-    static double sx[4096], sy[4096], epx[4096], epy[4096], eqx[4096], eqy[4096];
-    static double cur_x[8192], cur_y[8192], nxt_x[8192], nxt_y[8192];
-    Py_ssize_t ns, ns2, ne, t;
-    if (!load_list(sx_o, sx, 4096, &ns) || !load_list(sy_o, sy, 4096, &ns2))
-        return NULL;
-    if (!load_list(px_o, epx, 4096, &ne) || !load_list(py_o, epy, 4096, &ne)
-        || !load_list(qx_o, eqx, 4096, &ne) || !load_list(qy_o, eqy, 4096, &ne))
-        return NULL;
+    Py_ssize_t t;
     memcpy(cur_x, sx, ns * sizeof(double));
     memcpy(cur_y, sy, ns * sizeof(double));
     Py_ssize_t n_cur = ns;
@@ -470,51 +578,61 @@ clip_convex_small(PyObject *self, PyObject *args)
             continue;
         Py_ssize_t m = clip_core(cur_x, cur_y, n_cur, an, bn, cn, 1e-12, 1,
                                  nxt_x, nxt_y);
-        if (m == -3) {
-            PyErr_SetString(PyExc_ValueError, "ring too large");
-            return NULL; /* wrapper falls back to the Python loop */
-        }
+        if (m == -3)
+            return -3;
         if (m < 0)
             continue;
         if (m == 0)
-            return PyTuple_New(0);
+            return 0;
         memcpy(cur_x, nxt_x, m * sizeof(double));
         memcpy(cur_y, nxt_y, m * sizeof(double));
         n_cur = m;
         changed = 1;
     }
     if (!changed)
-        Py_RETURN_NONE; /* identity: caller returns the subject object */
-    return pack_ring(cur_x, cur_y, n_cur);
+        return -1;
+    return n_cur;
 }
 
-/* cluster_verts(xs, ys, eps) -> list of representative indices
- * Exact port of planar._cluster_vertices: grid buckets keyed by
- * floor(v/eps), 3x3 neighborhood scan in insertion order, union-find with
- * path halving, parent[find(i)] = find(j) merge order. */
 static PyObject *
-cluster_verts(PyObject *self, PyObject *args)
+clip_convex_small(PyObject *self, PyObject *args)
 {
-    PyObject *xs_o, *ys_o;
-    double eps;
-    if (!PyArg_ParseTuple(args, "OOd", &xs_o, &ys_o, &eps))
+    PyObject *sx_o, *sy_o, *px_o, *py_o, *qx_o, *qy_o;
+    if (!PyArg_ParseTuple(args, "OOOOOO", &sx_o, &sy_o, &px_o, &py_o,
+                          &qx_o, &qy_o))
         return NULL;
-    if (!PyList_CheckExact(xs_o) || !PyList_CheckExact(ys_o)) {
-        PyErr_SetString(PyExc_TypeError, "expected lists");
+    static double sx[4096], sy[4096], epx[4096], epy[4096], eqx[4096], eqy[4096];
+    static double cur_x[8192], cur_y[8192], nxt_x[8192], nxt_y[8192];
+    Py_ssize_t ns, ns2, ne;
+    if (!load_list(sx_o, sx, 4096, &ns) || !load_list(sy_o, sy, 4096, &ns2))
         return NULL;
+    if (!load_list(px_o, epx, 4096, &ne) || !load_list(py_o, epy, 4096, &ne)
+        || !load_list(qx_o, eqx, 4096, &ne) || !load_list(qy_o, eqy, 4096, &ne))
+        return NULL;
+    Py_ssize_t m = ccs_core(sx, sy, ns, epx, epy, eqx, eqy, ne,
+                            cur_x, cur_y, nxt_x, nxt_y);
+    if (m == -3) {
+        PyErr_SetString(PyExc_ValueError, "ring too large");
+        return NULL; /* wrapper falls back to the Python loop */
     }
-    Py_ssize_t n = PyList_GET_SIZE(xs_o);
-    if (n != PyList_GET_SIZE(ys_o)) {
-        PyErr_SetString(PyExc_ValueError, "length mismatch");
-        return NULL;
-    }
-    double *px = PyMem_Malloc(n * sizeof(double));
-    double *py = PyMem_Malloc(n * sizeof(double));
-    long long *kx = PyMem_Malloc(n * sizeof(long long));
-    long long *ky = PyMem_Malloc(n * sizeof(long long));
-    Py_ssize_t *parent = PyMem_Malloc(n * sizeof(Py_ssize_t));
-    Py_ssize_t *nxt = PyMem_Malloc(n * sizeof(Py_ssize_t));
-    /* open-addressing hash of buckets: head/tail chain indices */
+    if (m == -1)
+        Py_RETURN_NONE; /* identity: caller returns the subject object */
+    if (m == 0)
+        return PyTuple_New(0);
+    return pack_ring(cur_x, cur_y, m);
+}
+
+/* union-find vertex clustering over C arrays — the shared core of
+ * cluster_verts and s0_segs.  rep_out[i] = representative ORIGINAL index.
+ * Returns 0 ok, -1 allocation failure (PyErr set). */
+static int
+cluster_core(const double *px, const double *py, Py_ssize_t n, double eps,
+             Py_ssize_t *rep_out)
+{
+    long long *kx = PyMem_Malloc((n + 1) * sizeof(long long));
+    long long *ky = PyMem_Malloc((n + 1) * sizeof(long long));
+    Py_ssize_t *parent = PyMem_Malloc((n + 1) * sizeof(Py_ssize_t));
+    Py_ssize_t *nxt = PyMem_Malloc((n + 1) * sizeof(Py_ssize_t));
     Py_ssize_t cap = 16;
     while (cap < 2 * n + 8)
         cap <<= 1;
@@ -522,18 +640,13 @@ cluster_verts(PyObject *self, PyObject *args)
     long long *hky = PyMem_Malloc(cap * sizeof(long long));
     Py_ssize_t *hhead = PyMem_Malloc(cap * sizeof(Py_ssize_t));
     Py_ssize_t *htail = PyMem_Malloc(cap * sizeof(Py_ssize_t));
-    if (!px || !py || !kx || !ky || !parent || !nxt || !hkx || !hky
-        || !hhead || !htail) {
+    if (!kx || !ky || !parent || !nxt || !hkx || !hky || !hhead || !htail) {
         PyErr_NoMemory();
         goto fail;
     }
     for (Py_ssize_t i = 0; i < cap; i++)
         hhead[i] = -2; /* empty slot */
     for (Py_ssize_t i = 0; i < n; i++) {
-        px[i] = PyFloat_AsDouble(PyList_GET_ITEM(xs_o, i));
-        py[i] = PyFloat_AsDouble(PyList_GET_ITEM(ys_o, i));
-        if (PyErr_Occurred())
-            goto fail;
         kx[i] = (long long)floor(px[i] / eps);
         ky[i] = (long long)floor(py[i] / eps);
         parent[i] = i;
@@ -549,7 +662,6 @@ cluster_verts(PyObject *self, PyObject *args)
             s_ = (s_ + 1) & (cap - 1);                                    \
         (OUT) = s_;                                                       \
     } while (0)
-
     for (Py_ssize_t i = 0; i < n; i++) {
         double xi = px[i], yi = py[i];
         for (int dx = -1; dx <= 1; dx++) {
@@ -591,27 +703,69 @@ cluster_verts(PyObject *self, PyObject *args)
         }
     }
 #undef SLOT_OF
+    for (Py_ssize_t i = 0; i < n; i++) {
+        Py_ssize_t r = i;
+        while (parent[r] != r) {
+            parent[r] = parent[parent[r]];
+            r = parent[r];
+        }
+        rep_out[i] = r;
+    }
+    PyMem_Free(kx); PyMem_Free(ky); PyMem_Free(parent); PyMem_Free(nxt);
+    PyMem_Free(hkx); PyMem_Free(hky); PyMem_Free(hhead); PyMem_Free(htail);
+    return 0;
+fail:
+    PyMem_Free(kx); PyMem_Free(ky); PyMem_Free(parent); PyMem_Free(nxt);
+    PyMem_Free(hkx); PyMem_Free(hky); PyMem_Free(hhead); PyMem_Free(htail);
+    return -1;
+}
+
+/* cluster_verts(xs, ys, eps) -> list of representative indices
+ * Exact port of planar._cluster_vertices: grid buckets keyed by
+ * floor(v/eps), 3x3 neighborhood scan in insertion order, union-find with
+ * path halving, parent[find(i)] = find(j) merge order. */
+static PyObject *
+cluster_verts(PyObject *self, PyObject *args)
+{
+    PyObject *xs_o, *ys_o;
+    double eps;
+    if (!PyArg_ParseTuple(args, "OOd", &xs_o, &ys_o, &eps))
+        return NULL;
+    if (!PyList_CheckExact(xs_o) || !PyList_CheckExact(ys_o)) {
+        PyErr_SetString(PyExc_TypeError, "expected lists");
+        return NULL;
+    }
+    Py_ssize_t n = PyList_GET_SIZE(xs_o);
+    if (n != PyList_GET_SIZE(ys_o)) {
+        PyErr_SetString(PyExc_ValueError, "length mismatch");
+        return NULL;
+    }
+    double *px = PyMem_Malloc((n + 1) * sizeof(double));
+    double *py = PyMem_Malloc((n + 1) * sizeof(double));
+    Py_ssize_t *rep = PyMem_Malloc((n + 1) * sizeof(Py_ssize_t));
+    if (!px || !py || !rep) {
+        PyErr_NoMemory();
+        goto fail;
+    }
+    for (Py_ssize_t i = 0; i < n; i++) {
+        px[i] = PyFloat_AsDouble(PyList_GET_ITEM(xs_o, i));
+        py[i] = PyFloat_AsDouble(PyList_GET_ITEM(ys_o, i));
+        if (PyErr_Occurred())
+            goto fail;
+    }
+    if (cluster_core(px, py, n, eps, rep) < 0)
+        goto fail;
     {
         PyObject *out = PyList_New(n);
         if (!out)
             goto fail;
-        for (Py_ssize_t i = 0; i < n; i++) {
-            Py_ssize_t r = i;
-            while (parent[r] != r) {
-                parent[r] = parent[parent[r]];
-                r = parent[r];
-            }
-            PyList_SET_ITEM(out, i, PyLong_FromSsize_t(r));
-        }
-        PyMem_Free(px); PyMem_Free(py); PyMem_Free(kx); PyMem_Free(ky);
-        PyMem_Free(parent); PyMem_Free(nxt); PyMem_Free(hkx);
-        PyMem_Free(hky); PyMem_Free(hhead); PyMem_Free(htail);
+        for (Py_ssize_t i = 0; i < n; i++)
+            PyList_SET_ITEM(out, i, PyLong_FromSsize_t(rep[i]));
+        PyMem_Free(px); PyMem_Free(py); PyMem_Free(rep);
         return out;
     }
 fail:
-    PyMem_Free(px); PyMem_Free(py); PyMem_Free(kx); PyMem_Free(ky);
-    PyMem_Free(parent); PyMem_Free(nxt); PyMem_Free(hkx);
-    PyMem_Free(hky); PyMem_Free(hhead); PyMem_Free(htail);
+    PyMem_Free(px); PyMem_Free(py); PyMem_Free(rep);
     return NULL;
 }
 
@@ -1167,6 +1321,35 @@ fail0:
     return -1;
 }
 
+/* run the weak-dual level loop to k; takes ownership of L (frees it).
+ * Returns a Python int, or NULL on error. */
+static PyObject *
+run_weak_dual(Lvl L, Py_ssize_t max_k)
+{
+    Lvl D = {0};
+    Py_ssize_t k = 0;
+    while (L.n_nodes > 0 && k < max_k) {
+        Py_ssize_t n_faces = 0;
+        if (dual_level(&L, &D, &n_faces) < 0) {
+            lvl_free(&L);
+            lvl_free(&D);
+            return NULL;
+        }
+        if (D.n_nodes == 0) {
+            if (n_faces == 1)
+                k += 1;
+            break;
+        }
+        lvl_free(&L);
+        L = D;
+        D.pos = NULL; D.adj_off = NULL; D.adj = NULL; D.n_nodes = 0; D.m2 = 0;
+        k += 1;
+    }
+    lvl_free(&L);
+    lvl_free(&D);
+    return PyLong_FromSsize_t(k);
+}
+
 /* weak_dual_k(xs, ys, adj_off, adj, max_k) -> int
  * xs/ys: node coordinates (insertion order); adj_off/adj: neighbor node
  * indices per node in nx adjacency (insertion) order. */
@@ -1182,7 +1365,7 @@ weak_dual_k(PyObject *self, PyObject *args)
         PyErr_SetString(PyExc_TypeError, "expected lists");
         return NULL;
     }
-    Lvl L = {0}, D = {0};
+    Lvl L = {0};
     Py_ssize_t n = PyList_GET_SIZE(xs_o);
     Py_ssize_t m2 = PyList_GET_SIZE(adj_o);
     L.n_nodes = n;
@@ -1208,27 +1391,7 @@ weak_dual_k(PyObject *self, PyObject *args)
         L.adj[i] = PyLong_AsSsize_t(PyList_GET_ITEM(adj_o, i));
         if (L.adj[i] == -1 && PyErr_Occurred()) { lvl_free(&L); return NULL; }
     }
-    Py_ssize_t k = 0;
-    while (L.n_nodes > 0 && k < max_k) {
-        Py_ssize_t n_faces = 0;
-        if (dual_level(&L, &D, &n_faces) < 0) {
-            lvl_free(&L);
-            lvl_free(&D);
-            return NULL;
-        }
-        if (D.n_nodes == 0) {
-            if (n_faces == 1)
-                k += 1;
-            break;
-        }
-        lvl_free(&L);
-        L = D;
-        D.pos = NULL; D.adj_off = NULL; D.adj = NULL; D.n_nodes = 0; D.m2 = 0;
-        k += 1;
-    }
-    lvl_free(&L);
-    lvl_free(&D);
-    return PyLong_FromSsize_t(k);
+    return run_weak_dual(L, max_k);
 }
 
 /* snap_to_canon(rx, ry, cx, cy, eps) -> (rx', ry') — for each ring vertex,
@@ -1264,17 +1427,16 @@ snap_to_canon(PyObject *self, PyObject *args)
  * Python wrapper keeps, so all float summation stays in numpy).
  * Input: OPEN ring coordinates. Keys use rint(v/eps) == Python round()
  * (round-half-even for in-range doubles). */
-static PyObject *
-ring_parts(PyObject *self, PyObject *args)
+/* core of ring_parts over C arrays: writes loops of ORIGINAL point indices
+ * into loop_idx (caller cap >= 3*8192) with loop_off[k]..loop_off[k+1]
+ * spans; returns the loop count, -1 allocation failure (PyErr set),
+ * -3 input too large. */
+static Py_ssize_t
+rp_core(const double *px, const double *py, Py_ssize_t n0, double eps,
+        Py_ssize_t *loop_idx, Py_ssize_t *loop_off)
 {
-    PyObject *px_o, *py_o;
-    double eps;
-    if (!PyArg_ParseTuple(args, "OOd", &px_o, &py_o, &eps))
-        return NULL;
-    static double px[8192], py[8192];
-    Py_ssize_t n0, n02;
-    if (!load_list(px_o, px, 8192, &n0) || !load_list(py_o, py, 8192, &n02))
-        return NULL;
+    if (n0 > 8192)
+        return -3;
     /* consecutive-duplicate removal (keep[] indices) */
     static Py_ssize_t keep[8192];
     Py_ssize_t nk = 0;
@@ -1288,16 +1450,14 @@ ring_parts(PyObject *self, PyObject *args)
     if (nk > 1 && fabs(px[keep[0]] - px[keep[nk - 1]]) <= eps
         && fabs(py[keep[0]] - py[keep[nk - 1]]) <= eps)
         nk--;
+    loop_off[0] = 0;
     if (nk < 3)
-        return PyList_New(0);
-    static double qx[8192], qy[8192];
+        return 0;
     static long long kx[8192], ky[8192];
     double d = eps > 1e-300 ? eps : 1e-300;
     for (Py_ssize_t i = 0; i < nk; i++) {
-        qx[i] = px[keep[i]];
-        qy[i] = py[keep[i]];
-        kx[i] = (long long)rint(qx[i] / d);
-        ky[i] = (long long)rint(qy[i] / d);
+        kx[i] = (long long)rint(px[keep[i]] / d);
+        ky[i] = (long long)rint(py[keep[i]] / d);
     }
     /* stack-based loop extraction at repeated (kx, ky) keys.  Entries are
      * never deleted from the open-addressed map (that would break probe
@@ -1306,16 +1466,13 @@ ring_parts(PyObject *self, PyObject *args)
      * fail one of the two and read as absent, exactly like Python's
      * index.pop(). */
     Map2 idx;
-    if (!map2_init(&idx, nk + 1))
-        return PyErr_NoMemory();
+    if (!map2_init(&idx, nk + 1)) {
+        PyErr_NoMemory();
+        return -1;
+    }
     static Py_ssize_t stack_pt[8192];     /* ORIGINAL point index per slot */
     static Py_ssize_t stack_slot[8192];   /* map slot per stack entry */
-    Py_ssize_t sp = 0;
-    PyObject *out = PyList_New(0);
-    if (!out) {
-        map2_free(&idx);
-        return NULL;
-    }
+    Py_ssize_t sp = 0, n_loops = 0, out_n = 0;
     for (Py_ssize_t i = 0; i <= nk; i++) {
         Py_ssize_t ii = i % nk;
         unsigned long long a = (unsigned long long)kx[ii];
@@ -1327,17 +1484,10 @@ ring_parts(PyObject *self, PyObject *args)
             Py_ssize_t j = idx.val[s];
             Py_ssize_t looplen = sp - j;
             if (looplen >= 3) {
-                PyObject *sub = PyList_New(looplen);
-                if (!sub)
-                    goto fail;
                 for (Py_ssize_t t = 0; t < looplen; t++)
-                    PyList_SET_ITEM(sub, t,
-                                    PyLong_FromSsize_t(stack_pt[j + t]));
-                if (PyList_Append(out, sub) < 0) {
-                    Py_DECREF(sub);
-                    goto fail;
-                }
-                Py_DECREF(sub);
+                    loop_idx[out_n + t] = stack_pt[j + t];
+                out_n += looplen;
+                loop_off[++n_loops] = out_n;
             }
             sp = j;
             if (i < nk) {
@@ -1356,23 +1506,598 @@ ring_parts(PyObject *self, PyObject *args)
         }
     }
     if (sp >= 3) {
-        PyObject *sub = PyList_New(sp);
-        if (!sub)
-            goto fail;
         for (Py_ssize_t t = 0; t < sp; t++)
-            PyList_SET_ITEM(sub, t, PyLong_FromSsize_t(stack_pt[t]));
-        if (PyList_Append(out, sub) < 0) {
-            Py_DECREF(sub);
-            goto fail;
-        }
-        Py_DECREF(sub);
+            loop_idx[out_n + t] = stack_pt[t];
+        out_n += sp;
+        loop_off[++n_loops] = out_n;
     }
     map2_free(&idx);
+    return n_loops;
+}
+
+static PyObject *
+ring_parts(PyObject *self, PyObject *args)
+{
+    PyObject *px_o, *py_o;
+    double eps;
+    if (!PyArg_ParseTuple(args, "OOd", &px_o, &py_o, &eps))
+        return NULL;
+    static double px[8192], py[8192];
+    Py_ssize_t n0, n02;
+    if (!load_list(px_o, px, 8192, &n0) || !load_list(py_o, py, 8192, &n02))
+        return NULL;
+    static Py_ssize_t loop_idx[3 * 8192];
+    static Py_ssize_t loop_off[8192 + 2];
+    Py_ssize_t n_loops = rp_core(px, py, n0, eps, loop_idx, loop_off);
+    if (n_loops == -1)
+        return NULL;
+    if (n_loops == -3) {
+        PyErr_SetString(PyExc_ValueError, "ring too large");
+        return NULL;
+    }
+    PyObject *out = PyList_New(n_loops);
+    if (!out)
+        return NULL;
+    for (Py_ssize_t k = 0; k < n_loops; k++) {
+        Py_ssize_t a = loop_off[k], b = loop_off[k + 1];
+        PyObject *sub = PyList_New(b - a);
+        if (!sub) {
+            Py_DECREF(out);
+            return NULL;
+        }
+        for (Py_ssize_t t = a; t < b; t++)
+            PyList_SET_ITEM(sub, t - a, PyLong_FromSsize_t(loop_idx[t]));
+        PyList_SET_ITEM(out, k, sub);
+    }
     return out;
-fail:
-    map2_free(&idx);
-    Py_DECREF(out);
-    return NULL;
+}
+
+/* ---- fused per-block s0 construction (round 8) ------------------------
+ * s0_segs(bx, by, cx, cy, pair_aspect, canon_eps, snap_eps) -> bytes
+ *
+ * One call per block replacing the Python glue of planar.s0_graph's
+ * production configuration (corner dummies, canon=True, snap=True,
+ * arrangement=True): voronoi_pytess -> _canonicalize_cells -> per-cell
+ * clip_convex -> _snap_to_canon -> split_ring_parts -> multipart anchor
+ * selection, emitting the kept rings' SEGMENTS (x0,y0,x1,y1 per row) as a
+ * little-endian float64 buffer for numpy's node_segments.  Bit-exact with
+ * the Python path: every arithmetic op is the same IEEE double op in the
+ * same order (pw_sum replicates np.sum's pairwise order; hypot2 replicates
+ * math.hypot; hash keys normalize -0.0 like Python float equality).
+ * Raises ValueError on any capacity overflow — the wrapper then falls back
+ * to the Python path for that block. */
+static int
+grow_pool(double **x, double **y, Py_ssize_t *cap, Py_ssize_t need)
+{
+    if (need <= *cap)
+        return 1;
+    Py_ssize_t nc = *cap ? *cap : 1024;
+    while (nc < need)
+        nc <<= 1;
+    if (nc > (Py_ssize_t)1 << 22)
+        return 0; /* caller raises ValueError */
+    double *nx_ = PyMem_Realloc(*x, nc * sizeof(double));
+    if (!nx_)
+        return -1;
+    *x = nx_;
+    double *ny_ = PyMem_Realloc(*y, nc * sizeof(double));
+    if (!ny_)
+        return -1;
+    *y = ny_;
+    *cap = nc;
+    return 1;
+}
+
+static PyObject *
+s0_segs(PyObject *self, PyObject *args)
+{
+    PyObject *bx_o, *by_o, *cx_o, *cy_o;
+    double pair_aspect, canon_eps, snap_eps;
+    if (!PyArg_ParseTuple(args, "OOOOddd", &bx_o, &by_o, &cx_o, &cy_o,
+                          &pair_aspect, &canon_eps, &snap_eps))
+        return NULL;
+    static double bxv[4096], byv[4096];
+    Py_ssize_t n_blk, n_blk2;
+    if (!load_list(bx_o, bxv, 4096, &n_blk) || !load_list(by_o, byv, 4096, &n_blk2))
+        return NULL;
+    if (!PyList_CheckExact(cx_o) || !PyList_CheckExact(cy_o)) {
+        PyErr_SetString(PyExc_TypeError, "expected lists");
+        return NULL;
+    }
+    Py_ssize_t n_cent = PyList_GET_SIZE(cx_o);
+    if (n_cent != PyList_GET_SIZE(cy_o) || n_cent > 65536 || n_blk < 1) {
+        PyErr_SetString(PyExc_ValueError, "bad sizes");
+        return NULL;
+    }
+    /* open subject of the block ring (clip_convex strips the closing dup
+     * by value equality) */
+    Py_ssize_t ns = n_blk;
+    if (n_blk > 1 && bxv[0] == bxv[n_blk - 1] && byv[0] == byv[n_blk - 1])
+        ns = n_blk - 1;
+    /* everything dynamic lives here so one cleanup path frees it */
+    double *centx = NULL, *centy = NULL, *uqx = NULL, *uqy = NULL;
+    double *allx = NULL, *ally = NULL;
+    double *pool_x = NULL, *pool_y = NULL;       /* closed cell rings */
+    Py_ssize_t pool_cap = 0, pool_n = 0;
+    double *outp_x = NULL, *outp_y = NULL;       /* kept output rings */
+    Py_ssize_t out_cap = 0, out_n = 0;
+    Py_ssize_t *cell_off = NULL, *cell_len = NULL, *cell_site = NULL;
+    Py_ssize_t *ring_len = NULL;  /* per kept ring */
+    Py_ssize_t n_rings = 0, ring_cap = 0;
+    Py_ssize_t *rep = NULL;
+    Map2 bset = {0}, useen = {0};
+    int bset_ok = 0, useen_ok = 0;
+    PyObject *result = NULL;
+    int raise_val = 0;
+
+    centx = PyMem_Malloc((n_cent + 1) * sizeof(double));
+    centy = PyMem_Malloc((n_cent + 1) * sizeof(double));
+    uqx = PyMem_Malloc((n_cent + 5) * sizeof(double));
+    uqy = PyMem_Malloc((n_cent + 5) * sizeof(double));
+    allx = PyMem_Malloc((n_cent + 5) * sizeof(double));
+    ally = PyMem_Malloc((n_cent + 5) * sizeof(double));
+    cell_off = PyMem_Malloc((n_cent + 1) * sizeof(Py_ssize_t));
+    cell_len = PyMem_Malloc((n_cent + 1) * sizeof(Py_ssize_t));
+    cell_site = PyMem_Malloc((n_cent + 1) * sizeof(Py_ssize_t));
+    if (!centx || !centy || !uqx || !uqy || !allx || !ally
+        || !cell_off || !cell_len || !cell_site) {
+        PyErr_NoMemory();
+        goto done;
+    }
+    for (Py_ssize_t i = 0; i < n_cent; i++) {
+        centx[i] = PyFloat_AsDouble(PyList_GET_ITEM(cx_o, i));
+        centy[i] = PyFloat_AsDouble(PyList_GET_ITEM(cy_o, i));
+        if (PyErr_Occurred())
+            goto done;
+    }
+    /* boundary set: every block-ring vertex (value-equality keys) */
+    bset_ok = map2_init(&bset, n_blk + 1);
+    useen_ok = map2_init(&useen, n_cent + 1);
+    if (!bset_ok || !useen_ok) {
+        PyErr_NoMemory();
+        goto done;
+    }
+    for (Py_ssize_t i = 0; i < n_blk; i++) {
+        Py_ssize_t s = map2_slot(&bset, vbits(bxv[i]), vbits(byv[i]));
+        if (bset.val[s] == -1) {
+            bset.k1[s] = vbits(bxv[i]);
+            bset.k2[s] = vbits(byv[i]);
+            bset.val[s] = i;
+        }
+    }
+    /* insertion-order value dedupe (Python: set of float tuples) */
+    Py_ssize_t n_uniq = 0;
+    for (Py_ssize_t i = 0; i < n_cent; i++) {
+        Py_ssize_t s = map2_slot(&useen, vbits(centx[i]), vbits(centy[i]));
+        if (useen.val[s] == -1) {
+            useen.k1[s] = vbits(centx[i]);
+            useen.k2[s] = vbits(centy[i]);
+            useen.val[s] = n_uniq;
+            uqx[n_uniq] = centx[i];
+            uqy[n_uniq] = centy[i];
+            n_uniq++;
+        }
+    }
+    /* _pytess_pair_degenerate (np.unique count == value-distinct count) */
+    if (pair_aspect >= 0.0 && n_uniq == 2) {
+        double dx = fabs(uqx[1] - uqx[0]);
+        double dy = fabs(uqy[1] - uqy[0]);
+        double hi = dx > dy ? dx : dy;
+        double lo = dx < dy ? dx : dy;
+        if (hi == 0.0 || (lo / hi) < pair_aspect) {
+            result = PyBytes_FromStringAndSize(NULL, 0);
+            goto done;
+        }
+    }
+    if (n_uniq < 2) {
+        result = PyBytes_FromStringAndSize(NULL, 0);
+        goto done;
+    }
+    /* bbox + corner dummies + frame box (voronoi_pytess, corner mode) */
+    double xmin = uqx[0], xmax = uqx[0], ymin = uqy[0], ymax = uqy[0];
+    for (Py_ssize_t i = 1; i < n_uniq; i++) {
+        if (uqx[i] < xmin) xmin = uqx[i];
+        if (uqx[i] > xmax) xmax = uqx[i];
+        if (uqy[i] < ymin) ymin = uqy[i];
+        if (uqy[i] > ymax) ymax = uqy[i];
+    }
+    double xbuff = xmax - xmin, ybuff = ymax - ymin;
+    memcpy(allx, uqx, n_uniq * sizeof(double));
+    memcpy(ally, uqy, n_uniq * sizeof(double));
+    allx[n_uniq + 0] = xmin - xbuff; ally[n_uniq + 0] = ymin - ybuff;
+    allx[n_uniq + 1] = xmax + xbuff; ally[n_uniq + 1] = ymin - ybuff;
+    allx[n_uniq + 2] = xmax + xbuff; ally[n_uniq + 2] = ymax + ybuff;
+    allx[n_uniq + 3] = xmin - xbuff; ally[n_uniq + 3] = ymax + ybuff;
+    Py_ssize_t n_all = n_uniq + 4;
+    double pad_x = 50.0 * xbuff, pad_y = 50.0 * ybuff;
+    double box_x[4], box_y[4];
+    box_x[0] = xmin - pad_x; box_y[0] = ymin - pad_y;
+    box_x[1] = xmax + pad_x; box_y[1] = ymin - pad_y;
+    box_x[2] = xmax + pad_x; box_y[2] = ymax + pad_y;
+    box_x[3] = xmin - pad_x; box_y[3] = ymax + pad_y;
+    /* per-site Voronoi cells (mode 0), stored CLOSED in the pool */
+    {
+        static double vcur_x[8192], vcur_y[8192], vnxt_x[8192], vnxt_y[8192];
+        Py_ssize_t n_cells = 0;
+        for (Py_ssize_t i = 0; i < n_uniq; i++) {
+            Py_ssize_t m = vor_cell_core(box_x, box_y, 4, allx, ally, n_all,
+                                         i, uqx[i], uqy[i], 0, NULL,
+                                         vcur_x, vcur_y, vnxt_x, vnxt_y);
+            if (m == -3) {
+                raise_val = 1;
+                goto done;
+            }
+            if (m <= 0)
+                continue;
+            int gr = grow_pool(&pool_x, &pool_y, &pool_cap, pool_n + m + 1);
+            if (gr == 0) { raise_val = 1; goto done; }
+            if (gr < 0) { PyErr_NoMemory(); goto done; }
+            memcpy(pool_x + pool_n, vcur_x, m * sizeof(double));
+            memcpy(pool_y + pool_n, vcur_y, m * sizeof(double));
+            pool_x[pool_n + m] = vcur_x[0];
+            pool_y[pool_n + m] = vcur_y[0];
+            cell_off[n_cells] = pool_n;
+            cell_len[n_cells] = m + 1;     /* CLOSED length */
+            cell_site[n_cells] = i;
+            pool_n += m + 1;
+            n_cells++;
+        }
+        /* canonicalize: cluster all CLOSED ring vertices, snap to reps */
+        if (pool_n) {
+            rep = PyMem_Malloc((pool_n + 1) * sizeof(Py_ssize_t));
+            if (!rep) { PyErr_NoMemory(); goto done; }
+            if (cluster_core(pool_x, pool_y, pool_n, canon_eps, rep) < 0)
+                goto done;
+            /* canon[i] = pool[rep[i]]; rep[i] <= i never guaranteed, so
+             * materialize into fresh arrays (all_pts[rep] semantics) */
+            double *cnx = PyMem_Malloc((pool_n + 1) * sizeof(double));
+            double *cny = PyMem_Malloc((pool_n + 1) * sizeof(double));
+            if (!cnx || !cny) {
+                PyMem_Free(cnx); PyMem_Free(cny);
+                PyErr_NoMemory();
+                goto done;
+            }
+            for (Py_ssize_t i = 0; i < pool_n; i++) {
+                cnx[i] = pool_x[rep[i]];
+                cny[i] = pool_y[rep[i]];
+            }
+            PyMem_Free(pool_x); PyMem_Free(pool_y);
+            pool_x = cnx; pool_y = cny;
+        }
+        /* per-cell: boundary skip, clip, snap, split, anchor select */
+        static double ep_x[8192], ep_y[8192], eq_x[8192], eq_y[8192];
+        static double ccur_x[8192], ccur_y[8192], cnxt_x[8192], cnxt_y[8192];
+        static double inter_x[8200], inter_y[8200];
+        static double ebuf[8200];
+        static Py_ssize_t loop_idx[3 * 8192], loop_off[8192 + 2];
+        static double part_x[8200], part_y[8200];
+        for (Py_ssize_t ci = 0; ci < n_cells; ci++) {
+            double ax_ = uqx[cell_site[ci]], ay_ = uqy[cell_site[ci]];
+            {
+                Py_ssize_t s = map2_slot(&bset, vbits(ax_), vbits(ay_));
+                if (bset.val[s] != -1)
+                    continue;  /* anchor on the block boundary */
+            }
+            Py_ssize_t clen = cell_len[ci];
+            if (clen <= 3)
+                continue;
+            const double *rx = pool_x + cell_off[ci];
+            const double *ry = pool_y + cell_off[ci];
+            /* clip_convex: ensure clip CCW (np.sum pairwise sign) */
+            Py_ssize_t ne = clen - 1;
+            if (ne > 4096 || ns > 4096) { raise_val = 1; goto done; }
+            for (Py_ssize_t t = 0; t < ne; t++)
+                ebuf[t] = rx[t] * ry[t + 1] - rx[t + 1] * ry[t];
+            int rev = (0.5 * pw_sum(ebuf, ne)) < 0;
+            if (!rev) {
+                for (Py_ssize_t t = 0; t < ne; t++) {
+                    ep_x[t] = rx[t];     ep_y[t] = ry[t];
+                    eq_x[t] = rx[t + 1]; eq_y[t] = ry[t + 1];
+                }
+            } else {
+                /* clip[::-1]: reversed closed ring */
+                for (Py_ssize_t t = 0; t < ne; t++) {
+                    ep_x[t] = rx[clen - 1 - t];     ep_y[t] = ry[clen - 1 - t];
+                    eq_x[t] = rx[clen - 2 - t];     eq_y[t] = ry[clen - 2 - t];
+                }
+            }
+            Py_ssize_t m2 = ccs_core(bxv, byv, ns, ep_x, ep_y, eq_x, eq_y, ne,
+                                     ccur_x, ccur_y, cnxt_x, cnxt_y);
+            if (m2 == -3) { raise_val = 1; goto done; }
+            Py_ssize_t ilen;  /* CLOSED inter length */
+            if (m2 == -1) {
+                /* identity: inter = the closed block ring as passed */
+                ilen = n_blk;
+                memcpy(inter_x, bxv, n_blk * sizeof(double));
+                memcpy(inter_y, byv, n_blk * sizeof(double));
+            } else if (m2 == 0) {
+                continue;  /* wiped: len(inter) < 4 */
+            } else {
+                ilen = m2 + 1;
+                memcpy(inter_x, ccur_x, m2 * sizeof(double));
+                memcpy(inter_y, ccur_y, m2 * sizeof(double));
+                inter_x[m2] = ccur_x[0];
+                inter_y[m2] = ccur_y[0];
+            }
+            if (ilen < 4)
+                continue;
+            /* _snap_to_canon: first canon vertex within snap_eps on BOTH
+             * axes replaces the ring vertex */
+            for (Py_ssize_t t = 0; t < ilen; t++) {
+                for (Py_ssize_t j = 0; j < pool_n; j++) {
+                    if (fabs(pool_x[j] - inter_x[t]) <= snap_eps
+                        && fabs(pool_y[j] - inter_y[t]) <= snap_eps) {
+                        inter_x[t] = pool_x[j];
+                        inter_y[t] = pool_y[j];
+                        break;
+                    }
+                }
+            }
+            /* split_ring_parts: open pts (strip the closing dup by value
+             * equality), loop extraction, area>0 filter */
+            Py_ssize_t n_open = ilen;
+            if (ilen > 1 && inter_x[0] == inter_x[ilen - 1]
+                && inter_y[0] == inter_y[ilen - 1])
+                n_open = ilen - 1;
+            Py_ssize_t n_loops = rp_core(inter_x, inter_y, n_open, 1e-12,
+                                         loop_idx, loop_off);
+            if (n_loops == -1)
+                goto done;
+            if (n_loops == -3) { raise_val = 1; goto done; }
+            /* parts: closed sub-rings with nonzero area, in loop order */
+            Py_ssize_t part_starts[64];
+            Py_ssize_t part_lens[64];   /* CLOSED lengths */
+            Py_ssize_t n_parts = 0;
+            Py_ssize_t pbuf_n = 0;
+            for (Py_ssize_t k = 0; k < n_loops; k++) {
+                Py_ssize_t a = loop_off[k], b = loop_off[k + 1];
+                Py_ssize_t L_ = b - a;
+                if (n_parts >= 64 || pbuf_n + L_ + 1 > 8200) {
+                    raise_val = 1;
+                    goto done;
+                }
+                for (Py_ssize_t t = 0; t < L_; t++) {
+                    part_x[pbuf_n + t] = inter_x[loop_idx[a + t]];
+                    part_y[pbuf_n + t] = inter_y[loop_idx[a + t]];
+                }
+                part_x[pbuf_n + L_] = part_x[pbuf_n];
+                part_y[pbuf_n + L_] = part_y[pbuf_n];
+                /* _abs_ring_area > 0 */
+                for (Py_ssize_t t = 0; t < L_; t++)
+                    ebuf[t] = part_x[pbuf_n + t] * part_y[pbuf_n + t + 1]
+                              - part_x[pbuf_n + t + 1] * part_y[pbuf_n + t];
+                double area = 0.5 * fabs(pw_sum(ebuf, L_));
+                if (area > 0.0) {
+                    part_starts[n_parts] = pbuf_n;
+                    part_lens[n_parts] = L_ + 1;
+                    n_parts++;
+                    pbuf_n += L_ + 1;
+                }
+            }
+            /* ring selection (s0_graph): <=1 part -> inter or parts[0];
+             * multipart -> first part containing the anchor */
+            const double *ox = NULL, *oy = NULL;
+            Py_ssize_t olen = 0;
+            if (n_parts == 0) {
+                ox = inter_x; oy = inter_y; olen = ilen;
+            } else if (n_parts == 1) {
+                ox = part_x + part_starts[0];
+                oy = part_y + part_starts[0];
+                olen = part_lens[0];
+            } else {
+                for (Py_ssize_t k = 0; k < n_parts; k++) {
+                    if (pt_in_ring_c(ax_, ay_, part_x + part_starts[k],
+                                     part_y + part_starts[k], part_lens[k])) {
+                        ox = part_x + part_starts[k];
+                        oy = part_y + part_starts[k];
+                        olen = part_lens[k];
+                        break;
+                    }
+                }
+                if (!ox)
+                    continue;  /* no part contains the anchor */
+            }
+            int gr = grow_pool(&outp_x, &outp_y, &out_cap, out_n + olen);
+            if (gr == 0) { raise_val = 1; goto done; }
+            if (gr < 0) { PyErr_NoMemory(); goto done; }
+            memcpy(outp_x + out_n, ox, olen * sizeof(double));
+            memcpy(outp_y + out_n, oy, olen * sizeof(double));
+            out_n += olen;
+            if (n_rings >= ring_cap) {
+                Py_ssize_t nc = ring_cap ? ring_cap * 2 : 64;
+                Py_ssize_t *nr = PyMem_Realloc(ring_len, nc * sizeof(Py_ssize_t));
+                if (!nr) { PyErr_NoMemory(); goto done; }
+                ring_len = nr;
+                ring_cap = nc;
+            }
+            ring_len[n_rings++] = olen;
+        }
+    }
+    /* emit segments: per ring rg, rows (rg[t], rg[t+1]) for t < len-1 */
+    {
+        Py_ssize_t total = 0;
+        for (Py_ssize_t k = 0; k < n_rings; k++)
+            if (ring_len[k] >= 2)
+                total += ring_len[k] - 1;
+        result = PyBytes_FromStringAndSize(NULL,
+                                           total * 4 * (Py_ssize_t)sizeof(double));
+        if (!result)
+            goto done;
+        double *w = (double *)PyBytes_AS_STRING(result);
+        Py_ssize_t off = 0;
+        for (Py_ssize_t k = 0; k < n_rings; k++) {
+            Py_ssize_t L_ = ring_len[k];
+            if (L_ >= 2) {
+                for (Py_ssize_t t = 0; t < L_ - 1; t++) {
+                    *w++ = outp_x[off + t];
+                    *w++ = outp_y[off + t];
+                    *w++ = outp_x[off + t + 1];
+                    *w++ = outp_y[off + t + 1];
+                }
+            }
+            off += L_;
+        }
+    }
+done:
+    if (raise_val && !PyErr_Occurred())
+        PyErr_SetString(PyExc_ValueError, "s0_segs capacity exceeded");
+    if (raise_val) {
+        Py_XDECREF(result);
+        result = NULL;
+    }
+    PyMem_Free(centx); PyMem_Free(centy); PyMem_Free(uqx); PyMem_Free(uqy);
+    PyMem_Free(allx); PyMem_Free(ally);
+    PyMem_Free(pool_x); PyMem_Free(pool_y);
+    PyMem_Free(outp_x); PyMem_Free(outp_y);
+    PyMem_Free(cell_off); PyMem_Free(cell_len); PyMem_Free(cell_site);
+    PyMem_Free(ring_len); PyMem_Free(rep);
+    if (bset_ok) map2_free(&bset);
+    if (useen_ok) map2_free(&useen);
+    return result;
+}
+
+/* weak_dual_k_segs(pieces, max_k) -> int
+ * pieces: float64 buffer of noded arrangement pieces (x0,y0,x1,y1 rows,
+ * node_segments output order).  Builds the union graph with
+ * graph_from_segments' semantics — nodes interned by VALUE equality in
+ * first-seen order (keeping the first-seen coordinate object, like nx
+ * node tuples), adjacency in insertion order with duplicate-edge
+ * suppression, self-edges skipped — then runs the weak-dual sequence. */
+static PyObject *
+weak_dual_k_segs(PyObject *self, PyObject *args)
+{
+    Py_buffer buf;
+    Py_ssize_t max_k;
+    if (!PyArg_ParseTuple(args, "y*n", &buf, &max_k))
+        return NULL;
+    if (buf.len % (4 * sizeof(double))) {
+        PyBuffer_Release(&buf);
+        PyErr_SetString(PyExc_ValueError, "pieces buffer not (n,4) float64");
+        return NULL;
+    }
+    Py_ssize_t np_ = buf.len / (4 * (Py_ssize_t)sizeof(double));
+    const double *d = (const double *)buf.buf;
+    Map2 nmap = {0};
+    PTxy *pos = PyMem_Malloc((2 * np_ + 1) * sizeof(PTxy));
+    Py_ssize_t *ahead = PyMem_Malloc((2 * np_ + 1) * sizeof(Py_ssize_t));
+    Py_ssize_t *atail = PyMem_Malloc((2 * np_ + 1) * sizeof(Py_ssize_t));
+    Py_ssize_t *anode = PyMem_Malloc((4 * np_ + 1) * sizeof(Py_ssize_t));
+    Py_ssize_t *anext = PyMem_Malloc((4 * np_ + 1) * sizeof(Py_ssize_t));
+    int nm_ok = map2_init(&nmap, 2 * np_ + 1);
+    Py_ssize_t dn = 0, an = 0;
+    PyObject *out = NULL;
+    if (!pos || !ahead || !atail || !anode || !anext || !nm_ok) {
+        PyErr_NoMemory();
+        goto done;
+    }
+#define INTERN_V(CX, CY, OUT)                                             \
+    do {                                                                  \
+        unsigned long long b1 = vbits(CX), b2 = vbits(CY);                \
+        Py_ssize_t sl = map2_slot(&nmap, b1, b2);                         \
+        if (nmap.val[sl] == -1) {                                         \
+            nmap.k1[sl] = b1; nmap.k2[sl] = b2;                           \
+            nmap.val[sl] = dn;                                            \
+            pos[dn].x = (CX); pos[dn].y = (CY);                           \
+            ahead[dn] = -1; atail[dn] = -1;                               \
+            dn++;                                                         \
+        }                                                                 \
+        (OUT) = nmap.val[sl];                                             \
+    } while (0)
+#define ADJ_ADD_V(U, W)                                                   \
+    do {                                                                  \
+        int found = 0;                                                    \
+        for (Py_ssize_t q_ = ahead[U]; q_ != -1; q_ = anext[q_])          \
+            if (anode[q_] == (W)) { found = 1; break; }                   \
+        if (!found) {                                                     \
+            anode[an] = (W); anext[an] = -1;                              \
+            if (ahead[U] == -1) ahead[U] = an;                            \
+            else anext[atail[U]] = an;                                    \
+            atail[U] = an;                                                \
+            an++;                                                         \
+        }                                                                 \
+    } while (0)
+    for (Py_ssize_t t = 0; t < np_; t++) {
+        double x0 = d[4 * t], y0 = d[4 * t + 1];
+        double x1 = d[4 * t + 2], y1 = d[4 * t + 3];
+        if (x0 == x1 && y0 == y1)
+            continue;  /* graph_from_segments: if a != b */
+        Py_ssize_t u, w;
+        INTERN_V(x0, y0, u);
+        INTERN_V(x1, y1, w);
+        ADJ_ADD_V(u, w);
+        ADJ_ADD_V(w, u);
+    }
+#undef INTERN_V
+#undef ADJ_ADD_V
+    {
+        Lvl L = {0};
+        L.n_nodes = dn;
+        L.pos = PyMem_Malloc((dn + 1) * sizeof(PTxy));
+        L.adj_off = PyMem_Malloc((dn + 2) * sizeof(Py_ssize_t));
+        L.adj = PyMem_Malloc((an + 1) * sizeof(Py_ssize_t));
+        if (!L.pos || !L.adj_off || !L.adj) {
+            PyErr_NoMemory();
+            lvl_free(&L);
+            goto done;
+        }
+        Py_ssize_t p_ = 0;
+        for (Py_ssize_t u = 0; u < dn; u++) {
+            L.pos[u] = pos[u];
+            L.adj_off[u] = p_;
+            for (Py_ssize_t q = ahead[u]; q != -1; q = anext[q])
+                L.adj[p_++] = anode[q];
+        }
+        L.adj_off[dn] = p_;
+        L.m2 = p_;
+        out = run_weak_dual(L, max_k);
+    }
+done:
+    PyMem_Free(pos); PyMem_Free(ahead); PyMem_Free(atail);
+    PyMem_Free(anode); PyMem_Free(anext);
+    if (nm_ok) map2_free(&nmap);
+    PyBuffer_Release(&buf);
+    return out;
+}
+
+/* test hooks for the bit-exactness fuzz suites */
+static PyObject *
+py_pw_sum(PyObject *self, PyObject *args)
+{
+    PyObject *xs_o;
+    if (!PyArg_ParseTuple(args, "O", &xs_o))
+        return NULL;
+    if (!PyList_CheckExact(xs_o)) {
+        PyErr_SetString(PyExc_TypeError, "expected list");
+        return NULL;
+    }
+    Py_ssize_t n = PyList_GET_SIZE(xs_o);
+    double *buf = PyMem_Malloc((n + 1) * sizeof(double));
+    if (!buf)
+        return PyErr_NoMemory();
+    for (Py_ssize_t i = 0; i < n; i++) {
+        buf[i] = PyFloat_AsDouble(PyList_GET_ITEM(xs_o, i));
+        if (PyErr_Occurred()) {
+            PyMem_Free(buf);
+            return NULL;
+        }
+    }
+    double s = pw_sum(buf, n);
+    PyMem_Free(buf);
+    return PyFloat_FromDouble(s);
+}
+
+static PyObject *
+py_pt_in_ring(PyObject *self, PyObject *args)
+{
+    PyObject *rx_o, *ry_o;
+    double px, py;
+    if (!PyArg_ParseTuple(args, "ddOO", &px, &py, &rx_o, &ry_o))
+        return NULL;
+    static double rx[8192], ry[8192];
+    Py_ssize_t n, n2;
+    if (!load_list(rx_o, rx, 8192, &n) || !load_list(ry_o, ry, 8192, &n2))
+        return NULL;
+    return PyLong_FromLong(pt_in_ring_c(px, py, rx, ry, n));
 }
 
 static PyObject *
@@ -1401,6 +2126,14 @@ static PyMethodDef Methods[] = {
      "split a degenerate ring into sub-loops at repeated vertices"},
     {"hypot2", py_hypot2, METH_VARARGS,
      "CPython 3.11 math.hypot port (2 args) for equivalence testing"},
+    {"s0_segs", s0_segs, METH_VARARGS,
+     "fused per-block s0 construction -> kept-ring segments (float64 bytes)"},
+    {"weak_dual_k_segs", weak_dual_k_segs, METH_VARARGS,
+     "k-index from noded arrangement pieces (graph build + weak duals)"},
+    {"pw_sum", py_pw_sum, METH_VARARGS,
+     "numpy pairwise-sum port (equivalence testing)"},
+    {"pt_in_ring", py_pt_in_ring, METH_VARARGS,
+     "geom.point_in_ring port (equivalence testing)"},
     {NULL, NULL, 0, NULL},
 };
 
