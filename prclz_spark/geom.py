@@ -36,6 +36,13 @@ from dataclasses import dataclass
 
 import numpy as np
 
+try:  # optional C inner loops (see kernels/planar_fast.c); pure-numpy fallback
+    from .kernels import planar_fast as _PF
+except Exception:  # pragma: no cover - missing/incompatible build
+    _PF = None
+if _PF is not None and not hasattr(_PF, "pip_ray"):  # stale .so
+    _PF = None
+
 POINT, LINESTRING, POLYGON, MULTIPOINT, MULTILINESTRING, MULTIPOLYGON = 1, 2, 3, 4, 5, 6
 
 _KIND_NAMES = {
@@ -955,6 +962,12 @@ def batch_bounds(geoms: list) -> np.ndarray:
 
 def point_in_ring(px: float, py: float, ring: np.ndarray) -> bool:
     """Ray casting; boundary counts as inside."""
+    if _PF is not None and len(ring) <= 8192:
+        # C port (planar_fast.pt_in_ring): identical elementwise
+        # expressions, fuzzed in tests/test_planar_fused.py
+        return bool(_PF.pt_in_ring(
+            float(px), float(py), ring[:, 0].tolist(), ring[:, 1].tolist()
+        ))
     x0, y0 = ring[:-1, 0], ring[:-1, 1]
     x1, y1 = ring[1:, 0], ring[1:, 1]
     # on-boundary check
@@ -1003,6 +1016,18 @@ def points_in_polygon_bulk(xs: np.ndarray, ys: np.ndarray, g: Geom) -> np.ndarra
     kernels that refine cell-join candidates after the shuffle."""
     xs = np.asarray(xs, dtype=np.float64)
     ys = np.asarray(ys, dtype=np.float64)
+    if _PF is not None and g.kind == POLYGON and len(g.data) == 1:
+        # single-ring C path (planar_fast.pip_ray): per-point ray cast with
+        # the identical elementwise expressions — same booleans as the
+        # numpy matrix below (fuzzed in tests/test_planar_fused.py)
+        ring = np.asarray(g.data[0], dtype=np.float64)
+        if len(ring) <= 8192:
+            b = _PF.pip_ray(
+                np.ascontiguousarray(xs).tobytes(),
+                np.ascontiguousarray(ys).tobytes(),
+                ring[:, 0].tolist(), ring[:, 1].tolist(),
+            )
+            return np.frombuffer(b, dtype=np.uint8).astype(bool)
     out = np.zeros(len(xs), dtype=bool)
     polys = [g.data] if g.kind == POLYGON else g.data
     for rings in polys:

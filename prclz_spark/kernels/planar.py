@@ -1714,12 +1714,18 @@ def block_complexity(block_ring: np.ndarray, centroids: np.ndarray) -> int:
         else:
             if not seg_bytes:
                 return 0
-            pieces = _node_pieces(np.frombuffer(seg_bytes).reshape(-1, 4))
-            if not len(pieces):
+            pieces_b = None
+            if hasattr(_CF, "node_pieces"):
+                try:
+                    pieces_b = _CF.node_pieces(seg_bytes)
+                except ValueError:
+                    pieces_b = None  # >8192 segments: numpy noder
+            if pieces_b is None:
+                pieces = _node_pieces(np.frombuffer(seg_bytes).reshape(-1, 4))
+                pieces_b = np.ascontiguousarray(pieces).tobytes()
+            if not pieces_b:
                 return 0
-            return _CF.weak_dual_k_segs(
-                np.ascontiguousarray(pieces).tobytes(), 64
-            )
+            return _CF.weak_dual_k_segs(pieces_b, 64)
     if S0_CFG.get("backend") == "fortune":
         g0 = s0_graph_fortune(block_ring, centroids)
     else:

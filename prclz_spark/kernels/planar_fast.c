@@ -2059,6 +2059,241 @@ done:
     return out;
 }
 
+/* ---- noder: C port of planar._node_pieces (round 8) -------------------
+ * node_pieces(segs) -> bytes — segs is an (m,4) float64 buffer; returns
+ * the noded, QUANTUM-rounded, zero-length-filtered pieces as an (n,4)
+ * float64 buffer.  Bit-exact with the numpy path:
+ *   - the candidate-pair stage of _node_pieces provably reduces to "every
+ *     (i<j) pair whose bboxes overlap" (complete grid + exact bbox refine
+ *     + np.unique canonicalization), so ANY complete enumeration with the
+ *     same exact bbox test yields the identical pair set — here a
+ *     sort-by-xmin sweep;
+ *   - per-pair intersection / collinear-projection math is elementwise,
+ *     ported op-for-op (nan/inf short-circuits match because `ok` gates
+ *     every non-finite lane exactly like the numpy masks);
+ *   - (i, t) items are sorted by composite key and deduped on value
+ *     equality — ties are identical values, so sort stability is moot;
+ *   - QUANTUM rounding is rint (np.round decimals=0), half-even.
+ * Raises ValueError above the 8192-segment cap (callers fall back to the
+ * numpy path). */
+typedef struct { Py_ssize_t i; double t; } Item;
+
+static int item_cmp(const void *a, const void *b)
+{
+    const Item *x = (const Item *)a, *y = (const Item *)b;
+    if (x->i != y->i)
+        return x->i < y->i ? -1 : 1;
+    if (x->t != y->t)
+        return x->t < y->t ? -1 : 1;
+    return 0;
+}
+
+static const double *xmin_ctx = NULL;
+static int xmin_cmp(const void *a, const void *b)
+{
+    double xa = xmin_ctx[*(const Py_ssize_t *)a];
+    double xb = xmin_ctx[*(const Py_ssize_t *)b];
+    if (xa != xb)
+        return xa < xb ? -1 : 1;
+    return 0;
+}
+
+static PyObject *
+node_pieces(PyObject *self, PyObject *args)
+{
+    Py_buffer buf;
+    if (!PyArg_ParseTuple(args, "y*", &buf))
+        return NULL;
+    if (buf.len % (4 * sizeof(double))) {
+        PyBuffer_Release(&buf);
+        PyErr_SetString(PyExc_ValueError, "segs buffer not (m,4) float64");
+        return NULL;
+    }
+    Py_ssize_t m = buf.len / (4 * (Py_ssize_t)sizeof(double));
+    const double *sg = (const double *)buf.buf;
+    PyObject *result = NULL;
+    Item *items = NULL;
+    Py_ssize_t items_cap = 0, n_items = 0;
+    double *xmn = NULL, *xmx = NULL, *ymn = NULL, *ymx = NULL;
+    Py_ssize_t *ord = NULL;
+    double *outbuf = NULL;
+    if (m > 8192) {
+        PyBuffer_Release(&buf);
+        PyErr_SetString(PyExc_ValueError, "too many segments");
+        return NULL;
+    }
+    if (m == 0) {
+        PyBuffer_Release(&buf);
+        return PyBytes_FromStringAndSize(NULL, 0);
+    }
+    xmn = PyMem_Malloc(m * sizeof(double));
+    xmx = PyMem_Malloc(m * sizeof(double));
+    ymn = PyMem_Malloc(m * sizeof(double));
+    ymx = PyMem_Malloc(m * sizeof(double));
+    ord = PyMem_Malloc(m * sizeof(Py_ssize_t));
+    items_cap = 4 * m + 64;
+    items = PyMem_Malloc(items_cap * sizeof(Item));
+    if (!xmn || !xmx || !ymn || !ymx || !ord || !items) {
+        PyErr_NoMemory();
+        goto done;
+    }
+    for (Py_ssize_t i = 0; i < m; i++) {
+        double x0 = sg[4 * i], y0 = sg[4 * i + 1];
+        double x1 = sg[4 * i + 2], y1 = sg[4 * i + 3];
+        xmn[i] = x0 < x1 ? x0 : x1;
+        xmx[i] = x0 < x1 ? x1 : x0;
+        ymn[i] = y0 < y1 ? y0 : y1;
+        ymx[i] = y0 < y1 ? y1 : y0;
+        ord[i] = i;
+        items[n_items].i = i; items[n_items].t = 0.0; n_items++;
+        items[n_items].i = i; items[n_items].t = 1.0; n_items++;
+    }
+    xmin_ctx = xmn;
+    qsort(ord, m, sizeof(Py_ssize_t), xmin_cmp);
+    /* sweep: for a (by xmin) <= b, overlap iff xmin[b] <= xmax[a] plus the
+     * exact y test — covers every bbox-overlapping pair exactly once */
+    for (Py_ssize_t a = 0; a < m; a++) {
+        Py_ssize_t i = ord[a];
+        for (Py_ssize_t b = a + 1; b < m; b++) {
+            Py_ssize_t j = ord[b];
+            if (!(xmn[j] <= xmx[i]))
+                break;
+            if (!(ymn[i] <= ymx[j] && ymx[i] >= ymn[j]))
+                continue;
+            /* pair (i, j): the same elementwise math as _node_pieces */
+            double pix = sg[4 * i], piy = sg[4 * i + 1];
+            double rix = sg[4 * i + 2] - pix, riy = sg[4 * i + 3] - piy;
+            double pjx = sg[4 * j], pjy = sg[4 * j + 1];
+            double rjx = sg[4 * j + 2] - pjx, rjy = sg[4 * j + 3] - pjy;
+            double denom = rix * rjy - riy * rjx;
+            double dpx = pjx - pix, dpy = pjy - piy;
+            double cross_pr = dpx * riy - dpy * rix;
+            if (n_items + 8 > items_cap) {
+                items_cap *= 2;
+                Item *ni = PyMem_Realloc(items, items_cap * sizeof(Item));
+                if (!ni) { PyErr_NoMemory(); goto done; }
+                items = ni;
+            }
+            if (denom != 0.0) {
+                double t = (dpx * rjy - dpy * rjx) / denom;
+                double u = cross_pr / denom;
+                int ok = (t >= -1e-12) && (t <= 1.0 + 1e-12)
+                         && (u >= -1e-12) && (u <= 1.0 + 1e-12);
+                if (ok) {
+                    double tt = t < 0.0 ? 0.0 : (t > 1.0 ? 1.0 : t);
+                    double uu = u < 0.0 ? 0.0 : (u > 1.0 ? 1.0 : u);
+                    if (tt > 1e-12 && tt < 1.0 - 1e-12) {
+                        items[n_items].i = i; items[n_items].t = tt; n_items++;
+                    }
+                    if (uu > 1e-12 && uu < 1.0 - 1e-12) {
+                        items[n_items].i = j; items[n_items].t = uu; n_items++;
+                    }
+                }
+            } else if (cross_pr == 0.0) {
+                /* collinear overlap: endpoint projections, both segments
+                 * non-degenerate (planar.py round-8 vectorized loop) */
+                double li2 = rix * rix + riy * riy;
+                double lj2 = rjx * rjx + rjy * rjy;
+                if (li2 > 0.0 && lj2 > 0.0) {
+                    double qjx = sg[4 * j + 2], qjy = sg[4 * j + 3];
+                    double qix = sg[4 * i + 2], qiy = sg[4 * i + 3];
+                    double t_;
+                    t_ = ((pjx - pix) * rix + (pjy - piy) * riy) / li2;
+                    if (t_ > 1e-12 && t_ < 1.0 - 1e-12) {
+                        items[n_items].i = i; items[n_items].t = t_; n_items++;
+                    }
+                    t_ = ((qjx - pix) * rix + (qjy - piy) * riy) / li2;
+                    if (t_ > 1e-12 && t_ < 1.0 - 1e-12) {
+                        items[n_items].i = i; items[n_items].t = t_; n_items++;
+                    }
+                    t_ = ((pix - pjx) * rjx + (piy - pjy) * rjy) / lj2;
+                    if (t_ > 1e-12 && t_ < 1.0 - 1e-12) {
+                        items[n_items].i = j; items[n_items].t = t_; n_items++;
+                    }
+                    t_ = ((qix - pjx) * rjx + (qiy - pjy) * rjy) / lj2;
+                    if (t_ > 1e-12 && t_ < 1.0 - 1e-12) {
+                        items[n_items].i = j; items[n_items].t = t_; n_items++;
+                    }
+                }
+            }
+        }
+    }
+    qsort(items, n_items, sizeof(Item), item_cmp);
+    /* dedupe exact-equal (i, t); emit pieces per consecutive same-i pair */
+    outbuf = PyMem_Malloc((n_items + 1) * 4 * sizeof(double));
+    if (!outbuf) {
+        PyErr_NoMemory();
+        goto done;
+    }
+    Py_ssize_t n_out = 0;
+    Py_ssize_t prev = -1;  /* previous kept item index */
+    for (Py_ssize_t k = 0; k < n_items; k++) {
+        if (k > 0 && items[k].i == items[k - 1].i
+            && items[k].t == items[k - 1].t)
+            continue;
+        if (prev >= 0 && items[prev].i == items[k].i) {
+            Py_ssize_t i = items[k].i;
+            double px_ = sg[4 * i], py_ = sg[4 * i + 1];
+            double dx_ = sg[4 * i + 2] - px_, dy_ = sg[4 * i + 3] - py_;
+            double t0 = items[prev].t, t1 = items[k].t;
+            double c0 = rint((px_ + t0 * dx_) / 1e-9) * 1e-9;
+            double c1 = rint((py_ + t0 * dy_) / 1e-9) * 1e-9;
+            double c2 = rint((px_ + t1 * dx_) / 1e-9) * 1e-9;
+            double c3 = rint((py_ + t1 * dy_) / 1e-9) * 1e-9;
+            if (c0 != c2 || c1 != c3) {
+                outbuf[4 * n_out] = c0;
+                outbuf[4 * n_out + 1] = c1;
+                outbuf[4 * n_out + 2] = c2;
+                outbuf[4 * n_out + 3] = c3;
+                n_out++;
+            }
+        }
+        prev = k;
+    }
+    result = PyBytes_FromStringAndSize((const char *)outbuf,
+                                       n_out * 4 * (Py_ssize_t)sizeof(double));
+done:
+    PyMem_Free(xmn); PyMem_Free(xmx); PyMem_Free(ymn); PyMem_Free(ymx);
+    PyMem_Free(ord); PyMem_Free(items); PyMem_Free(outbuf);
+    PyBuffer_Release(&buf);
+    return result;
+}
+
+/* pip_ray(xs, ys, rx, ry) -> bytes of uint8 — bulk point-in-ring with
+ * geom._bulk_in_ring | _bulk_on_ring semantics (ray cast, boundary
+ * inside).  rx/ry is the CLOSED ring; elementwise identical to the numpy
+ * expressions. */
+static PyObject *
+pip_ray(PyObject *self, PyObject *args)
+{
+    Py_buffer xb, yb;
+    PyObject *rx_o, *ry_o;
+    if (!PyArg_ParseTuple(args, "y*y*OO", &xb, &yb, &rx_o, &ry_o))
+        return NULL;
+    static double rx[8192], ry[8192];
+    Py_ssize_t nr, nr2;
+    if (!load_list(rx_o, rx, 8192, &nr) || !load_list(ry_o, ry, 8192, &nr2)) {
+        PyBuffer_Release(&xb);
+        PyBuffer_Release(&yb);
+        return NULL;
+    }
+    Py_ssize_t n = xb.len / (Py_ssize_t)sizeof(double);
+    const double *xs = (const double *)xb.buf;
+    const double *ys = (const double *)yb.buf;
+    PyObject *out = PyBytes_FromStringAndSize(NULL, n);
+    if (!out) {
+        PyBuffer_Release(&xb);
+        PyBuffer_Release(&yb);
+        return NULL;
+    }
+    char *w = PyBytes_AS_STRING(out);
+    for (Py_ssize_t k = 0; k < n; k++)
+        w[k] = (char)pt_in_ring_c(xs[k], ys[k], rx, ry, nr);
+    PyBuffer_Release(&xb);
+    PyBuffer_Release(&yb);
+    return out;
+}
+
 /* test hooks for the bit-exactness fuzz suites */
 static PyObject *
 py_pw_sum(PyObject *self, PyObject *args)
@@ -2132,6 +2367,10 @@ static PyMethodDef Methods[] = {
      "k-index from noded arrangement pieces (graph build + weak duals)"},
     {"pw_sum", py_pw_sum, METH_VARARGS,
      "numpy pairwise-sum port (equivalence testing)"},
+    {"node_pieces", node_pieces, METH_VARARGS,
+     "noded arrangement pieces from a segment table (float64 bytes)"},
+    {"pip_ray", pip_ray, METH_VARARGS,
+     "bulk point-in-ring (boundary inside) -> uint8 bytes"},
     {"pt_in_ring", py_pt_in_ring, METH_VARARGS,
      "geom.point_in_ring port (equivalence testing)"},
     {NULL, NULL, 0, NULL},

@@ -51,9 +51,10 @@ def test_pw_sum_matches_numpy_bitwise():
             assert np.float64(want).tobytes() == np.float64(got).tobytes(), ln
 
 
-def test_pt_in_ring_matches_python():
+def test_pt_in_ring_matches_python(monkeypatch):
     from prclz_spark import geom as G
 
+    monkeypatch.setattr(G, "_PF", None)  # force the numpy reference path
     rng = np.random.default_rng(8)
     for trial in range(300):
         n = int(rng.integers(3, 12))
