@@ -139,19 +139,47 @@ def ann_lsh_topk(
 # --- IVF tier ---------------------------------------------------------------
 
 
-def _assign_nearest(X: np.ndarray, cents: np.ndarray, chunk: int = 32) -> np.ndarray:
+def _assign_nearest(X: np.ndarray, cents: np.ndarray, chunk: int = 1024) -> np.ndarray:
     """argmin_c ||x - cents[c]||² per row — elementwise identical to
     ``((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1).argmin(1)`` (same
     IEEE ops per row; per-row reductions are independent of chunking),
-    evaluated in row chunks so the temporary stays cache-sized. The
-    unchunked cube is also a SCALE bug: at the 100k-row training sample
-    with √N-auto lists it is tens of GB on the driver (round-8)."""
+    evaluated in row chunks so the temporary stays bounded. The unchunked
+    cube is also a SCALE bug: at the 100k-row training sample with √N-auto
+    lists it is tens of GB on the driver (round-8). chunk=1024 keeps the
+    temp ≤ ~35 MB at the production (k=256, sub≤16) shape while paying the
+    numpy dispatch cost 32× less often than the former chunk=32 (the
+    dispatch, not the flops, dominated train_pq's driver CPU)."""
     n = len(X)
     out = np.empty(n, dtype=np.int64)
     for i in range(0, n, chunk):
         d2 = ((X[i : i + chunk, None, :] - cents[None, :, :]) ** 2).sum(-1)
         out[i : i + chunk] = d2.argmin(axis=1)
     return out
+
+
+def _cluster_means_inplace(cents: np.ndarray, X: np.ndarray, a: np.ndarray) -> None:
+    """cents[c] = X[a == c].mean(axis=0) for every non-empty cluster —
+    restructured from k boolean-mask scans to one stable argsort + group
+    slices.  BIT-IDENTICAL: X[order[s:e]] (stable sort ⇒ ascending original
+    indices within a cluster) is the same C-contiguous row copy as
+    X[a == c], so np.mean sees an identical array; empty clusters never
+    form a group, matching the mask.any() skip."""
+    order = np.argsort(a, kind="stable")
+    sa = a[order]
+    if not len(sa):
+        return
+    starts = np.r_[0, 1 + np.nonzero(sa[1:] != sa[:-1])[0], len(sa)]
+    lens = np.diff(starts)
+    cids = sa[starts[:-1]]
+    # one vectorized pass per DISTINCT group size (the noder's bucket
+    # trick): same-size clusters stack into an (ng, g, sub) cube whose
+    # mean(axis=1) slices are bit-equal to the per-cluster mean(axis=0)
+    # (asserted in tests/test_ann.py) — tens of numpy calls per iteration
+    # instead of one per cluster
+    for g in np.unique(lens):
+        sel = np.nonzero(lens == g)[0]
+        idx = order[starts[:-1][sel][:, None] + np.arange(g)]
+        cents[cids[sel]] = X[idx].mean(axis=1)
 
 
 def _sample_vectors(
@@ -199,10 +227,7 @@ def train_centroids(
     cents = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)]
     for _ in range(iters):
         a = _assign_nearest(X, cents)
-        for c in range(len(cents)):
-            m = a == c
-            if m.any():
-                cents[c] = X[m].mean(axis=0)
+        _cluster_means_inplace(cents, X, a)
     return cents
 
 
@@ -326,19 +351,35 @@ def train_pq(
         )
     rng = np.random.default_rng(seed)
     books = np.zeros((m, n_codes, sub))
+    # initial centroids drawn first, in subspace order (the rng sequence is
+    # shared), so the per-subspace trainings below are fully independent
+    inits = []
     for s in range(m):
         Xs = X[:, s * sub : (s + 1) * sub]
         k = min(n_codes, len(Xs))
-        cents = Xs[rng.choice(len(Xs), size=k, replace=False)]
+        inits.append(Xs[rng.choice(len(Xs), size=k, replace=False)])
+
+    def _train_one(s: int):
+        Xs = np.ascontiguousarray(X[:, s * sub : (s + 1) * sub])
+        cents = inits[s]
+        k = len(cents)
         for _ in range(iters):
             a = _assign_nearest(Xs, cents)
-            for c in range(k):
-                mask = a == c
-                if mask.any():
-                    cents[c] = Xs[mask].mean(axis=0)
-        books[s, :k] = cents
-        if k < n_codes:
-            books[s, k:] = cents[0]  # degenerate tiny-sample fill
+            _cluster_means_inplace(cents, Xs, a)
+        return s, k, cents
+
+    # the m subspace k-means are independent (no shared float state once
+    # the rng draws are done) — run them on a thread pool; numpy releases
+    # the GIL inside the large chunked ufunc/reduction calls, so the
+    # driver-side training wall drops ~min(m, cores)× with BIT-IDENTICAL
+    # output (each subspace computes exactly the sequential result)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(m, 8)) as ex:
+        for s, k, cents in ex.map(_train_one, range(m)):
+            books[s, :k] = cents
+            if k < n_codes:
+                books[s, k:] = cents[0]  # degenerate tiny-sample fill
     return books
 
 

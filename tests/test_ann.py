@@ -428,3 +428,64 @@ def test_cli_ann_index_encode_batch_loop(spark, tmp_path):
     pdf = spark.read.parquet(str(tmp_path / "r.pq")).toPandas()
     top = pdf[pdf["rank"] == 1].iloc[0]
     assert top.vec_id == 400 and top.cos_sim > 0.9999
+
+
+def test_train_pq_restructured_kmeans_bit_identical():
+    """Round-8: the vectorized k-means internals (chunked assignment,
+    argsort-sliced stacked-group means, pre-drawn inits + threaded
+    subspaces) must reproduce the original mask-loop implementation
+    BIT-FOR-BIT — the codebooks feed pq encodings whose scores the driver
+    fingerprints."""
+    import numpy as np
+
+    from prclz_spark.operators import ann as A
+
+    rng = np.random.default_rng(123)
+    X = rng.standard_normal((700, 64))
+
+    def train_pq_reference(sample, dim, m=8, n_codes=256, iters=10, seed=11):
+        sub = dim // m
+        Xn = A._norm_rows(sample)
+        Xn = Xn[np.abs(Xn).sum(axis=1) > 0]
+        r = np.random.default_rng(seed)
+        books = np.zeros((m, n_codes, sub))
+        for s in range(m):
+            Xs = Xn[:, s * sub:(s + 1) * sub]
+            k = min(n_codes, len(Xs))
+            cents = Xs[r.choice(len(Xs), size=k, replace=False)]
+            for _ in range(iters):
+                a = ((Xs[:, None, :] - cents[None, :, :]) ** 2).sum(-1).argmin(1)
+                for c in range(k):
+                    mask = a == c
+                    if mask.any():
+                        cents[c] = Xs[mask].mean(axis=0)
+            books[s, :k] = cents
+            if k < n_codes:
+                books[s, k:] = cents[0]
+        return books
+
+    want = train_pq_reference(X, 64)
+    got = A.train_pq(None, "embedding", 64, sample=X)
+    assert want.tobytes() == got.tobytes()
+
+
+def test_cluster_means_stacked_groups_bit_identical():
+    import numpy as np
+
+    from prclz_spark.operators import ann as A
+
+    rng = np.random.default_rng(77)
+    for trial in range(30):
+        n = int(rng.integers(1, 500))
+        k = int(rng.integers(1, 64))
+        sub = int(rng.integers(1, 20))
+        X = rng.standard_normal((n, sub)) * (10.0 ** rng.integers(-6, 7))
+        a = rng.integers(0, k, n)
+        want = rng.standard_normal((k, sub))
+        got = want.copy()
+        for c in range(k):
+            m = a == c
+            if m.any():
+                want[c] = X[m].mean(axis=0)
+        A._cluster_means_inplace(got, X, a)
+        assert want.tobytes() == got.tobytes(), trial
