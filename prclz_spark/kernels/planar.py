@@ -1760,6 +1760,32 @@ def polygonize_region(region_ring: np.ndarray, line_arrays: list) -> list:
         if len(arr) >= 2:
             segs.append(np.hstack([arr[:-1], arr[1:]]))
     segs = np.vstack(segs)
+    if _CF is not None and hasattr(_CF, "region_faces"):
+        # fused C face stage (round 8): noding (node_pieces when it fits,
+        # else the numpy noder), then graph build + leaf pruning + rotation
+        # trace + area/centroid/containment filters in one call — the same
+        # machinery dual_level already runs, emitting rings in inner_faces
+        # order (bit-equal to the Python path; tests/test_planar_fused.py)
+        pieces_b = None
+        try:
+            pieces_b = _CF.node_pieces(np.ascontiguousarray(segs).tobytes())
+        except ValueError:
+            pieces_b = None  # >8192 segments: numpy noder
+        if pieces_b is None:
+            pieces_b = np.ascontiguousarray(_node_pieces(segs)).tobytes()
+        try:
+            cb, lens = _CF.region_faces(pieces_b, r[:, 0].tolist(), r[:, 1].tolist())
+        except ValueError:
+            pass  # capacity guard: fall through to the Python path
+        else:
+            flat = np.frombuffer(cb).reshape(-1, 2)
+            out = []
+            off = 0
+            for ln in lens:
+                out.append(flat[off : off + ln].copy())
+                off += ln
+            out.sort(key=lambda rr: (rr[:, 1].min(), rr[:, 0].min(), -len(rr)))
+            return out
     pieces = node_segments(segs)
     g = graph_from_segments(pieces)
     # dangling edges (degree-1 chains) don't bound faces; prune iteratively

@@ -1963,20 +1963,14 @@ done:
  * first-seen order (keeping the first-seen coordinate object, like nx
  * node tuples), adjacency in insertion order with duplicate-edge
  * suppression, self-edges skipped — then runs the weak-dual sequence. */
-static PyObject *
-weak_dual_k_segs(PyObject *self, PyObject *args)
+/* graph_from_segments semantics over a pieces buffer: nodes interned by
+ * VALUE equality in first-seen order (keeping the first-seen coordinate,
+ * like nx node tuples), adjacency in insertion order with duplicate-edge
+ * suppression, self-edges skipped.  Fills L (caller lvl_free's it).
+ * Returns 0 ok, -1 allocation failure (PyErr set). */
+static int
+graph_from_pieces_c(const double *d, Py_ssize_t np_, Lvl *L)
 {
-    Py_buffer buf;
-    Py_ssize_t max_k;
-    if (!PyArg_ParseTuple(args, "y*n", &buf, &max_k))
-        return NULL;
-    if (buf.len % (4 * sizeof(double))) {
-        PyBuffer_Release(&buf);
-        PyErr_SetString(PyExc_ValueError, "pieces buffer not (n,4) float64");
-        return NULL;
-    }
-    Py_ssize_t np_ = buf.len / (4 * (Py_ssize_t)sizeof(double));
-    const double *d = (const double *)buf.buf;
     Map2 nmap = {0};
     PTxy *pos = PyMem_Malloc((2 * np_ + 1) * sizeof(PTxy));
     Py_ssize_t *ahead = PyMem_Malloc((2 * np_ + 1) * sizeof(Py_ssize_t));
@@ -1985,7 +1979,8 @@ weak_dual_k_segs(PyObject *self, PyObject *args)
     Py_ssize_t *anext = PyMem_Malloc((4 * np_ + 1) * sizeof(Py_ssize_t));
     int nm_ok = map2_init(&nmap, 2 * np_ + 1);
     Py_ssize_t dn = 0, an = 0;
-    PyObject *out = NULL;
+    int rc = -1;
+    L->n_nodes = 0; L->pos = NULL; L->adj_off = NULL; L->adj = NULL; L->m2 = 0;
     if (!pos || !ahead || !atail || !anode || !anext || !nm_ok) {
         PyErr_NoMemory();
         goto done;
@@ -2029,34 +2024,55 @@ weak_dual_k_segs(PyObject *self, PyObject *args)
     }
 #undef INTERN_V
 #undef ADJ_ADD_V
+    L->n_nodes = dn;
+    L->pos = PyMem_Malloc((dn + 1) * sizeof(PTxy));
+    L->adj_off = PyMem_Malloc((dn + 2) * sizeof(Py_ssize_t));
+    L->adj = PyMem_Malloc((an + 1) * sizeof(Py_ssize_t));
+    if (!L->pos || !L->adj_off || !L->adj) {
+        PyErr_NoMemory();
+        lvl_free(L);
+        goto done;
+    }
     {
-        Lvl L = {0};
-        L.n_nodes = dn;
-        L.pos = PyMem_Malloc((dn + 1) * sizeof(PTxy));
-        L.adj_off = PyMem_Malloc((dn + 2) * sizeof(Py_ssize_t));
-        L.adj = PyMem_Malloc((an + 1) * sizeof(Py_ssize_t));
-        if (!L.pos || !L.adj_off || !L.adj) {
-            PyErr_NoMemory();
-            lvl_free(&L);
-            goto done;
-        }
         Py_ssize_t p_ = 0;
         for (Py_ssize_t u = 0; u < dn; u++) {
-            L.pos[u] = pos[u];
-            L.adj_off[u] = p_;
+            L->pos[u] = pos[u];
+            L->adj_off[u] = p_;
             for (Py_ssize_t q = ahead[u]; q != -1; q = anext[q])
-                L.adj[p_++] = anode[q];
+                L->adj[p_++] = anode[q];
         }
-        L.adj_off[dn] = p_;
-        L.m2 = p_;
-        out = run_weak_dual(L, max_k);
+        L->adj_off[dn] = p_;
+        L->m2 = p_;
     }
+    rc = 0;
 done:
     PyMem_Free(pos); PyMem_Free(ahead); PyMem_Free(atail);
     PyMem_Free(anode); PyMem_Free(anext);
     if (nm_ok) map2_free(&nmap);
+    return rc;
+}
+
+static PyObject *
+weak_dual_k_segs(PyObject *self, PyObject *args)
+{
+    Py_buffer buf;
+    Py_ssize_t max_k;
+    if (!PyArg_ParseTuple(args, "y*n", &buf, &max_k))
+        return NULL;
+    if (buf.len % (4 * sizeof(double))) {
+        PyBuffer_Release(&buf);
+        PyErr_SetString(PyExc_ValueError, "pieces buffer not (n,4) float64");
+        return NULL;
+    }
+    Py_ssize_t np_ = buf.len / (4 * (Py_ssize_t)sizeof(double));
+    const double *d = (const double *)buf.buf;
+    Lvl L = {0};
+    if (graph_from_pieces_c(d, np_, &L) < 0) {
+        PyBuffer_Release(&buf);
+        return NULL;
+    }
     PyBuffer_Release(&buf);
-    return out;
+    return run_weak_dual(L, max_k);
 }
 
 /* ---- noder: C port of planar._node_pieces (round 8) -------------------
@@ -2294,6 +2310,361 @@ pip_ray(PyObject *self, PyObject *args)
     return out;
 }
 
+/* region_faces(pieces, rx, ry) -> (coords_bytes, lens)
+ * The polygonize_region face stage: union graph from noded pieces
+ * (graph_from_segments semantics), iterative degree<=1 pruning, rotation-
+ * system face trace (trace_faces semantics: atan2-sorted rotations, seeds
+ * in lexicographic directed-edge order), stable len-sort minus the
+ * largest (inner_faces), then per inner face the area>0 filter
+ * (np.sum-pairwise shoelace), the |2A|<0.02 centroid fallback, and the
+ * region-containment test (point_in_ring).  Emits the kept faces' CLOSED
+ * rings, in inner_faces order, as one float64 coords buffer + per-ring
+ * row counts (the caller sorts by (miny, minx, -len) like the Python
+ * path). */
+static PyObject *
+region_faces(PyObject *self, PyObject *args)
+{
+    Py_buffer buf;
+    PyObject *rx_o, *ry_o;
+    if (!PyArg_ParseTuple(args, "y*OO", &buf, &rx_o, &ry_o))
+        return NULL;
+    static double rgx[8192], rgy[8192];
+    Py_ssize_t nrg, nrg2;
+    if (!load_list(rx_o, rgx, 8192, &nrg) || !load_list(ry_o, rgy, 8192, &nrg2)) {
+        PyBuffer_Release(&buf);
+        return NULL;
+    }
+    if (buf.len % (4 * sizeof(double))) {
+        PyBuffer_Release(&buf);
+        PyErr_SetString(PyExc_ValueError, "pieces buffer not (n,4) float64");
+        return NULL;
+    }
+    Py_ssize_t np_ = buf.len / (4 * (Py_ssize_t)sizeof(double));
+    Lvl G = {0}, L = {0};
+    PyObject *result = NULL;
+    unsigned char *alive = NULL;
+    Py_ssize_t *remap = NULL;
+    Py_ssize_t *rot = NULL, *de_succ = NULL, *de_p = NULL, *de_c = NULL;
+    double *keybuf = NULL;
+    Py_ssize_t *ordbuf = NULL, *tmpbuf = NULL;
+    Seed *seeds = NULL, *stmp = NULL;
+    unsigned char *used = NULL;
+    Py_ssize_t *face_start = NULL, *face_seq = NULL;
+    Py_ssize_t *forder = NULL, *ftmp = NULL;
+    double *flen = NULL;
+    double *coords = NULL;
+    double *ebuf2 = NULL;
+    PyObject *lens_list = NULL;
+    Map2 demap = {0};
+    int demap_ok = 0;
+    if (graph_from_pieces_c((const double *)buf.buf, np_, &G) < 0) {
+        PyBuffer_Release(&buf);
+        return NULL;
+    }
+    PyBuffer_Release(&buf);
+    /* iterative leaf pruning: degrees over alive nodes only (removing a
+     * node removes its edges, like nx remove_nodes_from) */
+    alive = PyMem_Malloc((G.n_nodes + 1) * sizeof(unsigned char));
+    remap = PyMem_Malloc((G.n_nodes + 1) * sizeof(Py_ssize_t));
+    if (!alive || !remap) {
+        PyErr_NoMemory();
+        goto done;
+    }
+    memset(alive, 1, G.n_nodes);
+    for (Py_ssize_t v = 0; v < G.n_nodes; v++)
+        remap[v] = 0;
+    for (;;) {
+        Py_ssize_t n_removed = 0;
+        for (Py_ssize_t v = 0; v < G.n_nodes; v++) {
+            if (!alive[v])
+                continue;
+            Py_ssize_t deg = 0;
+            for (Py_ssize_t q = G.adj_off[v]; q < G.adj_off[v + 1]; q++)
+                deg += alive[G.adj[q]];
+            if (deg <= 1) {
+                remap[v] = -7; /* mark this round (simultaneous removal) */
+                n_removed++;
+            }
+        }
+        if (!n_removed)
+            break;
+        for (Py_ssize_t v = 0; v < G.n_nodes; v++)
+            if (alive[v] && remap[v] == -7)
+                alive[v] = 0;
+        for (Py_ssize_t v = 0; v < G.n_nodes; v++)
+            remap[v] = 0;
+    }
+    /* compact to L (original insertion order, filtered adjacency) */
+    {
+        Py_ssize_t dn = 0;
+        for (Py_ssize_t v = 0; v < G.n_nodes; v++)
+            remap[v] = alive[v] ? dn++ : -1;
+        L.n_nodes = dn;
+        L.pos = PyMem_Malloc((dn + 1) * sizeof(PTxy));
+        L.adj_off = PyMem_Malloc((dn + 2) * sizeof(Py_ssize_t));
+        L.adj = PyMem_Malloc((G.m2 + 1) * sizeof(Py_ssize_t));
+        if (!L.pos || !L.adj_off || !L.adj) {
+            PyErr_NoMemory();
+            goto done;
+        }
+        Py_ssize_t p_ = 0;
+        for (Py_ssize_t v = 0; v < G.n_nodes; v++) {
+            if (!alive[v])
+                continue;
+            Py_ssize_t u = remap[v];
+            L.pos[u] = G.pos[v];
+            L.adj_off[u] = p_;
+            for (Py_ssize_t q = G.adj_off[v]; q < G.adj_off[v + 1]; q++)
+                if (alive[G.adj[q]])
+                    L.adj[p_++] = remap[G.adj[q]];
+        }
+        L.adj_off[dn] = p_;
+        L.m2 = p_;
+    }
+    /* trace_faces (the dual_level rotation/seed/trace machinery) */
+    {
+        Py_ssize_t n = L.n_nodes, m2 = L.m2;
+        Py_ssize_t n_faces = 0, seq = 0;
+        if (n < 2 || m2 == 0) {
+            coords = PyMem_Malloc(8);
+            lens_list = PyList_New(0);
+            if (!coords || !lens_list) {
+                PyErr_NoMemory();
+                goto done;
+            }
+            PyObject *cb = PyBytes_FromStringAndSize(NULL, 0);
+            if (!cb)
+                goto done;
+            result = PyTuple_New(2);
+            if (!result) {
+                Py_DECREF(cb);
+                goto done;
+            }
+            PyTuple_SET_ITEM(result, 0, cb);
+            PyTuple_SET_ITEM(result, 1, lens_list);
+            lens_list = NULL;
+            goto done;
+        }
+        rot = PyMem_Malloc(m2 * sizeof(Py_ssize_t));
+        de_succ = PyMem_Malloc(m2 * sizeof(Py_ssize_t));
+        de_p = PyMem_Malloc(m2 * sizeof(Py_ssize_t));
+        de_c = PyMem_Malloc(m2 * sizeof(Py_ssize_t));
+        keybuf = PyMem_Malloc(m2 * sizeof(double));
+        ordbuf = PyMem_Malloc(m2 * sizeof(Py_ssize_t));
+        tmpbuf = PyMem_Malloc(m2 * sizeof(Py_ssize_t));
+        demap_ok = map2_init(&demap, m2);
+        seeds = PyMem_Malloc(m2 * sizeof(Seed));
+        stmp = PyMem_Malloc(m2 * sizeof(Seed));
+        used = PyMem_Calloc(m2, 1);
+        face_start = PyMem_Malloc((m2 + 2) * sizeof(Py_ssize_t));
+        face_seq = PyMem_Malloc(m2 * sizeof(Py_ssize_t));
+        if (!rot || !de_succ || !de_p || !de_c || !keybuf || !ordbuf
+            || !tmpbuf || !demap_ok || !seeds || !stmp || !used
+            || !face_start || !face_seq) {
+            PyErr_NoMemory();
+            goto done;
+        }
+        for (Py_ssize_t v = 0; v < n; v++) {
+            Py_ssize_t off = L.adj_off[v], deg = L.adj_off[v + 1] - off;
+            for (Py_ssize_t i = 0; i < deg; i++) {
+                Py_ssize_t nb = L.adj[off + i];
+                keybuf[i] = atan2(L.pos[nb].x - L.pos[v].x,
+                                  L.pos[nb].y - L.pos[v].y);
+                ordbuf[i] = i;
+            }
+            stable_sort_by_key(ordbuf, deg, keybuf, tmpbuf);
+            for (Py_ssize_t i = 0; i < deg; i++)
+                rot[off + i] = L.adj[off + ordbuf[i]];
+            for (Py_ssize_t i = 0; i < deg; i++) {
+                Py_ssize_t id = off + i;
+                de_p[id] = rot[off + i];
+                de_c[id] = v;
+                Py_ssize_t s = map2_slot(&demap, (unsigned long long)de_p[id],
+                                         (unsigned long long)v);
+                demap.k1[s] = (unsigned long long)de_p[id];
+                demap.k2[s] = (unsigned long long)v;
+                demap.val[s] = id;
+            }
+        }
+        for (Py_ssize_t v = 0; v < n; v++) {
+            Py_ssize_t off = L.adj_off[v], deg = L.adj_off[v + 1] - off;
+            for (Py_ssize_t i = 0; i < deg; i++) {
+                Py_ssize_t id = off + i;
+                Py_ssize_t w = rot[off + (i + 1) % deg];
+                Py_ssize_t s = map2_slot(&demap, (unsigned long long)v,
+                                         (unsigned long long)w);
+                de_succ[id] = demap.val[s];
+            }
+        }
+        for (Py_ssize_t i = 0; i < m2; i++) {
+            seeds[i].k1 = L.pos[de_p[i]].x;
+            seeds[i].k2 = L.pos[de_p[i]].y;
+            seeds[i].k3 = L.pos[de_c[i]].x;
+            seeds[i].k4 = L.pos[de_c[i]].y;
+            seeds[i].id = i;
+        }
+        seed_sort(seeds, m2, stmp);
+        for (Py_ssize_t i = 0; i < m2; i++) {
+            Py_ssize_t seed = seeds[i].id;
+            if (used[seed])
+                continue;
+            face_start[n_faces] = seq;
+            face_seq[seq++] = seed;
+            used[seed] = 1;
+            Py_ssize_t cur = de_succ[seed];
+            Py_ssize_t budget = 2 * m2 + 4;
+            while (cur != seed && budget) {
+                budget--;
+                face_seq[seq++] = cur;
+                used[cur] = 1;
+                cur = de_succ[cur];
+            }
+            n_faces++;
+        }
+        face_start[n_faces] = seq;
+        /* inner faces: stable len-sort, drop the largest */
+        forder = PyMem_Malloc((n_faces + 1) * sizeof(Py_ssize_t));
+        ftmp = PyMem_Malloc((n_faces + 1) * sizeof(Py_ssize_t));
+        flen = PyMem_Malloc((n_faces + 1) * sizeof(double));
+        coords = PyMem_Malloc((2 * (seq + n_faces) + 2) * sizeof(double));
+        lens_list = PyList_New(0);
+        if (!forder || !ftmp || !flen || !coords || !lens_list) {
+            PyErr_NoMemory();
+            goto done;
+        }
+        for (Py_ssize_t i = 0; i < n_faces; i++) {
+            forder[i] = i;
+            flen[i] = (double)(face_start[i + 1] - face_start[i]);
+        }
+        stable_sort_by_key(forder, n_faces, flen, ftmp);
+        Py_ssize_t n_inner = n_faces > 0 ? n_faces - 1 : 0;
+        Py_ssize_t cpos = 0;
+        ebuf2 = PyMem_Malloc((seq + 1) * sizeof(double));
+        if (!ebuf2) {
+            PyErr_NoMemory();
+            goto done;
+        }
+        for (Py_ssize_t fi = 0; fi < n_inner; fi++) {
+            Py_ssize_t f = forder[fi];
+            Py_ssize_t s0 = face_start[f], s1 = face_start[f + 1];
+            Py_ssize_t flen_ = s1 - s0;
+            /* face_area over the closed ring of de_p nodes */
+            for (Py_ssize_t t = 0; t < flen_; t++) {
+                Py_ssize_t de0 = face_seq[s0 + t];
+                Py_ssize_t de1 = face_seq[s0 + (t + 1) % flen_];
+                double x0 = L.pos[de_p[de0]].x, y0 = L.pos[de_p[de0]].y;
+                double x1 = L.pos[de_p[de1]].x, y1 = L.pos[de_p[de1]].y;
+                ebuf2[t] = x0 * y1 - x1 * y0;
+            }
+            double area = 0.5 * fabs(pw_sum(ebuf2, flen_));
+            if (!(area > 0.0))
+                continue;
+            /* face_centroid (sequential shoelace + sorted-mean fallback) */
+            double acc_a2 = 0.0, acc_cx = 0.0, acc_cy = 0.0;
+            for (Py_ssize_t t = s0; t < s1; t++) {
+                Py_ssize_t de = face_seq[t];
+                double x0 = L.pos[de_p[de]].x, y0 = L.pos[de_p[de]].y;
+                double x1 = L.pos[de_c[de]].x, y1 = L.pos[de_c[de]].y;
+                double cr = x0 * y1 - x1 * y0;
+                acc_a2 += cr;
+                acc_cx += (x0 + x1) * cr;
+                acc_cy += (y0 + y1) * cr;
+            }
+            double ccx, ccy;
+            if (fabs(acc_a2) < 0.02) {
+                Py_ssize_t nv = 0;
+                Seed *vbuf = PyMem_Malloc(2 * flen_ * sizeof(Seed));
+                Seed *vtmp = PyMem_Malloc(2 * flen_ * sizeof(Seed));
+                if (!vbuf || !vtmp) {
+                    PyMem_Free(vbuf); PyMem_Free(vtmp);
+                    PyErr_NoMemory();
+                    goto done;
+                }
+                for (Py_ssize_t t = s0; t < s1; t++) {
+                    Py_ssize_t de = face_seq[t];
+                    vbuf[nv].k1 = L.pos[de_p[de]].x;
+                    vbuf[nv].k2 = L.pos[de_p[de]].y;
+                    vbuf[nv].k3 = 0; vbuf[nv].k4 = 0; vbuf[nv].id = 0;
+                    nv++;
+                    vbuf[nv].k1 = L.pos[de_c[de]].x;
+                    vbuf[nv].k2 = L.pos[de_c[de]].y;
+                    vbuf[nv].k3 = 0; vbuf[nv].k4 = 0; vbuf[nv].id = 0;
+                    nv++;
+                }
+                seed_sort(vbuf, nv, vtmp);
+                double sx = 0.0, sy = 0.0;
+                Py_ssize_t cnt = 0;
+                for (Py_ssize_t t = 0; t < nv; t++) {
+                    if (t > 0 && vbuf[t].k1 == vbuf[t - 1].k1
+                        && vbuf[t].k2 == vbuf[t - 1].k2)
+                        continue;
+                    cnt++;
+                }
+                for (Py_ssize_t t = 0; t < nv; t++) {
+                    if (t > 0 && vbuf[t].k1 == vbuf[t - 1].k1
+                        && vbuf[t].k2 == vbuf[t - 1].k2)
+                        continue;
+                    sx += vbuf[t].k1;
+                }
+                for (Py_ssize_t t = 0; t < nv; t++) {
+                    if (t > 0 && vbuf[t].k1 == vbuf[t - 1].k1
+                        && vbuf[t].k2 == vbuf[t - 1].k2)
+                        continue;
+                    sy += vbuf[t].k2;
+                }
+                ccx = sx / (double)cnt;
+                ccy = sy / (double)cnt;
+                PyMem_Free(vbuf); PyMem_Free(vtmp);
+            } else {
+                double a6 = 3.0 * acc_a2;
+                ccx = acc_cx / a6;
+                ccy = acc_cy / a6;
+            }
+            if (!pt_in_ring_c(ccx, ccy, rgx, rgy, nrg))
+                continue;
+            /* emit the closed ring (de_p nodes + first again) */
+            for (Py_ssize_t t = s0; t < s1; t++) {
+                Py_ssize_t de = face_seq[t];
+                coords[cpos++] = L.pos[de_p[de]].x;
+                coords[cpos++] = L.pos[de_p[de]].y;
+            }
+            coords[cpos++] = L.pos[de_p[face_seq[s0]]].x;
+            coords[cpos++] = L.pos[de_p[face_seq[s0]]].y;
+            PyObject *ln = PyLong_FromSsize_t(flen_ + 1);
+            if (!ln || PyList_Append(lens_list, ln) < 0) {
+                Py_XDECREF(ln);
+                goto done;
+            }
+            Py_DECREF(ln);
+        }
+        PyObject *cb = PyBytes_FromStringAndSize((const char *)coords,
+                                                 cpos * (Py_ssize_t)sizeof(double));
+        if (!cb)
+            goto done;
+        result = PyTuple_New(2);
+        if (!result) {
+            Py_DECREF(cb);
+            goto done;
+        }
+        PyTuple_SET_ITEM(result, 0, cb);
+        PyTuple_SET_ITEM(result, 1, lens_list);
+        lens_list = NULL;
+    }
+done:
+    lvl_free(&G);
+    lvl_free(&L);
+    PyMem_Free(alive); PyMem_Free(remap);
+    PyMem_Free(rot); PyMem_Free(de_succ); PyMem_Free(de_p); PyMem_Free(de_c);
+    PyMem_Free(keybuf); PyMem_Free(ordbuf); PyMem_Free(tmpbuf);
+    PyMem_Free(seeds); PyMem_Free(stmp); PyMem_Free(used);
+    PyMem_Free(face_start); PyMem_Free(face_seq);
+    PyMem_Free(forder); PyMem_Free(ftmp); PyMem_Free(flen);
+    PyMem_Free(coords); PyMem_Free(ebuf2);
+    Py_XDECREF(lens_list);
+    if (demap_ok) map2_free(&demap);
+    return result;
+}
+
 /* test hooks for the bit-exactness fuzz suites */
 static PyObject *
 py_pw_sum(PyObject *self, PyObject *args)
@@ -2369,6 +2740,8 @@ static PyMethodDef Methods[] = {
      "numpy pairwise-sum port (equivalence testing)"},
     {"node_pieces", node_pieces, METH_VARARGS,
      "noded arrangement pieces from a segment table (float64 bytes)"},
+    {"region_faces", region_faces, METH_VARARGS,
+     "polygonize face stage: prune + trace + filter -> kept closed rings"},
     {"pip_ray", pip_ray, METH_VARARGS,
      "bulk point-in-ring (boundary inside) -> uint8 bytes"},
     {"pt_in_ring", py_pt_in_ring, METH_VARARGS,

@@ -175,3 +175,59 @@ def test_block_complexity_fallback_on_nonstandard_config():
     finally:
         P.S0_CFG.clear()
         P.S0_CFG.update(old)
+
+
+def test_region_faces_matches_python_polygonize():
+    """region_faces (C polygonize face stage) must reproduce the Python
+    node->graph->prune->trace->filter path ring-for-ring, byte-for-byte."""
+    from prclz_spark import geom as G
+
+    def poly_py(ring, las):
+        segs = [np.hstack([np.asarray(ring)[:-1], np.asarray(ring)[1:]])]
+        for arr in las:
+            arr = np.asarray(arr, dtype=np.float64)
+            if len(arr) >= 2:
+                segs.append(np.hstack([arr[:-1], arr[1:]]))
+        segs = np.vstack(segs)
+        g = P.graph_from_segments(P.node_segments(segs))
+        while True:
+            leaves = [n for n in g.nodes() if g.degree(n) <= 1]
+            if not leaves:
+                break
+            g.remove_nodes_from(leaves)
+        out = []
+        region_geom = G.Geom(G.POLYGON, [np.asarray(ring, dtype=float)])
+        for f in P.inner_faces(g):
+            rr = P.face_ring(f)
+            if P.face_area(f) <= 0:
+                continue
+            cx, cy = P.face_centroid(f)
+            if G.contains_point(region_geom, cx, cy):
+                out.append(rr)
+        out.sort(key=lambda rr: (rr[:, 1].min(), rr[:, 0].min(), -len(rr)))
+        return out
+
+    rng = np.random.default_rng(21)
+    ring = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], dtype=float)
+    for trial in range(60):
+        n = int(rng.integers(2, 40))
+        mode = trial % 3
+        if mode == 0:
+            las = [rng.uniform(0, 1, size=(int(rng.integers(2, 5)), 2))
+                   for _ in range(n)]
+        elif mode == 1:
+            las = []
+            for _ in range(n):
+                if rng.random() < 0.5:
+                    x = round(float(rng.uniform(0, 1)), 1)
+                    las.append(np.array([[x, -0.1], [x, 1.1]]))
+                else:
+                    y = round(float(rng.uniform(0, 1)), 1)
+                    las.append(np.array([[-0.1, y], [1.1, y]]))
+        else:
+            las = [np.round(rng.uniform(0, 1, size=(3, 2)), 1) for _ in range(n)]
+        a = P.polygonize_region(ring, las)
+        b = poly_py(ring, las)
+        assert len(a) == len(b), trial
+        for x, y in zip(a, b):
+            assert x.shape == y.shape and x.tobytes() == y.tobytes(), trial
