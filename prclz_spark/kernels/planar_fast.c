@@ -2665,6 +2665,68 @@ done:
     return result;
 }
 
+/* assign_nearest(x, n, cents, k, d) -> int64 bytes
+ * Per-row argmin_c ||x - cents[c]||^2 — the k-means assignment step of
+ * the PQ/IVF trainers.  Bit-exact with the numpy cube
+ * ((X[:,None,:]-cents)**2).sum(-1).argmin(1): per (row, cent) the
+ * elementwise (x-c)^2 temps reduce via pw_sum (np.sum over the
+ * contiguous last axis), and ties/NaNs follow np.argmin (first minimum;
+ * a NaN is treated as the minimum when the running best is finite).
+ * Releases the GIL for the scan, so the trainer's subspace thread pool
+ * gets real parallelism. */
+static PyObject *
+assign_nearest(PyObject *self, PyObject *args)
+{
+    Py_buffer xb, cb;
+    Py_ssize_t n, k, d;
+    if (!PyArg_ParseTuple(args, "y*ny*nn", &xb, &n, &cb, &k, &d))
+        return NULL;
+    if (d <= 0 || d > 8192 || n < 0 || k <= 0
+        || xb.len != n * d * (Py_ssize_t)sizeof(double)
+        || cb.len != k * d * (Py_ssize_t)sizeof(double)) {
+        PyBuffer_Release(&xb);
+        PyBuffer_Release(&cb);
+        PyErr_SetString(PyExc_ValueError, "assign_nearest: bad shapes");
+        return NULL;
+    }
+    PyObject *out = PyBytes_FromStringAndSize(NULL,
+                                              n * (Py_ssize_t)sizeof(long long));
+    if (!out) {
+        PyBuffer_Release(&xb);
+        PyBuffer_Release(&cb);
+        return NULL;
+    }
+    {
+        const double *x = (const double *)xb.buf;
+        const double *ce = (const double *)cb.buf;
+        long long *op = (long long *)PyBytes_AS_STRING(out);
+        double tmp[8192];
+        Py_BEGIN_ALLOW_THREADS
+        for (Py_ssize_t r = 0; r < n; r++) {
+            const double *xr = x + r * d;
+            double best = 0.0;
+            Py_ssize_t bi = 0;
+            for (Py_ssize_t c = 0; c < k; c++) {
+                const double *cc = ce + c * d;
+                for (Py_ssize_t j = 0; j < d; j++) {
+                    double df = xr[j] - cc[j];
+                    tmp[j] = df * df;
+                }
+                double d2 = pw_sum(tmp, d);
+                if (c == 0 || d2 < best || (isnan(d2) && !isnan(best))) {
+                    best = d2;
+                    bi = c;
+                }
+            }
+            op[r] = (long long)bi;
+        }
+        Py_END_ALLOW_THREADS
+    }
+    PyBuffer_Release(&xb);
+    PyBuffer_Release(&cb);
+    return out;
+}
+
 /* test hooks for the bit-exactness fuzz suites */
 static PyObject *
 py_pw_sum(PyObject *self, PyObject *args)
@@ -2744,6 +2806,8 @@ static PyMethodDef Methods[] = {
      "polygonize face stage: prune + trace + filter -> kept closed rings"},
     {"pip_ray", pip_ray, METH_VARARGS,
      "bulk point-in-ring (boundary inside) -> uint8 bytes"},
+    {"assign_nearest", assign_nearest, METH_VARARGS,
+     "k-means assignment (argmin squared distance) -> int64 bytes"},
     {"pt_in_ring", py_pt_in_ring, METH_VARARGS,
      "geom.point_in_ring port (equivalence testing)"},
     {NULL, NULL, 0, NULL},

@@ -139,6 +139,14 @@ def ann_lsh_topk(
 # --- IVF tier ---------------------------------------------------------------
 
 
+try:  # optional C inner loop (kernels/planar_fast.c); numpy fallback below
+    from ..kernels import planar_fast as _PF
+except Exception:  # pragma: no cover - missing/incompatible build
+    _PF = None
+if _PF is not None and not hasattr(_PF, "assign_nearest"):  # stale .so
+    _PF = None
+
+
 def _assign_nearest(X: np.ndarray, cents: np.ndarray, chunk: int = 1024) -> np.ndarray:
     """argmin_c ||x - cents[c]||² per row — elementwise identical to
     ``((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1).argmin(1)`` (same
@@ -150,6 +158,17 @@ def _assign_nearest(X: np.ndarray, cents: np.ndarray, chunk: int = 1024) -> np.n
     numpy dispatch cost 32× less often than the former chunk=32 (the
     dispatch, not the flops, dominated train_pq's driver CPU)."""
     n = len(X)
+    if _PF is not None and 0 < cents.shape[1] <= 8192:
+        # C port (planar_fast.assign_nearest): (x-c)^2 temps reduced via
+        # the np.sum pairwise-order port, np.argmin tie/NaN semantics —
+        # bit-identical assignments (tests/test_ann.py), releases the GIL
+        # so the trainer's subspace threads run in parallel
+        b = _PF.assign_nearest(
+            np.ascontiguousarray(X, dtype=np.float64).tobytes(), n,
+            np.ascontiguousarray(cents, dtype=np.float64).tobytes(),
+            len(cents), cents.shape[1],
+        )
+        return np.frombuffer(b, dtype=np.int64).copy()
     out = np.empty(n, dtype=np.int64)
     for i in range(0, n, chunk):
         d2 = ((X[i : i + chunk, None, :] - cents[None, :, :]) ** 2).sum(-1)

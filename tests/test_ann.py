@@ -489,3 +489,29 @@ def test_cluster_means_stacked_groups_bit_identical():
                 want[c] = X[m].mean(axis=0)
         A._cluster_means_inplace(got, X, a)
         assert want.tobytes() == got.tobytes(), trial
+
+
+def test_assign_nearest_c_matches_numpy_cube():
+    """Round-8: the C k-means assignment (planar_fast.assign_nearest) must
+    reproduce the numpy cube argmin exactly — incl. exact-tie first-index
+    selection and strided subspace views."""
+    import numpy as np
+
+    from prclz_spark.operators import ann as A
+
+    rng = np.random.default_rng(1)
+    for trial in range(60):
+        n = int(rng.integers(1, 300))
+        k = int(rng.integers(1, 64))
+        d = int(rng.integers(1, 40))
+        X = rng.standard_normal((n, d)) * (10.0 ** rng.integers(-4, 5))
+        cents = X[rng.integers(0, n, k)].copy()
+        if trial % 3 == 0 and k > 2:
+            cents[1] = cents[0]  # exact tie -> first index wins
+        ref = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1).argmin(1)
+        assert np.array_equal(ref, A._assign_nearest(X, cents)), trial
+    X = rng.standard_normal((400, 64))
+    Xs = X[:, 8:16]  # strided view (the per-subspace call shape)
+    cents = Xs[:32].copy()
+    ref = ((Xs[:, None, :] - cents[None, :, :]) ** 2).sum(-1).argmin(1)
+    assert np.array_equal(ref, A._assign_nearest(Xs, cents))
